@@ -1,0 +1,219 @@
+"""Pallas TPU flash attention (forward, non-causal + causal, optional KV bias).
+
+Hot-path kernel for DiT denoising (the reference leans on flash-attn/sage CUDA
+wheels; here the same role is a first-party Mosaic kernel). Design:
+
+- Grid ``(B*H, num_q_blocks, num_kv_blocks)`` with the KV axis innermost and
+  "arbitrary" semantics: scratch (running max / sum / accumulator) carries
+  across KV iterations while Pallas double-buffers the K/V block DMAs.
+- Q block index map ignores the KV axis, so the Q tile stays resident in VMEM
+  across the whole KV sweep.
+- Scores/accumulation in float32 on the MXU (`preferred_element_type`), inputs
+  in bf16; running stats kept lane-replicated at (block_q, 128) to stay in
+  native tiling.
+- Optional additive key-padding bias [B, Sk] (enough for every DiT family's
+  padding masks; richer biases route to the XLA backend in the dispatcher).
+- KV tail padding handled inside the kernel via iota masking, so callers can
+  pass any sequence length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _flash_kernel(
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    kv_bias_ref,  # (1, block_k) or None
+    out_ref,  # (1, block_q, d)
+    m_scr,  # (block_q, LANES) f32
+    l_scr,  # (block_q, LANES) f32
+    acc_scr,  # (block_q, d) f32
+    *,
+    scale: float,
+    sk_true: int,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale  # (block_q, block_k)
+
+    # Mask the padded KV tail (and apply the optional key bias).
+    kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    s = jnp.where(kv_pos < sk_true, s, NEG_INF)
+    if kv_bias_ref is not None:
+        s = s + kv_bias_ref[0][None, :].astype(jnp.float32)
+    if causal:
+        i = pl.program_id(1)
+        q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        s = jnp.where(q_pos >= kv_pos, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (block_q, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * corr + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        out_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sk_true", "scale", "is_causal", "block_q", "block_k", "interpret"),
+)
+def _flash_call(
+    q3: jnp.ndarray,  # (BH, Sq, D) — padded
+    k3: jnp.ndarray,  # (BH, Sk_pad, D)
+    v3: jnp.ndarray,
+    kv_bias: Optional[jnp.ndarray],  # (BH, Sk_pad) f32 or None
+    sk_true: int,
+    scale: float,
+    is_causal: bool,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+):
+    bh, sq, d = q3.shape
+    nq = sq // block_q
+    nk = k3.shape[1] // block_k
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        sk_true=sk_true,
+        block_q=block_q,
+        block_k=block_k,
+        causal=is_causal,
+    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+    ]
+    args = [q3, k3, v3]
+    if kv_bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)))
+        args.append(kv_bias)
+        wrapped = kernel
+    else:
+        wrapped = lambda q, k, v, o, m, l, a: kernel(q, k, v, None, o, m, l, a)
+
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        )
+    except TypeError:  # older field spelling
+        compiler_params = None
+
+    return pl.pallas_call(
+        wrapped,
+        grid=(bh, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*args)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: [B, S, H, D] → [B, Sq, H, D]. bias limited to key-padding shapes
+    ([B, Sk], or [B,1,1,Sk]); anything richer belongs to the XLA backend."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else d**-0.5
+
+    kv_bias = None
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        if bias.ndim == 4:
+            if bias.shape[1] != 1 or bias.shape[2] != 1:
+                raise ValueError("pallas_flash supports key-padding bias only")
+            bias = bias[:, 0, 0, :]
+        kv_bias = jnp.broadcast_to(bias, (b, sk))
+        kv_bias = jnp.repeat(kv_bias, h, axis=0)  # (B*H, Sk)
+
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, 128))
+    q_pad = (-sq) % block_q
+    k_pad = (-sk) % block_k
+
+    # [B,S,H,D] → [B*H, S, D]
+    def fold(x, pad):
+        x = jnp.moveaxis(x, 2, 1).reshape(b * h, x.shape[1], d)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    q3, k3, v3 = fold(q, q_pad), fold(k, k_pad), fold(v, k_pad)
+    if kv_bias is not None and k_pad:
+        kv_bias = jnp.pad(kv_bias, ((0, 0), (0, k_pad)))
+
+    out = _flash_call(
+        q3, k3, v3, kv_bias, sk, scale, is_causal, block_q, block_k, interpret
+    )
+    if q_pad:
+        out = out[:, :sq]
+    return jnp.moveaxis(out.reshape(b, h, sq, d), 1, 2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,67 @@
+"""Rotary position embeddings, real-valued (TPU-friendly: no complex dtype).
+
+Models in this codebase use the *interleaved pair* convention (the reference
+applies ``torch.view_as_complex(x.reshape(..., -1, 2)) * freqs_cis`` — e.g.
+zimage/base/model.py:113, wan/base/model.py RoPE): feature pairs (2i, 2i+1)
+form the complex component. Here we carry ``cos``/``sin`` tables of shape
+[..., head_dim/2] and rotate the de-interleaved halves; this keeps everything
+in float32 vector ops that XLA fuses with the surrounding projections.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rope_freqs_1d(positions, dim: int, theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for 1-D positions. Returns ([*pos.shape, dim//2],) * 2 in f32.
+
+    Concrete (numpy / non-traced) positions take a host float64 path — matching
+    the reference's f64 table precompute — then land on device as f32 tables.
+    """
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if not isinstance(positions, jnp.ndarray) or isinstance(positions, np.ndarray):
+        angles = np.asarray(positions, np.float64)[..., None] * inv
+        return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+    angles = positions.astype(jnp.float32)[..., None] * jnp.asarray(inv, jnp.float32)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def precompute_axial_freqs(
+    ids: jnp.ndarray,
+    axes_dims: Sequence[int],
+    theta: float = 10000.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-axis RoPE tables.
+
+    ``ids`` is integer [..., n_axes] (e.g. (t, h, w) token coordinates); axis i
+    contributes ``axes_dims[i]/2`` rotary pairs. Output: cos/sin of shape
+    [..., sum(axes_dims)//2].
+    """
+    assert ids.shape[-1] == len(axes_dims), (ids.shape, axes_dims)
+    cos_parts, sin_parts = [], []
+    for i, d in enumerate(axes_dims):
+        c, s = rope_freqs_1d(ids[..., i], d, theta)
+        cos_parts.append(c)
+        sin_parts.append(s)
+    return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate interleaved feature pairs of ``x`` [..., H, D] by cos/sin [..., D//2].
+
+    cos/sin broadcast over the head axis: for x of shape [B, S, H, D] pass
+    tables shaped [B, S, 1, D//2] (or [S, 1, D//2]).
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    xr = x32[..., 0::2]
+    xi = x32[..., 1::2]
+    out_r = xr * cos - xi * sin
+    out_i = xr * sin + xi * cos
+    # Re-interleave pairs: stack on a trailing axis then flatten.
+    out = jnp.stack([out_r, out_i], axis=-1).reshape(x.shape)
+    return out.astype(orig_dtype)

@@ -1,0 +1,7 @@
+from apex_studio_tpu.schedulers.base import scheduler_registry, create_scheduler  # noqa: F401
+from apex_studio_tpu.schedulers.flow_match import (  # noqa: F401
+    FlowMatchEulerDiscreteScheduler,
+    FlowMatchDiscreteScheduler,
+    FlowMatchScheduler,
+)
+from apex_studio_tpu.schedulers.unipc import FlowUniPCMultistepScheduler  # noqa: F401

@@ -6,10 +6,19 @@ answer to multi-node testing without a cluster, per SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-overwrite: the machine environment pins JAX_PLATFORMS=axon (a remote
+# TPU tunnel) and its sitecustomize imports jax and sets jax_platforms before
+# user code runs, so the env var alone is not enough — running the unit suite
+# over the tunnel would make every eager op a network round trip. Tests run on
+# a local 8-device virtual CPU platform instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
