@@ -1,0 +1,122 @@
+"""Checkpoint key conversion: torch module paths → our NNX paths.
+
+Counterpart of the reference's ``src/converters/`` (4.2k LoC of per-family
+special cases): each family registers an ordered list of regex renames plus a
+set of prefixes to strip (original / ComfyUI / diffusers layouts) and keys to
+drop. Value transforms (transposes) are inferred downstream in
+state_mapping.apply_state_dict, so converters deal in names only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from apex_studio_tpu.registry import Registry
+
+converter_registry = Registry("converter")
+
+# Prefixes seen across original/Comfy single-file checkpoints.
+_COMMON_PREFIXES = (
+    "model.diffusion_model.",
+    "diffusion_model.",
+    "model.model.",
+    "net.",
+)
+
+
+class KeyConverter:
+    def __init__(
+        self,
+        renames: Sequence[Tuple[str, str]] = (),
+        strip_prefixes: Sequence[str] = _COMMON_PREFIXES,
+        drop: Sequence[str] = (),
+    ):
+        self.renames = [(re.compile(p), r) for p, r in renames]
+        self.strip_prefixes = tuple(strip_prefixes)
+        self.drop = [re.compile(p) for p in drop]
+
+    def convert_key(self, key: str) -> str | None:
+        for pref in self.strip_prefixes:
+            if key.startswith(pref):
+                key = key[len(pref):]
+                break
+        for pat in self.drop:
+            if pat.search(key):
+                return None
+        for pat, repl in self.renames:
+            key = pat.sub(repl, key)
+        return key
+
+    def convert(self, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            nk = self.convert_key(k)
+            if nk is not None:
+                out[nk] = v
+        return out
+
+
+def convert_keys(family: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return converter_registry.get(family).convert(sd)
+
+
+# -- family tables ------------------------------------------------------------------
+
+converter_registry.add(
+    "zimage",
+    KeyConverter(
+        renames=[
+            (r"^all_x_embedder\.[0-9]+-[0-9]+\.", "x_embedder."),
+            (r"^all_final_layer\.[0-9]+-[0-9]+\.", "final_layer."),
+            (r"^cap_embedder\.0\.", "cap_embedder_norm."),
+            (r"^cap_embedder\.1\.", "cap_embedder_linear."),
+            (r"^t_embedder\.mlp\.0\.", "t_embedder.in_layer."),
+            (r"^t_embedder\.mlp\.2\.", "t_embedder.out_layer."),
+            (r"\.attention\.to_out\.0\.", ".attention.to_out."),
+            # Block adaLN is Sequential(Linear); final layer's is Sequential(SiLU, Linear).
+            (r"\.adaLN_modulation\.0\.", ".adaLN_modulation."),
+            (r"\.adaLN_modulation\.1\.", ".adaLN_modulation."),
+            # torch Linear/Norm weights → our leaf names (transpose inferred later).
+            (r"(linear|to_q|to_k|to_v|to_out|w1|w2|w3|in_layer|out_layer|adaLN_modulation|x_embedder|cap_embedder_linear)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"rope_embedder", r"\.freqs", r"^siglip_"),
+    ),
+)
+
+converter_registry.add(
+    "qwen3",
+    KeyConverter(
+        renames=[
+            (r"^model\.", ""),
+            (r"^embed_tokens\.weight$", "embed_tokens"),
+            (r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)\.weight$", r"\1.kernel"),
+            # HF MLP names → SwiGLU leaf names.
+            (r"\.mlp\.gate_proj\.", ".mlp.w1."),
+            (r"\.mlp\.up_proj\.", ".mlp.w3."),
+            (r"\.mlp\.down_proj\.", ".mlp.w2."),
+        ],
+        strip_prefixes=(),
+        drop=(r"^lm_head\.", r"rotary_emb"),
+    ),
+)
+
+converter_registry.add(
+    "autoencoder_kl",
+    KeyConverter(
+        renames=[
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(conv|conv1|conv2|conv_shortcut|conv_in|conv_out|quant_conv|post_quant_conv)\.weight$", r"\1.kernel"),
+            (r"(to_q|to_k|to_v|to_out)\.weight$", r"\1.kernel"),
+            # Legacy SD attention naming → diffusers naming.
+            (r"\.query\.", ".to_q."),
+            (r"\.key\.", ".to_k."),
+            (r"\.value\.", ".to_v."),
+            (r"\.proj_attn\.", ".to_out."),
+        ],
+        strip_prefixes=("first_stage_model.",),
+        drop=(),
+    ),
+)

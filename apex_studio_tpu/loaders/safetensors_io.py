@@ -1,0 +1,128 @@
+"""safetensors ingestion → numpy (bf16 via ml_dtypes, fp8 dequant-on-load).
+
+Counterpart of the loading half of the reference's LoaderMixin/quantize stack:
+TPU has no fp8 fast path on v5e, so fp8-scaled checkpoints are dequantized to
+bf16 at load time (scale tensors consumed here, SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Union
+
+import json
+import numpy as np
+
+try:
+    import ml_dtypes
+except ImportError:  # pragma: no cover
+    ml_dtypes = None
+
+_ST_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+if ml_dtypes is not None:
+    _ST_DTYPES["BF16"] = ml_dtypes.bfloat16
+    _ST_DTYPES["F8_E4M3"] = ml_dtypes.float8_e4m3fn
+    _ST_DTYPES["F8_E5M2"] = ml_dtypes.float8_e5m2
+
+
+def _read_header(path: Path):
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n).decode("utf-8"))
+    return header, 8 + n
+
+
+def safetensors_keys(path: Union[str, Path]) -> List[str]:
+    header, _ = _read_header(Path(path))
+    return [k for k in header if k != "__metadata__"]
+
+
+def load_safetensors(
+    path: Union[str, Path],
+    keys: Optional[Iterable[str]] = None,
+    dtype: Optional[np.dtype] = None,
+) -> Dict[str, np.ndarray]:
+    """Memory-map a .safetensors file and return (optionally cast) numpy arrays.
+
+    Slices are views into the mmap until cast — peak host RSS stays at the
+    size of the tensors actually materialized.
+    """
+    path = Path(path)
+    header, data_start = _read_header(path)
+    mm = np.memmap(path, mode="r", dtype=np.uint8)
+    out: Dict[str, np.ndarray] = {}
+    wanted = set(keys) if keys is not None else None
+    for name, info in header.items():
+        if name == "__metadata__" or (wanted is not None and name not in wanted):
+            continue
+        st_dtype = info["dtype"]
+        np_dtype = _ST_DTYPES.get(st_dtype)
+        if np_dtype is None:
+            raise ValueError(f"{path}: unsupported safetensors dtype {st_dtype} for {name}")
+        begin, end = info["data_offsets"]
+        raw = mm[data_start + begin : data_start + end]
+        arr = raw.view(np_dtype).reshape(info["shape"])
+        if dtype is not None and arr.dtype != dtype:
+            arr = arr.astype(dtype)
+        out[name] = arr
+    return out
+
+
+def load_sharded_safetensors(
+    directory: Union[str, Path],
+    index_file: str = "model.safetensors.index.json",
+    dtype: Optional[np.dtype] = None,
+) -> Dict[str, np.ndarray]:
+    """Load a HF sharded checkpoint directory (or a dir of .safetensors files)."""
+    directory = Path(directory)
+    index_path = directory / index_file
+    out: Dict[str, np.ndarray] = {}
+    if index_path.exists():
+        index = json.loads(index_path.read_text())
+        by_file: Dict[str, List[str]] = {}
+        for key, fname in index["weight_map"].items():
+            by_file.setdefault(fname, []).append(key)
+        for fname, ks in by_file.items():
+            out.update(load_safetensors(directory / fname, keys=ks, dtype=dtype))
+        return out
+    files = sorted(directory.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors found under {directory}")
+    for f in files:
+        out.update(load_safetensors(f, dtype=dtype))
+    return out
+
+
+def dequantize_fp8_scaled(sd: Dict[str, np.ndarray], target=np.float32) -> Dict[str, np.ndarray]:
+    """Fold `<name>.scale_weight` / `scale` tensors into their fp8 weights."""
+    out: Dict[str, np.ndarray] = {}
+    scale_suffixes = (".scale_weight", ".weight_scale", "_scale")
+    scales = {k: v for k, v in sd.items() if k.endswith(scale_suffixes)}
+    for key, arr in sd.items():
+        if key in scales:
+            continue
+        if ml_dtypes is not None and arr.dtype in (
+            ml_dtypes.float8_e4m3fn,
+            ml_dtypes.float8_e5m2,
+        ):
+            scale = None
+            for suf in scale_suffixes:
+                cand = key.rsplit(".", 1)[0] + suf
+                if cand in scales:
+                    scale = scales[cand]
+                    break
+            arr = arr.astype(target)
+            if scale is not None:
+                arr = arr * scale.astype(target)
+        out[key] = arr
+    return out

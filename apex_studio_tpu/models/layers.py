@@ -1,0 +1,131 @@
+"""Shared NNX building blocks for the model families.
+
+Conventions:
+- ``dtype`` is the compute dtype (bf16 on TPU), ``param_dtype`` the storage
+  dtype. Norm statistics always accumulate in f32 (ops/norms.py).
+- Linear kernels are stored [in, out] (JAX convention); the checkpoint loader
+  transposes torch's [out, in] on ingest.
+- Attention projections flow through the ops/attention registry so every
+  family shares the Pallas hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from apex_studio_tpu.ops.norms import layer_norm as _layer_norm
+from apex_studio_tpu.ops.norms import rms_norm as _rms_norm
+
+
+class Linear(nnx.Module):
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        use_bias: bool = True,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+        rngs: nnx.Rngs,
+    ):
+        init = nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(init(rngs.params(), (in_features, out_features), param_dtype))
+        self.bias = (
+            nnx.Param(jnp.zeros((out_features,), param_dtype)) if use_bias else None
+        )
+        self.dtype = dtype
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x.astype(self.dtype) @ self.kernel.value.astype(self.dtype)
+        if self.bias is not None:
+            y = y + self.bias.value.astype(self.dtype)
+        return y
+
+
+class RMSNorm(nnx.Module):
+    def __init__(self, dim: int, *, eps: float = 1e-5, elementwise_affine: bool = True,
+                 param_dtype=jnp.float32, rngs: Optional[nnx.Rngs] = None):
+        self.eps = eps
+        self.weight = (
+            nnx.Param(jnp.ones((dim,), param_dtype)) if elementwise_affine else None
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _rms_norm(x, None if self.weight is None else self.weight.value, self.eps)
+
+
+class LayerNorm(nnx.Module):
+    def __init__(self, dim: int, *, eps: float = 1e-6, elementwise_affine: bool = True,
+                 use_bias: bool = True, param_dtype=jnp.float32, rngs: Optional[nnx.Rngs] = None):
+        self.eps = eps
+        self.weight = nnx.Param(jnp.ones((dim,), param_dtype)) if elementwise_affine else None
+        self.bias = (
+            nnx.Param(jnp.zeros((dim,), param_dtype))
+            if (elementwise_affine and use_bias)
+            else None
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _layer_norm(
+            x,
+            None if self.weight is None else self.weight.value,
+            None if self.bias is None else self.bias.value,
+            self.eps,
+        )
+
+
+class SwiGLU(nnx.Module):
+    """w2(silu(w1·x) * w3·x) — the LLaMA/ZImage/Wan FFN shape."""
+
+    def __init__(self, dim: int, hidden_dim: int, *, use_bias: bool = False,
+                 dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, rngs: nnx.Rngs):
+        kw = dict(use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.w1 = Linear(dim, hidden_dim, **kw)
+        self.w3 = Linear(dim, hidden_dim, **kw)
+        self.w2 = Linear(hidden_dim, dim, **kw)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.w2(nnx.silu(self.w1(x)) * self.w3(x))
+
+
+class GELUMLP(nnx.Module):
+    """fc2(gelu(fc1·x)) — the DiT/ViT FFN shape."""
+
+    def __init__(self, dim: int, hidden_dim: int, *, use_bias: bool = True,
+                 approximate: bool = True, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 rngs: nnx.Rngs):
+        kw = dict(use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.fc1 = Linear(dim, hidden_dim, **kw)
+        self.fc2 = Linear(hidden_dim, dim, **kw)
+        self.approximate = approximate
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.fc2(nnx.gelu(self.fc1(x), approximate=self.approximate))
+
+
+class TimestepEmbedder(nnx.Module):
+    """Sinusoidal frequencies → MLP, the DiT conditioning stem."""
+
+    def __init__(self, out_size: int, mid_size: Optional[int] = None, *,
+                 freq_size: int = 256, max_period: float = 10000.0,
+                 flip_sin_to_cos: bool = True,
+                 dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, rngs: nnx.Rngs):
+        from apex_studio_tpu.ops.embeddings import timestep_embedding
+
+        mid = mid_size if mid_size is not None else out_size
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.in_layer = Linear(freq_size, mid, **kw)
+        self.out_layer = Linear(mid, out_size, **kw)
+        self.freq_size = freq_size
+        self.max_period = max_period
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self._embed: Callable = timestep_embedding
+
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        freqs = self._embed(
+            t, self.freq_size, max_period=self.max_period, flip_sin_to_cos=self.flip_sin_to_cos
+        )
+        return self.out_layer(nnx.silu(self.in_layer(freqs)))

@@ -1,0 +1,34 @@
+"""Model family registries (counterpart of transformer/base.py:6 etc. in the reference).
+
+Keys match manifest ``base`` values: ``zimage.base``, ``wan.base``, ``flux.base``,
+``auto`` (AutoencoderKL), ``Qwen3ForCausalLM``…
+"""
+
+from apex_studio_tpu.registry import Registry
+
+transformer_registry = Registry("transformer")
+vae_registry = Registry("vae")
+text_encoder_registry = Registry("text_encoder")
+helper_registry = Registry("helper")
+
+
+def _load_builtin_families() -> None:
+    """Import every bundled family so registration side effects run."""
+    import importlib
+
+    for mod in (
+        "apex_studio_tpu.models.transformers.zimage",
+        "apex_studio_tpu.models.transformers.flux",
+        "apex_studio_tpu.models.transformers.wan",
+        "apex_studio_tpu.models.transformers.qwenimage",
+        "apex_studio_tpu.models.transformers.hunyuanvideo15",
+        "apex_studio_tpu.models.vaes.autoencoder_kl",
+        "apex_studio_tpu.models.vaes.wan_vae",
+        "apex_studio_tpu.models.text_encoders.qwen3",
+        "apex_studio_tpu.models.text_encoders.t5",
+        "apex_studio_tpu.models.text_encoders.clip",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # family not built yet — registries stay partial during bring-up

@@ -50,6 +50,21 @@ def precompute_axial_freqs(
     return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
 
 
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """LLM (HF llama/qwen) rotate-half convention.
+
+    x: [..., D]; cos/sin: broadcastable [..., D//2] tables (will be tiled to D).
+    rotate_half(x) = concat(-x[D/2:], x[:D/2]); out = x·cos + rotate_half(x)·sin.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    d2 = x.shape[-1] // 2
+    cos2 = jnp.concatenate([cos, cos], axis=-1)
+    sin2 = jnp.concatenate([sin, sin], axis=-1)
+    rotated = jnp.concatenate([-x32[..., d2:], x32[..., :d2]], axis=-1)
+    return (x32 * cos2 + rotated * sin2).astype(orig_dtype)
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate interleaved feature pairs of ``x`` [..., H, D] by cos/sin [..., D//2].
 
