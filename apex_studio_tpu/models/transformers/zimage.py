@@ -189,6 +189,23 @@ class ZImageTransformer2DModel(nnx.Module):
         self.x_pad_token = nnx.Param(jnp.zeros((1, cfg.dim), param_dtype))
         self.cap_pad_token = nnx.Param(jnp.zeros((1, cfg.dim), param_dtype))
 
+    @staticmethod
+    def sharding_rules(cfg: ZImageConfig):
+        """Tensor-parallel layout over the 'tp' mesh axis: attention heads and
+        FFN columns split, output projections row-split (psum at block edges
+        inserted by XLA); embedders/norms/adaLN replicated."""
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"attention\.to_[qkv]\.kernel", P(None, "tp")),
+                (r"attention\.to_out\.kernel", P("tp", None)),
+                (r"feed_forward\.w[13]\.kernel", P(None, "tp")),
+                (r"feed_forward\.w2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     # -- host-side (trace-time) geometry -------------------------------------------
 
     def _pos_tables(self, h_tok: int, w_tok: int, n_pad: int, cap_len: int):
