@@ -1,0 +1,232 @@
+"""Flux engines (t2i) — dual-encoder (CLIP pooled + T5) MMDiT pipeline.
+
+Contract parity with the reference's ``engine/flux/t2i.py:20`` +
+``engine/flux/shared.py``: packed 2×2 latents (shared.py:30), dynamic shift
+from image_seq_len (shared.py:58), embedded guidance vector for dev models,
+optional true CFG (true_cfg_scale > 1 with a negative prompt), model timestep
+= sigma (t/1000). Seeded noise is drawn at the unpacked latent shape then
+packed, matching the reference's generator order.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.schedulers.base import compute_dynamic_shift_mu
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.flux")
+
+
+@register_engine("flux", "t2i")
+class FluxT2IEngine(BaseEngine):
+    """text_encoder = CLIP-L (pooled), text_encoder_2 = T5-XXL (sequence)."""
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.text_encoder_2 = None
+
+    def _spec_for_name(self, name: str) -> Optional[Dict[str, Any]]:
+        return self.component_specs.get(name)
+
+    def load_text_encoders(self) -> None:
+        from apex_studio_tpu.text_encoder import TextEncoder
+
+        # Manifest lists two text_encoder components (CLIPTextModel + T5EncoderModel).
+        te_specs = [s for s in self.component_specs.values() if s.get("type") == "text_encoder"]
+        clip_spec = next((s for s in te_specs if "CLIP" in (s.get("base") or "")), None)
+        t5_spec = next((s for s in te_specs if "T5" in (s.get("base") or "")), None)
+        if clip_spec is None or t5_spec is None:
+            raise KeyError("flux manifest requires CLIP and T5 text_encoder components")
+        if self.text_encoder is None:
+            self.text_encoder = TextEncoder(self, clip_spec)
+        if self.text_encoder_2 is None:
+            self.text_encoder_2 = TextEncoder(self, t5_spec)
+
+    def encode_prompt(self, prompt: str, prompt_2: Optional[str], max_sequence_length: int):
+        """→ (pooled [1, 768], t5_seq [1, L, 4096])."""
+        self.load_text_encoders()
+        clip = self.text_encoder
+        t5 = self.text_encoder_2
+
+        ids, mask = clip.tokenize([prompt], 77)
+        model = clip._ensure_model()
+        graphdef, state = nnx.split(model)
+        key = ("clip_fwd", ids.shape)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, ids, mask):
+                m = nnx.merge(graphdef, state)
+                return m(ids, attention_mask=mask)
+
+            self._jit_cache[key] = fwd
+        _, pooled = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
+
+        t5_model = t5._ensure_model()
+        ids2, mask2 = t5.tokenize([prompt_2 or prompt], max_sequence_length)
+        graphdef2, state2 = nnx.split(t5_model)
+        key2 = ("t5_fwd", ids2.shape)
+        fwd2 = self._jit_cache.get(key2)
+        if fwd2 is None:
+
+            @jax.jit
+            def fwd2(state, ids, mask):
+                m = nnx.merge(graphdef2, state)
+                return m(ids, attention_mask=mask)
+
+            self._jit_cache[key2] = fwd2
+        seq = fwd2(state2, jnp.asarray(ids2), jnp.asarray(mask2))
+        return pooled, seq
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        prompt_2: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        negative_prompt_2: Optional[str] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 3.5,
+        true_cfg_scale: float = 1.0,
+        num_images: int = 1,
+        seed: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+        sigmas: Optional[List[float]] = None,
+        timesteps: Optional[List[float]] = None,
+        max_sequence_length: int = 512,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
+
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.vae is None and not return_latents:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+
+        safe_emit_progress(progress_callback, 0.02, "Encoding prompts")
+        pooled, seq = self.encode_prompt(prompt or "", prompt_2, max_sequence_length)
+        neg_pooled = neg_seq = None
+        if use_cfg:
+            neg_pooled, neg_seq = self.encode_prompt(
+                negative_prompt or "", negative_prompt_2, max_sequence_length
+            )
+        safe_emit_progress(progress_callback, 0.20, "Encoded prompts")
+
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        # Snap to the packing grid (2 latent px = 16 image px).
+        height = height - height % (lat_scale * 2)
+        width = width - width % (lat_scale * 2)
+        lat_c = cfg_t.out_channels // 4
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+        b = num_images
+
+        noise = self.get_latents((b, lat_c, lat_h, lat_w), seed=seed, latents=latents)
+        x = self.transformer.pack_latents(noise.astype(jnp.float32))
+        safe_emit_progress(progress_callback, 0.38, "Initialized latent noise")
+
+        image_seq_len = x.shape[1]
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = compute_dynamic_shift_mu(
+            image_seq_len,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps, sigmas=sigmas, mu=mu
+        )
+        self.scheduler.set_begin_index(0)
+        safe_emit_progress(progress_callback, 0.48, "Timesteps computed")
+
+        guidance = (
+            jnp.full((b,), guidance_scale, jnp.float32) if cfg_t.guidance_embeds else None
+        )
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        grid = (lat_h // 2, lat_w // 2)
+        key = ("flux_fwd", x.shape, seq.shape[1])
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, seq, pooled, t, guidance):
+                m = nnx.merge(graphdef, state)
+                return m(x, seq, pooled, t, guidance, grid_hw=grid)
+
+            self._jit_cache[key] = fwd
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.50, 0.90)
+        model_dtype = self.transformer.dtype
+        for i, t in enumerate(ts):
+            t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
+            x_in = x.astype(model_dtype)
+            v = fwd(tf_state, x_in, seq, pooled, t_vec, guidance)
+            if use_cfg:
+                v_neg = fwd(tf_state, x_in, neg_seq, neg_pooled, t_vec, guidance)
+                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and num_inference_steps > 8
+                and (i + 1) % render_on_step_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self._decode_frames(x, lat_h, lat_w), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.90, "Denoising complete")
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+
+        frames = self._decode_frames(x, lat_h, lat_w)
+        safe_emit_progress(progress_callback, 1.0, "Completed t2i pipeline")
+        return frames
+
+    def _decode_frames(self, packed: jnp.ndarray, lat_h: int, lat_w: int) -> List[np.ndarray]:
+        z = self.transformer.unpack_latents(packed, lat_h, lat_w)
+        key = ("vae_decode", tuple(z.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        img = dec(vae_state, z.astype(jnp.float32))
+        return self.tensor_to_frames(img)

@@ -104,6 +104,64 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "flux",
+    KeyConverter(
+        renames=[
+            (r"^time_text_embed\.timestep_embedder\.linear_(\d)\.", r"time_text_embed.timestep_linear_\1."),
+            (r"^time_text_embed\.guidance_embedder\.linear_(\d)\.", r"time_text_embed.guidance_linear_\1."),
+            (r"^time_text_embed\.text_embedder\.linear_(\d)\.", r"time_text_embed.text_linear_\1."),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"^(single_transformer_blocks\.\d+)\.norm\.linear\.", r"\1.norm_linear."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"\.attn\.to_out\.0\.", ".attn.to_out."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            # Single blocks keep attention projections under .attn in diffusers.
+            (r"^(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(linear_\d|context_embedder|x_embedder|to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|proj_mlp|proj_out|norm1_linear|norm1_context_linear|norm_linear|norm_out_linear)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed", r"rotary"),
+    ),
+)
+
+converter_registry.add(
+    "t5",
+    KeyConverter(
+        renames=[
+            (r"^encoder\.embed_tokens\.weight$", "shared"),
+            (r"^shared\.weight$", "shared"),
+            (r"^encoder\.block\.(\d+)\.layer\.0\.SelfAttention\.([qkvo])\.weight$",
+             r"blocks.\1.attention.\2.kernel"),
+            (r"^encoder\.block\.(\d+)\.layer\.0\.SelfAttention\.relative_attention_bias\.weight$",
+             r"blocks.\1.attention.relative_attention_bias"),
+            (r"^encoder\.block\.(\d+)\.layer\.0\.layer_norm\.weight$", r"blocks.\1.layer_norm0.weight"),
+            (r"^encoder\.block\.(\d+)\.layer\.1\.DenseReluDense\.(wi_0|wi_1|wo)\.weight$",
+             r"blocks.\1.ff.\2.kernel"),
+            (r"^encoder\.block\.(\d+)\.layer\.1\.layer_norm\.weight$", r"blocks.\1.layer_norm1.weight"),
+            (r"^encoder\.final_layer_norm\.weight$", "final_layer_norm.weight"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^decoder\.", r"^lm_head\."),
+    ),
+)
+
+converter_registry.add(
+    "clip",
+    KeyConverter(
+        renames=[
+            (r"^text_model\.embeddings\.token_embedding\.weight$", "token_embedding"),
+            (r"^text_model\.embeddings\.position_embedding\.weight$", "position_embedding"),
+            (r"^text_model\.encoder\.layers\.", "layers."),
+            (r"^text_model\.final_layer_norm\.", "final_layer_norm."),
+            (r"(q_proj|k_proj|v_proj|out_proj|fc1|fc2)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"position_ids", r"^text_projection", r"logit_scale", r"^visual", r"^vision_model"),
+    ),
+)
+
+converter_registry.add(
     "autoencoder_kl",
     KeyConverter(
         renames=[

