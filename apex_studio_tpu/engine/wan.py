@@ -1,0 +1,324 @@
+"""Wan engines: t2v / t2i (Wan 2.1 + Wan 2.2 A14B MoE dual-noise).
+
+Contract parity with the reference's ``engine/wan/t2v.py:12`` and the shared
+denoise loops (``engine/wan/shared/__init__.py:610`` base, ``:478`` MoE):
+
+- UMT5 text features zero-padded to 512 tokens (Wan conditions on zeroed
+  padding, no cross-attention mask)
+- latents [B, 16, (frames−1)/4+1, H/8, W/8], fp32 seeded via the CPU-torch
+  stream
+- FlowUniPC sampler (per-manifest shift), CFG cond/uncond
+- Wan 2.2 dual-noise: a high-noise and a low-noise expert swapped at
+  ``boundary_ratio·1000`` (reference `_select_dual_noise_transformer`
+  shared/__init__.py:309); both stay resident here — sharding replaces the
+  reference's offload shuffle
+- render_on_step force-disabled for ≤8-step runs (t2v.py:65)
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.wan")
+
+
+class WanShared(BaseEngine):
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.transformer_2 = None  # low-noise expert (Wan 2.2 A14B)
+
+    # -- components -------------------------------------------------------------
+
+    def _load_transformer_2(self):
+        for name, spec in self.component_specs.items():
+            if spec.get("type") == "transformer" and name in (
+                "transformer_2",
+                "low_noise_transformer",
+            ):
+                self.transformer_2 = self._load_transformer(spec)
+                return self.transformer_2
+        return None
+
+    def _primary_transformer_spec(self) -> Optional[Dict[str, Any]]:
+        for name, spec in self.component_specs.items():
+            if spec.get("type") == "transformer" and name not in (
+                "transformer_2",
+                "low_noise_transformer",
+            ):
+                return spec
+        return None
+
+    def load_components(self, return_latents: bool) -> None:
+        if self.text_encoder is None:
+            self.load_component_by_type("text_encoder")
+        if self.transformer is None:
+            spec = self._primary_transformer_spec()
+            self.transformer = self._load_transformer(spec)
+        if self.vae is None and not return_latents:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+
+    # -- conditioning ---------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str, max_sequence_length: int = 512) -> jnp.ndarray:
+        """UMT5 features with zeroed padding (Wan's conditioning convention)."""
+        hidden, mask = self.text_encoder.encode(
+            [prompt], max_sequence_length=max_sequence_length, use_chat_template=False
+        )
+        return jnp.where(jnp.asarray(mask)[..., None].astype(bool), hidden, 0.0)
+
+    # -- denoise core -----------------------------------------------------------------
+
+    def _fwd_for(self, transformer, tag: str, shapes):
+        key = (tag, shapes)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            graphdef, _ = nnx.split(transformer)
+
+            @jax.jit
+            def fwd(state, x, t, ctx):
+                return nnx.merge(graphdef, state)(x, t, ctx)
+
+            self._jit_cache[key] = fwd
+        return fwd
+
+    def denoise(
+        self,
+        latents: jnp.ndarray,
+        ts: np.ndarray,
+        context: jnp.ndarray,
+        neg_context: Optional[jnp.ndarray],
+        guidance_scale: float,
+        guidance_scale_2: Optional[float],
+        boundary_timestep: Optional[float],
+        render_cb: Optional[Callable],
+        render_interval: int,
+        render_on_step: bool,
+        progress_cb: Optional[Callable],
+    ) -> jnp.ndarray:
+        use_cfg = guidance_scale > 1.0 and neg_context is not None
+        if len(ts) <= 8:
+            render_on_step = False
+
+        shapes = (tuple(latents.shape), context.shape[1])
+        _, state_1 = nnx.split(self.transformer)
+        state_2 = None
+        if boundary_timestep is not None and self.transformer_2 is None:
+            self._load_transformer_2()
+        if self.transformer_2 is not None:
+            _, state_2 = nnx.split(self.transformer_2)
+
+        x = latents
+        for i, t in enumerate(ts):
+            if boundary_timestep is not None and float(t) < boundary_timestep and state_2 is not None:
+                transformer, state = self.transformer_2, state_2
+                tag = "wan_fwd_low"
+                g = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+            else:
+                transformer, state = self.transformer, state_1
+                tag = "wan_fwd_high"
+                g = guidance_scale
+            fwd = self._fwd_for(transformer, tag, shapes)
+
+            t_vec = jnp.full((x.shape[0],), float(t), jnp.float32)
+            x_in = x.astype(transformer.dtype)
+            v = fwd(state, x_in, t_vec, context)
+            if use_cfg and g > 1.0:
+                v_neg = fwd(state, x_in, t_vec, neg_context)
+                v = v_neg.astype(jnp.float32) + g * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_cb is not None
+                and (i + 1) % render_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_cb(self.decode_latents(x), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if progress_cb is not None:
+                progress_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+        return x
+
+    def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
+        key = ("wan_vae_decode", tuple(z.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        video = dec(vae_state, z.astype(jnp.float32))  # [B,3,T,H,W]
+        b, c, t, h, w = video.shape
+        frames_nchw = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
+        return self.tensor_to_frames(frames_nchw)
+
+    def _run_video(
+        self,
+        prompt: Optional[str],
+        negative_prompt: Optional[str],
+        height: int,
+        width: int,
+        num_frames: int,
+        num_inference_steps: int,
+        guidance_scale: float,
+        guidance_scale_2: Optional[float],
+        boundary_ratio: Optional[float],
+        seed: Optional[int],
+        latents: Optional[np.ndarray],
+        shift: Optional[float],
+        timesteps: Optional[List[float]],
+        return_latents: bool,
+        render_on_step: bool,
+        render_on_step_callback: Optional[Callable],
+        render_on_step_interval: int,
+        progress_callback: Optional[Callable],
+        max_sequence_length: int = 512,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
+        self.load_components(return_latents)
+        safe_emit_progress(progress_callback, 0.05, "Components ready")
+
+        vae_cfg = self.vae.cfg if self.vae is not None else None
+        s_scale = vae_cfg.spatial_scale if vae_cfg else 8
+        t_scale = vae_cfg.temporal_scale if vae_cfg else 4
+        pt, ph, pw = self.transformer.cfg.patch_size
+        height -= height % (s_scale * ph)
+        width -= width % (s_scale * pw)
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        context = self.encode_prompt(prompt or "", max_sequence_length)
+        use_cfg = guidance_scale > 1.0
+        neg_context = (
+            self.encode_prompt(negative_prompt or "", max_sequence_length) if use_cfg else None
+        )
+        safe_emit_progress(progress_callback, 0.18, "Prompts ready")
+
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        x = self.get_latents(
+            (1, self.transformer.cfg.in_channels, lat_t, lat_h, lat_w),
+            seed=seed,
+            latents=latents,
+        )
+        safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
+
+        ts, _ = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps,
+            **({"shift": shift} if shift is not None else {}),
+        )
+        boundary_timestep = (
+            boundary_ratio * getattr(self.scheduler, "num_train_timesteps", 1000)
+            if boundary_ratio is not None
+            else None
+        )
+        safe_emit_progress(progress_callback, 0.4, "Timesteps computed; starting denoise")
+
+        x = self.denoise(
+            x,
+            ts,
+            context,
+            neg_context,
+            guidance_scale,
+            guidance_scale_2,
+            boundary_timestep,
+            render_on_step_callback,
+            render_on_step_interval,
+            render_on_step,
+            make_mapped_progress(progress_callback, 0.4, 0.9),
+        )
+        safe_emit_progress(progress_callback, 0.9, "Denoising complete")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
+        return frames
+
+
+@register_engine("wan", "t2v")
+class WanT2VEngine(WanShared):
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        guidance_scale_2: Optional[float] = None,
+        boundary_ratio: Optional[float] = None,
+        seed: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+        shift: Optional[float] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        return self._run_video(
+            prompt, negative_prompt, height, width, num_frames, num_inference_steps,
+            guidance_scale, guidance_scale_2, boundary_ratio, seed, latents, shift,
+            timesteps, return_latents, render_on_step, render_on_step_callback,
+            render_on_step_interval, progress_callback,
+        )
+
+
+@register_engine("wan", "t2i")
+class WanT2IEngine(WanShared):
+    """Single-frame t2v → image (the Wan 2.2 A14B text-to-image manifest)."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        guidance_scale_2: Optional[float] = None,
+        boundary_ratio: Optional[float] = None,
+        seed: Optional[int] = None,
+        shift: Optional[float] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        return self._run_video(
+            prompt, negative_prompt, height, width, 1, num_inference_steps,
+            guidance_scale, guidance_scale_2, boundary_ratio, seed, None, shift,
+            None, return_latents, render_on_step, render_on_step_callback,
+            render_on_step_interval, progress_callback,
+        )

@@ -58,16 +58,40 @@ def _infer_transform(path: str, arr: np.ndarray) -> np.ndarray:
             return arr.transpose(2, 3, 1, 0)
         if arr.ndim == 5:
             return arr.transpose(2, 3, 4, 1, 0)
+    if path.endswith("_kernel"):
+        # 1x1 torch convs loaded into plain matmul params: [O,C,1,1] → [C,O].
+        if arr.ndim == 4 and arr.shape[2] == arr.shape[3] == 1:
+            return arr[:, :, 0, 0].T
+        if arr.ndim == 2:
+            return arr.T
+    if path.endswith(".gamma") and arr.ndim > 1:
+        # Wan RMS gamma stored [C,1,1(,1)] → [C].
+        return arr.reshape(arr.shape[0])
     return arr
 
 
-def _leaf_dtype(model: nnx.Module, path: str):
+def _leaf_meta(model: nnx.Module, path: str):
     *parents, leaf = path.split(".")
     try:
         target = getattr(_walk(model, parents), leaf)
-        return target.value.dtype, target.value.sharding if hasattr(target.value, "sharding") else None
+        return target.value.dtype, tuple(target.value.shape)
     except Exception:
         return None, None
+
+
+def _reconcile_shape(arr: np.ndarray, target_shape: tuple) -> np.ndarray:
+    """Last-resort layout fixes where the generic transform can't know the
+    target: e.g. a Conv3d patch-embed [O,C,pt,ph,pw] loaded into a Linear
+    kernel [C·pt·ph·pw, O]."""
+    if tuple(arr.shape) == target_shape:
+        return arr
+    if arr.ndim != len(target_shape) and int(np.prod(arr.shape)) == int(
+        np.prod(target_shape)
+    ):
+        # Pure rank fix (e.g. squeezing broadcast singletons); never reshape
+        # same-rank mismatches — those are real errors.
+        return arr.reshape(target_shape)
+    return arr
 
 
 def apply_state_dict(
@@ -86,11 +110,19 @@ def apply_state_dict(
     applied = set()
     unexpected: List[str] = []
     for path, arr in state.items():
-        arr = _infer_transform(path, np.asarray(arr))
-        dtype, _ = _leaf_dtype(model, path)
+        arr = np.asarray(arr)
+        dtype, target_shape = _leaf_meta(model, path)
         if dtype is None:
             unexpected.append(path)
             continue
+        if target_shape is not None and len(target_shape) == 2 and arr.ndim > 2:
+            # Conv-style weight flattened into a Linear (e.g. patch embeddings):
+            # torch [O, C, *k] → [C·∏k, O], feature order matching patchify.
+            arr = arr.reshape(arr.shape[0], -1).T
+        else:
+            arr = _infer_transform(path, arr)
+            if target_shape is not None:
+                arr = _reconcile_shape(arr, target_shape)
         arr = arr.astype(dtype) if arr.dtype != dtype else arr
         if mesh is not None and rules is not None:
             value = jax.device_put(arr, NamedSharding(mesh, rules.spec_for(path)))

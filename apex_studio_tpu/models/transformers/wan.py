@@ -1,0 +1,271 @@
+"""Wan 2.1/2.2 video DiT in JAX/NNX.
+
+Counterpart of the reference's ``src/transformer/wan/base/model.py``
+(WanTransformer3DModel:1337, WanTransformerBlock:1020, WanAttention:551,
+WanRotaryPosEmbed:847), rebuilt TPU-first:
+
+- blocks: fp32 LayerNorm (no affine) modulated by a learned scale_shift_table
+  + per-sample time projection [B,6,dim]; self-attention with 3D RoPE
+  (t/h/w = d−4⌊d/6⌋ / 2⌊d/6⌋ / 2⌊d/6⌋ halves, θ=10000); cross-attention over
+  UMT5 text features (plus CLIP image features for i2v via add_k/v projections);
+  gelu-approximate FFN
+- qk-norm is RMS **across heads** (full inner dim), matching
+  qk_norm="rms_norm_across_heads"
+- RoPE tables are trace-time constants per latent shape; attention flows
+  through ops.attention (Pallas flash on TPU)
+- the reference's FFN/norm chunking profiles (model.py:1485) are memory hacks
+  a single chip needs; here sharding + remat replace them
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.models.layers import GELUMLP, Linear, RMSNorm
+from apex_studio_tpu.models.registry import transformer_registry
+from apex_studio_tpu.ops import attention as attention_op
+from apex_studio_tpu.ops.embeddings import timestep_embedding
+from apex_studio_tpu.ops.norms import layer_norm
+from apex_studio_tpu.ops.rope import apply_rope, precompute_axial_freqs
+
+
+@dataclasses.dataclass
+class WanConfig:
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    num_attention_heads: int = 40
+    attention_head_dim: int = 128
+    in_channels: int = 16
+    out_channels: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    ffn_dim: int = 13824
+    num_layers: int = 40
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    image_dim: Optional[int] = None         # 1280 for i2v (CLIP features)
+    added_kv_proj_dim: Optional[int] = None  # set for i2v cross-attn image kv
+    rope_max_seq_len: int = 1024
+    pos_embed_seq_len: Optional[int] = None
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def rope_axes_dims(self) -> Tuple[int, int, int]:
+        d = self.attention_head_dim
+        h = w = 2 * (d // 6)
+        return (d - 2 * h, h, w)
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "WanConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in cfg.items() if k in known}
+        if "patch_size" in kw:
+            kw["patch_size"] = tuple(kw["patch_size"])
+        return cls(**kw)
+
+
+class WanAttention(nnx.Module):
+    """Self- or cross-attention with across-heads RMS qk-norm."""
+
+    def __init__(self, cfg: WanConfig, cross: bool, *, dtype, param_dtype, rngs: nnx.Rngs):
+        d = cfg.dim
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.to_q = Linear(d, d, **kw)
+        self.to_k = Linear(d, d, **kw)
+        self.to_v = Linear(d, d, **kw)
+        self.to_out = Linear(d, d, **kw)
+        self.norm_q = RMSNorm(d, eps=cfg.eps, rngs=rngs)
+        self.norm_k = RMSNorm(d, eps=cfg.eps, rngs=rngs)
+        if cross and cfg.added_kv_proj_dim is not None:
+            self.add_k_proj = Linear(cfg.added_kv_proj_dim, d, **kw)
+            self.add_v_proj = Linear(cfg.added_kv_proj_dim, d, **kw)
+            self.norm_added_k = RMSNorm(d, eps=cfg.eps, rngs=rngs)
+        else:
+            self.add_k_proj = self.add_v_proj = self.norm_added_k = None
+        self.heads = cfg.num_attention_heads
+        self.head_dim = cfg.attention_head_dim
+
+    def _heads(self, x):
+        b, s, _ = x.shape
+        return x.reshape(b, s, self.heads, self.head_dim)
+
+    def __call__(self, x, context=None, rope_cos=None, rope_sin=None, context_image=None):
+        ctx = x if context is None else context
+        q = self._heads(self.norm_q(self.to_q(x)))
+        k = self._heads(self.norm_k(self.to_k(ctx)))
+        v = self._heads(self.to_v(ctx))
+        if rope_cos is not None:
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
+        out = attention_op(q, k, v)
+        if context_image is not None and self.add_k_proj is not None:
+            k_img = self._heads(self.norm_added_k(self.add_k_proj(context_image)))
+            v_img = self._heads(self.add_v_proj(context_image))
+            out = out + attention_op(q, k_img, v_img)
+        b, s, _, _ = q.shape
+        return self.to_out(out.reshape(b, s, -1))
+
+
+class WanTransformerBlock(nnx.Module):
+    def __init__(self, cfg: WanConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        d = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.attn1 = WanAttention(cfg, cross=False, **kw)
+        self.attn2 = WanAttention(cfg, cross=True, **kw)
+        self.norm2_weight = (
+            nnx.Param(jnp.ones((d,), jnp.float32)) if cfg.cross_attn_norm else None
+        )
+        self.norm2_bias = (
+            nnx.Param(jnp.zeros((d,), jnp.float32)) if cfg.cross_attn_norm else None
+        )
+        self.ffn = GELUMLP(d, cfg.ffn_dim, approximate=True, **kw)
+        self.scale_shift_table = nnx.Param(
+            nnx.initializers.normal(1.0 / math.sqrt(d))(rngs.params(), (1, 6, d), jnp.float32)
+        )
+        self.eps = cfg.eps
+
+    def __call__(self, x, context, temb6, rope_cos, rope_sin, context_image=None):
+        # temb6: [B, 6, dim] f32
+        mods = (self.scale_shift_table.value + temb6).astype(x.dtype)
+        shift_msa, scale_msa, gate_msa = mods[:, 0:1], mods[:, 1:2], mods[:, 2:3]
+        c_shift, c_scale, c_gate = mods[:, 3:4], mods[:, 4:5], mods[:, 5:6]
+
+        norm_x = layer_norm(x, eps=self.eps) * (1 + scale_msa) + shift_msa
+        x = x + self.attn1(norm_x, rope_cos=rope_cos, rope_sin=rope_sin) * gate_msa
+
+        if self.norm2_weight is not None:
+            norm_x = layer_norm(x, self.norm2_weight.value, self.norm2_bias.value, self.eps)
+        else:
+            norm_x = x
+        x = x + self.attn2(norm_x, context=context, context_image=context_image)
+
+        norm_x = layer_norm(x, eps=self.eps) * (1 + c_scale) + c_shift
+        return x + self.ffn(norm_x) * c_gate
+
+
+@transformer_registry.register("wan.base", aliases=("wan",))
+class WanTransformer3DModel(nnx.Module):
+    config_class = WanConfig
+
+    def __init__(self, cfg: WanConfig, *, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.cfg = cfg
+        self.dtype = dtype
+        d = cfg.dim
+        patch_dim = cfg.in_channels * int(np.prod(cfg.patch_size))
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        lkw = dict(use_bias=True, **kw)
+        # patch_embedding is a stride=patch Conv3d ≡ Linear over flattened patches.
+        self.patch_embedding = Linear(patch_dim, d, **lkw)
+        self.time_embedder_linear_1 = Linear(cfg.freq_dim, d, **lkw)
+        self.time_embedder_linear_2 = Linear(d, d, **lkw)
+        self.time_proj = Linear(d, 6 * d, **lkw)
+        self.text_embedder_linear_1 = Linear(cfg.text_dim, d, **lkw)
+        self.text_embedder_linear_2 = Linear(d, d, **lkw)
+        if cfg.image_dim is not None:
+            self.img_norm1 = nnx.Param(jnp.ones((cfg.image_dim,), jnp.float32))
+            self.img_norm1_bias = nnx.Param(jnp.zeros((cfg.image_dim,), jnp.float32))
+            self.img_ff1 = Linear(cfg.image_dim, cfg.image_dim, **lkw)
+            self.img_ff2 = Linear(cfg.image_dim, d, **lkw)
+            self.img_norm2 = nnx.Param(jnp.ones((d,), jnp.float32))
+            self.img_norm2_bias = nnx.Param(jnp.zeros((d,), jnp.float32))
+        else:
+            self.img_ff1 = None
+        self.blocks = nnx.List([WanTransformerBlock(cfg, **kw) for _ in range(cfg.num_layers)])
+        self.proj_out = Linear(d, cfg.out_channels * int(np.prod(cfg.patch_size)), **lkw)
+        self.scale_shift_table = nnx.Param(
+            nnx.initializers.normal(1.0 / math.sqrt(d))(rngs.params(), (1, 2, d), jnp.float32)
+        )
+
+    @staticmethod
+    def sharding_rules(cfg: "WanConfig"):
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"(to_q|to_k|to_v|add_k_proj|add_v_proj)\.kernel", P(None, "tp")),
+                (r"to_out\.kernel", P("tp", None)),
+                (r"ffn\.fc1\.kernel", P(None, "tp")),
+                (r"ffn\.fc2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
+    # -- geometry --------------------------------------------------------------------
+
+    def patchify(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[B, C, T, H, W] → [B, N, C·pt·ph·pw], token order (t, h, w).
+
+        Matches Conv3d(kernel=stride=patch): features ordered [C, pt, ph, pw].
+        """
+        pt, ph, pw = self.cfg.patch_size
+        b, c, t, h, w = x.shape
+        x = x.reshape(b, c, t // pt, pt, h // ph, ph, w // pw, pw)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        return x.reshape(b, (t // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+    def unpatchify(self, tokens: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        pt, ph, pw = self.cfg.patch_size
+        c = self.cfg.out_channels
+        b = tokens.shape[0]
+        x = tokens.reshape(b, t // pt, h // ph, w // pw, c, pt, ph, pw)
+        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        return x.reshape(b, c, t, h, w)
+
+    def rope_tables(self, t_tok: int, h_tok: int, w_tok: int):
+        ids = np.stack(
+            np.meshgrid(np.arange(t_tok), np.arange(h_tok), np.arange(w_tok), indexing="ij"),
+            axis=-1,
+        ).reshape(1, -1, 3)
+        cos, sin = precompute_axial_freqs(ids, self.cfg.rope_axes_dims, theta=10000.0)
+        return cos[:, :, None, :], sin[:, :, None, :]
+
+    # -- forward ---------------------------------------------------------------------
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # [B, C, T, H, W] latents
+        t: jnp.ndarray,                 # [B] timestep values (0..1000 scale)
+        context: jnp.ndarray,           # [B, L, text_dim] UMT5 features
+        context_image: Optional[jnp.ndarray] = None,  # [B, Li, image_dim] CLIP
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, c, tt, hh, ww = x.shape
+        pt, ph, pw = cfg.patch_size
+
+        t_freq = timestep_embedding(t.astype(jnp.float32), cfg.freq_dim, flip_sin_to_cos=True)
+        temb = self.time_embedder_linear_2(
+            nnx.silu(self.time_embedder_linear_1(t_freq.astype(self.dtype)))
+        )
+        temb6 = self.time_proj(nnx.silu(temb)).astype(jnp.float32).reshape(b, 6, cfg.dim)
+
+        ctx = self.text_embedder_linear_2(
+            nnx.gelu(self.text_embedder_linear_1(context.astype(self.dtype)), approximate=True)
+        )
+        ctx_img = None
+        if context_image is not None and self.img_ff1 is not None:
+            y = layer_norm(context_image.astype(self.dtype), self.img_norm1.value,
+                           self.img_norm1_bias.value)
+            y = self.img_ff2(nnx.gelu(self.img_ff1(y), approximate=False))
+            ctx_img = layer_norm(y, self.img_norm2.value, self.img_norm2_bias.value)
+
+        tokens = self.patch_embedding(self.patchify(x).astype(self.dtype))
+        rope_cos, rope_sin = self.rope_tables(tt // pt, hh // ph, ww // pw)
+
+        for blk in self.blocks:
+            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin, context_image=ctx_img)
+
+        # Final modulated norm: table order is (shift, scale).
+        table = self.scale_shift_table.value + temb.astype(jnp.float32)[:, None, :]
+        shift, scale = table[:, 0:1].astype(tokens.dtype), table[:, 1:2].astype(tokens.dtype)
+        tokens = layer_norm(tokens, eps=cfg.eps) * (1 + scale) + shift
+        return self.unpatchify(self.proj_out(tokens), tt, hh, ww)

@@ -122,15 +122,22 @@ class TextEncoder:
         import jax
         from flax import nnx
 
-        key = ("te_fwd", ids.shape, output)
+        key = ("te_fwd", self.base, ids.shape, output)
         fwd = self.engine._jit_cache.get(key)
         if fwd is None:
+            import inspect
+
             graphdef, state = nnx.split(model)
+            takes_norm_flag = "normalize_last" in inspect.signature(
+                type(model).__call__
+            ).parameters
 
             @jax.jit
             def fwd(state, ids, mask):
                 m = nnx.merge(graphdef, state)
-                return m(ids, attention_mask=mask, normalize_last=(output == "normed"))
+                if takes_norm_flag:
+                    return m(ids, attention_mask=mask, normalize_last=(output == "normed"))
+                return m(ids, attention_mask=mask)
 
             self.engine._jit_cache[key] = fwd
         _, state = nnx.split(model)
