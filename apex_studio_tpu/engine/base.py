@@ -234,7 +234,28 @@ class BaseEngine:
         from apex_studio_tpu.models.registry import transformer_registry
 
         family = (spec.get("base") or "").split(".")[0]
-        return self._instantiate_family(transformer_registry, spec, family)
+        model = self._instantiate_family(transformer_registry, spec, family)
+        self._apply_loras(model, family)
+        return model
+
+    def _apply_loras(self, model, converter_family: str) -> None:
+        """Merge manifest + request-selected LoRAs into the transformer
+        weights at load time (reference preloads at base_engine.py:357)."""
+        entries = list(self.config.get("loras") or [])
+        entries += list(self.selected_components.get("loras") or [])
+        if not entries:
+            return
+        from apex_studio_tpu.lora.manager import LoraManager, LoraSpec
+
+        mgr = LoraManager()
+        for entry in entries:
+            spec = LoraSpec.from_manifest_entry(entry)
+            if not spec.source:
+                continue
+            try:
+                mgr.load_into(model, spec, converter_family=converter_family)
+            except FileNotFoundError as e:
+                logger.warning("skipping LoRA %s: %s", spec.source, e)
 
     def _load_vae(self, spec: Dict[str, Any]):
         from apex_studio_tpu.models.registry import vae_registry

@@ -1,0 +1,118 @@
+"""Download subsystem tests — the native C++ downloader runs against a local
+aiohttp file server (zero-egress environment; loopback only)."""
+
+import asyncio
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from apex_studio_tpu.downloads import native
+from apex_studio_tpu.downloads.api import download_file, hf_url, validate_file
+
+
+@pytest.fixture(scope="module")
+def file_server(tmp_path_factory):
+    """Serve a directory over HTTP with Range support (aiohttp static does)."""
+    root = tmp_path_factory.mktemp("served")
+    payload = np.random.default_rng(0).bytes(3 * 1024 * 1024 + 12345)
+    (root / "blob.bin").write_bytes(payload)
+    (root / "page.html").write_text("<!doctype html><html>not a model</html>")
+
+    from aiohttp import web
+
+    port = 18912
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            app = web.Application()
+            app.router.add_static("/files", root, show_index=False)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            await web.TCPSite(runner, "127.0.0.1", port).start()
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(20)
+    return f"http://127.0.0.1:{port}/files", payload
+
+
+class TestNativeDownloader:
+    def test_builds(self):
+        assert native.native_available(), "native downloader failed to build/load"
+
+    def test_probe_size(self, file_server):
+        base, payload = file_server
+        size = native.probe(base + "/blob.bin")
+        assert size == len(payload)
+
+    def test_multi_connection_download_bitexact(self, file_server, tmp_path):
+        base, payload = file_server
+        dest = tmp_path / "out.bin"
+        seen = []
+        native.download(base + "/blob.bin", dest, connections=4,
+                        progress_cb=lambda done, total: seen.append((done, total)))
+        assert dest.read_bytes() == payload
+        assert seen[-1][0] == len(payload)
+        assert seen[-1][1] == len(payload)
+
+    def test_single_connection(self, file_server, tmp_path):
+        base, payload = file_server
+        dest = tmp_path / "single.bin"
+        native.download(base + "/blob.bin", dest, connections=1)
+        assert dest.read_bytes() == payload
+
+    def test_404_fails_cleanly(self, file_server, tmp_path):
+        base, _ = file_server
+        with pytest.raises(RuntimeError):
+            native.download(base + "/missing.bin", tmp_path / "x.bin", connections=2)
+        assert not (tmp_path / "x.bin").exists()
+
+
+class TestDownloadAPI:
+    def test_hf_url_construction(self):
+        assert hf_url("org/repo/sub/f.safetensors") == (
+            "https://huggingface.co/org/repo/resolve/main/sub/f.safetensors"
+        )
+        with pytest.raises(ValueError):
+            hf_url("just-a-name")
+
+    def test_download_file_via_api(self, file_server, tmp_path):
+        base, payload = file_server
+        dest = download_file(base + "/blob.bin", tmp_path / "api.bin")
+        assert dest.read_bytes() == payload
+
+    def test_html_detection(self, file_server, tmp_path):
+        base, _ = file_server
+        with pytest.raises(ValueError, match="HTML"):
+            download_file(base + "/page.html", tmp_path / "weights.safetensors")
+
+    def test_safetensors_magic_validation(self, tmp_path):
+        good = tmp_path / "ok.safetensors"
+        header = json.dumps({"a": {"dtype": "F32", "shape": [1], "data_offsets": [0, 4]}}).encode()
+        good.write_bytes(struct.pack("<Q", len(header)) + header + b"\x00" * 4)
+        validate_file(good)  # must not raise
+
+        bad = tmp_path / "bad.safetensors"
+        bad.write_bytes(b"\xff" * 64)
+        with pytest.raises(ValueError):
+            validate_file(bad)
+
+    def test_fallback_path(self, file_server, tmp_path, monkeypatch):
+        monkeypatch.setenv("APEX_DISABLE_NATIVE_DOWNLOAD", "1")
+        base, payload = file_server
+        dest = download_file(base + "/blob.bin", tmp_path / "fb.bin")
+        assert dest.read_bytes() == payload
