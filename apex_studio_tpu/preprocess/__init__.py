@@ -1,0 +1,2 @@
+from apex_studio_tpu.preprocess.base import BasePreprocessor, preprocessor_registry, run_preprocessor  # noqa: F401
+from apex_studio_tpu.preprocess import basic  # noqa: F401  (registration side effects)

@@ -473,7 +473,16 @@ def create_app(
             web.get("/files/exists", files_exists),
         ]
     )
+    from apex_studio_tpu.server.processing_routes import add_processing_routes
+    from apex_studio_tpu.utils.defaults import get_results_path
+
+    add_processing_routes(app, store, executor)
+
     app.router.add_static("/files/engine_results", engine_results_dir(), show_index=False)
+    for kind in ("preprocessor", "postprocessor"):
+        d = get_results_path() / f"{kind}_results"
+        d.mkdir(parents=True, exist_ok=True)
+        app.router.add_static(f"/files/{kind}_results", d, show_index=False)
 
     async def on_startup(app: web.Application) -> None:
         ws_manager.bind_loop(asyncio.get_running_loop())
