@@ -87,6 +87,21 @@ class BaseEngine:
         for comp in config.get("components", []) or []:
             self.component_specs[comp.get("name") or comp["type"]] = comp
 
+        # Attention backend: request override > manifest priority list > platform
+        # default (reference intersects manifest attention_types with the
+        # verified set, base_engine.py:372 / api/manifest.py:646).
+        requested = (self.selected_components.get("attention") or {}).get("name")
+        manifest_priority = config.get("attention_types")
+        if requested or manifest_priority:
+            from apex_studio_tpu.ops.attention import set_default_backend
+            from apex_studio_tpu.ops.attention.verify import select_backend
+
+            try:
+                choice = requested or select_backend(manifest_priority)
+                set_default_backend(choice)
+            except KeyError:
+                logger.warning("unknown attention backend %r; keeping default", requested)
+
         # Lazily-populated components.
         self.scheduler = None
         self.transformer = None

@@ -1,0 +1,228 @@
+"""HunyuanVideo 1.5 engines (t2v; i2v pending the SigLIP tower).
+
+Contract parity with the reference's ``engine/hunyuanvideo15/shared/__init__.py``:
+- mllm conditioning: Qwen2.5-VL chat template with the video-description
+  system message, hidden_states[-(2+1)], template prefix cropped
+  (crop_start=108), max length 1000 (+crop)
+- byT5 glyph branch: text inside quotes is encoded by byT5-small; zeros
+  otherwise (shared/__init__.py:228)
+- FlowMatchDiscrete sampler; CFG cond/uncond
+- latent packing: [noise(32) | cond(32) | mask(1)] channels; zeros for t2v
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.hunyuanvideo15")
+
+SYSTEM_MESSAGE = (
+    "You are a helpful assistant. Describe the video by detailing the following aspects: "
+    "1. The main content and theme of the video. "
+    "2. The color, shape, size, texture, quantity, text, and spatial relationships of the objects. "
+    "3. Actions, events, behaviors temporal relationships, physical movement changes of the objects. "
+    "4. background environment, light, style and atmosphere. "
+    "5. camera angles, movements, and transitions used in the video."
+)
+
+_GLYPH_RE = re.compile(r"[\"“”'](.+?)[\"“”']")
+
+
+def extract_glyph_text(prompt: str) -> Optional[str]:
+    spans = _GLYPH_RE.findall(prompt or "")
+    return ". ".join(spans) if spans else None
+
+
+@register_engine("hunyuanvideo15", "t2v")
+class HunyuanVideo15T2VEngine(BaseEngine):
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.text_encoder_2 = None
+
+    def load_text_encoders(self) -> None:
+        from apex_studio_tpu.text_encoder import TextEncoder
+
+        te_specs = [s for s in self.component_specs.values() if s.get("type") == "text_encoder"]
+        mllm = next((s for s in te_specs if "Qwen" in (s.get("base") or "")), None)
+        byt5 = next((s for s in te_specs if "T5" in (s.get("base") or "")), None)
+        if self.text_encoder is None and mllm is not None:
+            self.text_encoder = TextEncoder(self, mllm)
+        if self.text_encoder_2 is None and byt5 is not None:
+            self.text_encoder_2 = TextEncoder(self, byt5)
+
+    def _encode_mllm(self, prompt: str, max_length: int = 1000, crop_start: int = 108):
+        te = self.text_encoder
+        model = te._ensure_model()
+        text = (
+            f"<|im_start|>system\n{SYSTEM_MESSAGE}<|im_end|>\n"
+            f"<|im_start|>user\n{prompt}<|im_end|>\n<|im_start|>assistant\n"
+        )
+        ids, mask = te.tokenize([text], max_length + crop_start)
+        graphdef, state = nnx.split(model)
+        key = ("hyv15_mllm", ids.shape)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, ids, mask):
+                m = nnx.merge(graphdef, state)
+                return m(ids, attention_mask=mask, num_hidden_layers_to_skip=2)
+
+            self._jit_cache[key] = fwd
+        hidden = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
+        return hidden[:, crop_start:], jnp.asarray(mask)[:, crop_start:]
+
+    def _encode_byt5(self, prompt: str, max_length: int = 128):
+        glyph = extract_glyph_text(prompt)
+        dim = self.transformer.cfg.text_embed_2_dim
+        if glyph is None or self.text_encoder_2 is None:
+            return (
+                jnp.zeros((1, max_length, dim), jnp.float32),
+                jnp.zeros((1, max_length), jnp.int32),
+            )
+        hidden, mask = self.text_encoder_2.encode(
+            [glyph], max_sequence_length=max_length, use_chat_template=False
+        )
+        return hidden, mask
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 720,
+        width: int = 1280,
+        duration: Optional[float] = None,
+        fps: int = 24,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        seed: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+        shift: Optional[float] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 5,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
+        self.load_text_encoders()
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.vae is None and not return_latents:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+        safe_emit_progress(progress_callback, 0.05, "Components ready")
+
+        vae_cfg = self.vae.cfg if self.vae is not None else None
+        s_scale = vae_cfg.spatial_scale if vae_cfg else 16
+        t_scale = vae_cfg.temporal_scale if vae_cfg else 4
+        height -= height % s_scale
+        width -= width % s_scale
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        text, text_mask = self._encode_mllm(prompt or "")
+        text2, text2_mask = self._encode_byt5(prompt or "")
+        use_cfg = guidance_scale > 1.0
+        if use_cfg:
+            ntext, ntext_mask = self._encode_mllm(negative_prompt or "")
+            ntext2, ntext2_mask = self._encode_byt5(negative_prompt or "")
+        safe_emit_progress(progress_callback, 0.2, "Prompts ready")
+
+        cfg_t = self.transformer.cfg
+        lat_c = cfg_t.out_channels
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        x = self.get_latents((1, lat_c, lat_t, lat_h, lat_w), seed=seed, latents=latents)
+        # t2v packing: cond latents and mask channels are zeros.
+        cond = jnp.zeros((1, cfg_t.in_channels - lat_c - 1, lat_t, lat_h, lat_w), jnp.float32)
+        mask_ch = jnp.zeros((1, 1, lat_t, lat_h, lat_w), jnp.float32)
+        safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
+
+        ts, _ = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps,
+            **({"shift": shift} if shift is not None else {}),
+        )
+        safe_emit_progress(progress_callback, 0.4, "Timesteps computed; starting denoise")
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("hyv15_fwd", (1, cfg_t.in_channels, lat_t, lat_h, lat_w), text.shape[1], text2.shape[1])
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x_in, t, text, text_mask, text2, text2_mask):
+                m = nnx.merge(graphdef, state)
+                return m(x_in, t, text, text_mask, text2, text2_mask)
+
+            self._jit_cache[key] = fwd
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        model_dtype = self.transformer.dtype
+        if len(ts) <= 8:
+            render_on_step = False
+        for i, t in enumerate(ts):
+            t_vec = jnp.full((1,), float(t), jnp.float32)
+            x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(model_dtype)
+            v = fwd(tf_state, x_in, t_vec, text, text_mask, text2, text2_mask)
+            if use_cfg:
+                v_neg = fwd(tf_state, x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask)
+                v = v_neg.astype(jnp.float32) + guidance_scale * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and (i + 1) % render_on_step_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self.decode_latents(x), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.9, "Denoising complete")
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
+        return frames
+
+    def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
+        key = ("hyv15_vae_decode", tuple(z.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        video = dec(vae_state, z.astype(jnp.float32))
+        b, c, t, h, w = video.shape
+        frames_nchw = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
+        return self.tensor_to_frames(frames_nchw)

@@ -1,0 +1,205 @@
+"""QwenImage engines (t2i) — Qwen2.5-VL conditioned MMDiT.
+
+Contract parity with the reference's ``engine/qwenimage/t2i.py``:
+- prompt → Qwen2.5-VL chat template ("Describe the image by detailing…"),
+  final hidden states, template prefix cropped (drop_idx=34)
+- packed 2×2 latents, dynamic-shift FlowMatch Euler, true CFG
+  (cond/uncond with a negative prompt)
+- Lightning variants arrive as merged LoRAs (manifest `loras`), running the
+  same graph at 8 steps / cfg 1.0
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.schedulers.base import compute_dynamic_shift_mu
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.qwenimage")
+
+SYSTEM_MESSAGE = (
+    "Describe the image by detailing the color, shape, size, texture, quantity, "
+    "text, spatial relationships of the objects and background:"
+)
+DROP_IDX = 34  # tokens of the chat-template prefix to crop
+
+
+@register_engine("qwenimage", "t2i")
+class QwenImageT2IEngine(BaseEngine):
+    def encode_prompt(self, prompt: str, max_length: int = 1024):
+        if self.text_encoder is None:
+            self.load_component_by_type("text_encoder")
+        te = self.text_encoder
+        model = te._ensure_model()
+        text = (
+            f"<|im_start|>system\n{SYSTEM_MESSAGE}<|im_end|>\n"
+            f"<|im_start|>user\n{prompt}<|im_end|>\n<|im_start|>assistant\n"
+        )
+        ids, mask = te.tokenize([text], max_length + DROP_IDX)
+        graphdef, state = nnx.split(model)
+        key = ("qwenimage_te", ids.shape)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, ids, mask):
+                m = nnx.merge(graphdef, state)
+                return m(ids, attention_mask=mask, normalize_last=True)
+
+            self._jit_cache[key] = fwd
+        hidden = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
+        true_len = int(np.asarray(mask).sum())
+        # crop template prefix, keep a 32-multiple bucket of real tokens
+        n = max(1, true_len - DROP_IDX)
+        bucket = ((n + 31) // 32) * 32
+        out = np.zeros((1, bucket, hidden.shape[-1]), np.float32)
+        out[0, :n] = np.asarray(hidden, np.float32)[0, DROP_IDX:true_len]
+        return jnp.asarray(out)
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        true_cfg_scale: float = 4.0,
+        guidance_scale: float = 1.0,
+        num_images: int = 1,
+        seed: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+        sigmas: Optional[List[float]] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.vae is None and not return_latents:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+        txt = self.encode_prompt(prompt or "")
+        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
+        safe_emit_progress(progress_callback, 0.2, "Prompts ready")
+
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+        lat_c = cfg_t.out_channels
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+        b = num_images
+
+        noise = self.get_latents((b, lat_c, lat_h, lat_w), seed=seed, latents=latents)
+        x = self.transformer.pack_latents(noise.astype(jnp.float32))
+        safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
+
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = compute_dynamic_shift_mu(
+            x.shape[1],
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps, sigmas=sigmas, mu=mu
+        )
+        self.scheduler.set_begin_index(0)
+        safe_emit_progress(progress_callback, 0.4, "Timesteps computed")
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        grid = (lat_h // 2, lat_w // 2)
+
+        def make_fwd(n_txt):
+            key = ("qwenimage_fwd", x.shape, n_txt)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(state, x, txt, t):
+                    m = nnx.merge(graphdef, state)
+                    return m(x, txt, t, grid_hw=grid)
+
+                self._jit_cache[key] = fwd
+            return fwd
+
+        fwd_pos = make_fwd(txt.shape[1])
+        fwd_neg = make_fwd(neg_txt.shape[1]) if use_cfg else None
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        model_dtype = self.transformer.dtype
+        for i, t in enumerate(ts):
+            t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
+            x_in = x.astype(model_dtype)
+            v = fwd_pos(tf_state, x_in, txt, t_vec)
+            if use_cfg:
+                v_neg = fwd_neg(tf_state, x_in, neg_txt, t_vec)
+                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and num_inference_steps > 8
+                and (i + 1) % render_on_step_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self._decode_frames(x, lat_h, lat_w), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.9, "Denoising complete")
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self._decode_frames(x, lat_h, lat_w)
+        safe_emit_progress(progress_callback, 1.0, "Completed t2i pipeline")
+        return frames
+
+    def _decode_frames(self, packed: jnp.ndarray, lat_h: int, lat_w: int) -> List[np.ndarray]:
+        from apex_studio_tpu.models.vaes.wan_vae import AutoencoderKLWan
+
+        z = self.transformer.unpack_latents(packed, lat_h, lat_w)
+        # QwenImage ships a Wan-architecture causal video VAE used at T=1.
+        is_video_vae = isinstance(self.vae, AutoencoderKLWan)
+        key = ("vae_decode", tuple(z.shape), is_video_vae)
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                m = nnx.merge(graphdef, state)
+                if is_video_vae:
+                    return m.decode(z[:, :, None])[:, :, 0]
+                return m.decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        img = dec(vae_state, z.astype(jnp.float32))
+        return self.tensor_to_frames(img)

@@ -93,6 +93,26 @@ class WanShared(BaseEngine):
             self._jit_cache[key] = fwd
         return fwd
 
+    def _fwd_cached_for(self, transformer, tag: str, shapes, thresh: float):
+        """Jitted forward with in-graph EasyCache skip (one dispatch per step)."""
+        import functools
+
+        key = (tag, shapes, "easycache", thresh)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            graphdef, _ = nnx.split(transformer)
+            from apex_studio_tpu.ops.easycache import cached_step
+
+            @functools.partial(jax.jit, static_argnames=("force",))
+            def fwd(state, x, t, ctx, ec_state, force):
+                m = nnx.merge(graphdef, state)
+                return cached_step(
+                    lambda xi: m(xi, t, ctx), x, ec_state, thresh, force
+                )
+
+            self._jit_cache[key] = fwd
+        return fwd
+
     def denoise(
         self,
         latents: jnp.ndarray,
@@ -106,10 +126,13 @@ class WanShared(BaseEngine):
         render_interval: int,
         render_on_step: bool,
         progress_cb: Optional[Callable],
+        easy_cache_thresh: float = 0.0,
+        easy_cache_ret_steps: int = 10,
     ) -> jnp.ndarray:
         use_cfg = guidance_scale > 1.0 and neg_context is not None
         if len(ts) <= 8:
             render_on_step = False
+        use_easycache = easy_cache_thresh > 0.0
 
         shapes = (tuple(latents.shape), context.shape[1])
         _, state_1 = nnx.split(self.transformer)
@@ -118,6 +141,15 @@ class WanShared(BaseEngine):
             self._load_transformer_2()
         if self.transformer_2 is not None:
             _, state_2 = nnx.split(self.transformer_2)
+
+        ec_pos = ec_neg = None
+        if use_easycache:
+            from apex_studio_tpu.ops.easycache import init_state
+
+            v_like = latents.astype(jnp.float32)
+            x_like = latents.astype(jnp.float32)
+            ec_pos = init_state(x_like, v_like)
+            ec_neg = init_state(x_like, v_like)
 
         x = latents
         for i, t in enumerate(ts):
@@ -129,16 +161,24 @@ class WanShared(BaseEngine):
                 transformer, state = self.transformer, state_1
                 tag = "wan_fwd_high"
                 g = guidance_scale
-            fwd = self._fwd_for(transformer, tag, shapes)
 
             t_vec = jnp.full((x.shape[0],), float(t), jnp.float32)
             x_in = x.astype(transformer.dtype)
-            v = fwd(state, x_in, t_vec, context)
-            if use_cfg and g > 1.0:
-                v_neg = fwd(state, x_in, t_vec, neg_context)
-                v = v_neg.astype(jnp.float32) + g * (
-                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
-                )
+            if use_easycache:
+                fwd = self._fwd_cached_for(transformer, tag, shapes, easy_cache_thresh)
+                force = i < easy_cache_ret_steps or i >= len(ts) - 1
+                v, ec_pos = fwd(state, x_in, t_vec, context, ec_pos, force)
+                if use_cfg and g > 1.0:
+                    v_neg, ec_neg = fwd(state, x_in, t_vec, neg_context, ec_neg, force)
+                    v = v_neg + g * (v - v_neg)
+            else:
+                fwd = self._fwd_for(transformer, tag, shapes)
+                v = fwd(state, x_in, t_vec, context)
+                if use_cfg and g > 1.0:
+                    v_neg = fwd(state, x_in, t_vec, neg_context)
+                    v = v_neg.astype(jnp.float32) + g * (
+                        v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                    )
             (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
 
             if (
@@ -193,6 +233,8 @@ class WanShared(BaseEngine):
         render_on_step_interval: int,
         progress_callback: Optional[Callable],
         max_sequence_length: int = 512,
+        easy_cache_thresh: float = 0.0,
+        easy_cache_ret_steps: int = 10,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
         self.load_components(return_latents)
@@ -245,6 +287,8 @@ class WanShared(BaseEngine):
             render_on_step_interval,
             render_on_step,
             make_mapped_progress(progress_callback, 0.4, 0.9),
+            easy_cache_thresh=easy_cache_thresh,
+            easy_cache_ret_steps=easy_cache_ret_steps,
         )
         safe_emit_progress(progress_callback, 0.9, "Denoising complete")
 
@@ -281,6 +325,8 @@ class WanT2VEngine(WanShared):
         render_on_step_interval: int = 3,
         progress_callback: Optional[Callable] = None,
         offload: bool = True,
+        easy_cache_thresh: float = 0.0,
+        easy_cache_ret_steps: int = 10,
         **_: Any,
     ):
         if num_frames is None:
@@ -290,6 +336,8 @@ class WanT2VEngine(WanShared):
             guidance_scale, guidance_scale_2, boundary_ratio, seed, latents, shift,
             timesteps, return_latents, render_on_step, render_on_step_callback,
             render_on_step_interval, progress_callback,
+            easy_cache_thresh=easy_cache_thresh,
+            easy_cache_ret_steps=easy_cache_ret_steps,
         )
 
 

@@ -204,6 +204,96 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "qwenimage",
+    KeyConverter(
+        renames=[
+            (r"^time_text_embed\.timestep_embedder\.linear_(\d)\.", r"timestep_linear_\1."),
+            (r"\.img_mod\.1\.", ".img_mod."),
+            (r"\.txt_mod\.1\.", ".txt_mod."),
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.(img|txt)_mlp\.net\.0\.proj\.", r".\1_mlp.fc1."),
+            (r"\.(img|txt)_mlp\.net\.2\.", r".\1_mlp.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(img_in|txt_in|to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|img_mod|txt_mod|fc1|fc2|proj_out|norm_out_linear|timestep_linear_\d)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed", r"rotary"),
+    ),
+)
+
+converter_registry.add(
+    "qwen2",
+    KeyConverter(
+        renames=[
+            # Qwen2.5-VL exports nest the LM under language_model / model.
+            (r"^model\.language_model\.", ""),
+            (r"^language_model\.model\.", ""),
+            (r"^language_model\.", ""),
+            (r"^model\.", ""),
+            (r"^embed_tokens\.weight$", "embed_tokens"),
+            (r"(q_proj|k_proj|v_proj|o_proj)\.weight$", r"\1.kernel"),
+            (r"\.mlp\.gate_proj\.", ".mlp.w1."),
+            (r"\.mlp\.up_proj\.", ".mlp.w3."),
+            (r"\.mlp\.down_proj\.", ".mlp.w2."),
+            (r"(w1|w2|w3)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^lm_head\.", r"^visual\.", r"^model\.visual\.", r"rotary_emb"),
+    ),
+)
+
+converter_registry.add(
+    "hunyuanvideo15",
+    KeyConverter(
+        renames=[
+            (r"^x_embedder\.proj\.weight$", "x_embedder.kernel"),
+            (r"^x_embedder\.proj\.bias$", "x_embedder.bias"),
+            (r"^time_embed\.timestep_embedder\.linear_(\d)\.", r"time_linear_\1."),
+            (r"^cond_type_embed\.weight$", "cond_type_embed"),
+            (r"^context_embedder\.time_text_embed\.timestep_embedder\.linear_(\d)\.",
+             r"context_embedder.timestep_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.text_embedder\.linear_(\d)\.",
+             r"context_embedder.text_linear_\1."),
+            (r"^context_embedder\.token_refiner\.refiner_blocks\.", "context_embedder.refiner_blocks."),
+            (r"(refiner_blocks\.\d+)\.attn\.to_out\.0\.", r"\1.to_out."),
+            (r"(refiner_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.0\.proj\.", r"\1.ff_in."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.2\.", r"\1.ff_out."),
+            (r"(refiner_blocks\.\d+)\.norm_out\.linear\.", r"\1.ada_linear."),
+            (r"^context_embedder_2\.norm\.", "byt5_norm."),
+            (r"^context_embedder_2\.linear_(\d)\.", r"byt5_linear_\1."),
+            (r"^image_embedder\.norm_in\.", "img_norm_in."),
+            (r"^image_embedder\.norm_out\.", "img_norm_out."),
+            (r"^image_embedder\.linear_(\d)\.", r"img_linear_\1."),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|ff_in|ff_out|ada_linear|proj_in|proj_out|norm1_linear|norm1_context_linear|norm_out_linear|time_linear_\d|timestep_linear_\d|text_linear_\d|byt5_linear_\d|img_linear_\d)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
+    "hunyuanvideo15_vae",
+    KeyConverter(
+        renames=[
+            # CausalConv3d wraps its conv; flatten the extra level.
+            (r"\.conv\.weight$", ".kernel"),
+            (r"\.conv\.bias$", ".bias"),
+            (r"(conv_shortcut)\.weight$", r"\1.kernel"),
+            (r"(to_q|to_k|to_v|proj_out)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(),
+    ),
+)
+
+converter_registry.add(
     "autoencoder_kl",
     KeyConverter(
         renames=[

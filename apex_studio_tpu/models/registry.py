@@ -25,8 +25,10 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.vaes.autoencoder_kl",
         "apex_studio_tpu.models.vaes.wan_vae",
         "apex_studio_tpu.models.text_encoders.qwen3",
+        "apex_studio_tpu.models.text_encoders.qwen2",
         "apex_studio_tpu.models.text_encoders.t5",
         "apex_studio_tpu.models.text_encoders.clip",
+        "apex_studio_tpu.models.vaes.hunyuanvideo15_vae",
     ):
         try:
             importlib.import_module(mod)

@@ -38,3 +38,79 @@ def tmp_home(tmp_path, monkeypatch):
     monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "apex_home"))
     monkeypatch.delenv("APEX_MANIFEST_PATHS", raising=False)
     return tmp_path / "apex_home"
+
+
+@pytest.fixture(scope="session")
+def server(tmp_path_factory):
+    """One live aiohttp server (with the tiny zimage manifest) for the whole run."""
+    import asyncio
+    import threading
+    import time
+
+    import requests
+    import yaml
+
+    from tests.test_engine_zimage import TINY_MANIFEST, make_tokenizer
+
+    home = tmp_path_factory.mktemp("apex_home")
+    manifests = tmp_path_factory.mktemp("manifests")
+    os.environ["APEX_HOME_DIR"] = str(home)
+    os.environ["APEX_MANIFEST_PATHS"] = str(manifests)
+
+    doc = yaml.safe_load(yaml.safe_dump(TINY_MANIFEST))
+    (manifests / "image").mkdir()
+    (manifests / "image" / "zimage-tiny.yml").write_text(yaml.safe_dump(doc))
+
+    from apex_studio_tpu.engine import registry as engine_registry_mod
+
+    orig = engine_registry_mod.UniversalEngine.__new__
+
+    def patched_new(cls, yaml_path, model_type=None, **kwargs):
+        eng = orig(cls, yaml_path, model_type=model_type, **kwargs)
+        spec = eng._spec_for_type("text_encoder")
+        if spec is not None:
+            spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    engine_registry_mod.UniversalEngine.__new__ = patched_new
+
+    from aiohttp import web
+
+    from apex_studio_tpu.manifest.resolver import ManifestResolver
+    from apex_studio_tpu.server.app import create_app
+
+    resolver = ManifestResolver(search_paths=[manifests])
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    bound = {}
+
+    def run_server():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            app = create_app(resolver=resolver)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)  # ephemeral port
+            await site.start()
+            bound["port"] = site._server.sockets[0].getsockname()[1]
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert started.wait(30), "server failed to start"
+    base = f"http://127.0.0.1:{bound['port']}"
+    for _ in range(50):
+        try:
+            if requests.get(base + "/ready", timeout=1).json().get("ready"):
+                break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    engine_registry_mod.UniversalEngine.__new__ = orig

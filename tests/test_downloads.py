@@ -23,9 +23,9 @@ def file_server(tmp_path_factory):
 
     from aiohttp import web
 
-    port = 18912
     loop = asyncio.new_event_loop()
     started = threading.Event()
+    bound = {}
 
     def run():
         asyncio.set_event_loop(loop)
@@ -35,7 +35,9 @@ def file_server(tmp_path_factory):
             app.router.add_static("/files", root, show_index=False)
             runner = web.AppRunner(app)
             await runner.setup()
-            await web.TCPSite(runner, "127.0.0.1", port).start()
+            site = web.TCPSite(runner, "127.0.0.1", 0)  # ephemeral port
+            await site.start()
+            bound["port"] = site._server.sockets[0].getsockname()[1]
             started.set()
             while True:
                 await asyncio.sleep(3600)
@@ -47,7 +49,7 @@ def file_server(tmp_path_factory):
 
     threading.Thread(target=run, daemon=True).start()
     assert started.wait(20)
-    return f"http://127.0.0.1:{port}/files", payload
+    return f"http://127.0.0.1:{bound['port']}/files", payload
 
 
 class TestNativeDownloader:

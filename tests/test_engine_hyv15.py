@@ -1,0 +1,141 @@
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_engine_zimage import make_tokenizer
+
+HYV_TINY = {
+    "api_version": "apex/v1",
+    "kind": "Model",
+    "metadata": {"id": "hyv15-tiny-test", "name": "HYV15 Tiny", "version": "1.0.0"},
+    "spec": {
+        "engine": "hunyuanvideo15",
+        "model_type": "t2v",
+        "engine_type": "jax",
+        "components": [
+            {
+                "type": "scheduler",
+                "base": "FlowMatchDiscreteScheduler",
+                "config": {"num_train_timesteps": 1000, "shift": 7.0},
+            },
+            {
+                "type": "vae",
+                "base": "hunyuanvideo15",
+                "config": {
+                    "latent_channels": 4,
+                    "block_out_channels": [8, 16, 32],
+                    "layers_per_block": 1,
+                    "spatial_compression_ratio": 4,
+                    "temporal_compression_ratio": 2,
+                    "scaling_factor": 1.0,
+                },
+            },
+            {
+                "type": "text_encoder",
+                "name": "text_encoder",
+                "base": "Qwen2_5_VLForConditionalGeneration",
+                "config": {
+                    "vocab_size": 64,
+                    "hidden_size": 32,
+                    "intermediate_size": 64,
+                    "num_hidden_layers": 3,
+                    "num_attention_heads": 4,
+                    "num_key_value_heads": 2,
+                },
+            },
+            {
+                "type": "text_encoder",
+                "name": "text_encoder_2",
+                "base": "T5EncoderModel",
+                "config": {
+                    "vocab_size": 64,
+                    "d_model": 16,
+                    "d_kv": 4,
+                    "d_ff": 32,
+                    "num_layers": 1,
+                    "num_heads": 4,
+                },
+            },
+            {
+                "type": "transformer",
+                "base": "hunyuanvideo15.base",
+                "config": {
+                    "in_channels": 9,
+                    "out_channels": 4,
+                    "num_attention_heads": 2,
+                    "attention_head_dim": 24,
+                    "num_layers": 1,
+                    "num_refiner_layers": 1,
+                    "mlp_ratio": 2.0,
+                    "text_embed_dim": 32,
+                    "text_embed_2_dim": 16,
+                    "image_embed_dim": 16,
+                    "rope_axes_dim": [8, 8, 8],
+                },
+            },
+        ],
+        "defaults": {"run": {"num_inference_steps": 2, "guidance_scale": 1.0}},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("manifests") / "hyv15-tiny.yml"
+    path.write_text(yaml.safe_dump(HYV_TINY))
+    from apex_studio_tpu.engine import UniversalEngine
+
+    eng = UniversalEngine(path)
+    for spec in eng.component_specs.values():
+        if spec.get("type") == "text_encoder":
+            spec["tokenizer"] = make_tokenizer()
+    return eng
+
+
+class TestHYV15EndToEnd:
+    def test_t2v_produces_frames(self, engine):
+        frames = engine.run(
+            prompt="hello world",
+            height=16,
+            width=16,
+            num_frames=3,
+            num_inference_steps=2,
+            guidance_scale=1.0,
+            seed=3,
+        )
+        assert len(frames) == 3
+        assert frames[0].shape == (16, 16, 3) and frames[0].dtype == np.uint8
+
+    def test_cfg_path(self, engine):
+        lat = engine.run(
+            prompt="hello",
+            negative_prompt="bad",
+            height=16,
+            width=16,
+            num_frames=3,
+            num_inference_steps=2,
+            guidance_scale=5.0,
+            seed=1,
+            return_latents=True,
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_glyph_prompt_runs(self, engine):
+        lat = engine.run(
+            prompt='a sign saying "hello"',
+            height=16,
+            width=16,
+            num_frames=1,
+            num_inference_steps=1,
+            guidance_scale=1.0,
+            seed=1,
+            return_latents=True,
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_seed_determinism(self, engine):
+        kw = dict(prompt="x", height=16, width=16, num_frames=3,
+                  num_inference_steps=2, guidance_scale=1.0, seed=5, return_latents=True)
+        a = engine.run(**kw)
+        b = engine.run(**kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import requests
 
-from tests.test_server import server, _wait_job  # noqa: F401  (fixture reuse)
+from tests.test_server import _wait_job
 
 
 @pytest.fixture(scope="module")
