@@ -473,10 +473,12 @@ def create_app(
             web.get("/files/exists", files_exists),
         ]
     )
+    from apex_studio_tpu.server.mask_routes import add_mask_routes
     from apex_studio_tpu.server.processing_routes import add_processing_routes
     from apex_studio_tpu.utils.defaults import get_results_path
 
     add_processing_routes(app, store, executor)
+    add_mask_routes(app, store, executor)
 
     app.router.add_static("/files/engine_results", engine_results_dir(), show_index=False)
     for kind in ("preprocessor", "postprocessor"):
