@@ -284,6 +284,26 @@ class BaseEngine:
 
         return TextEncoder(self, spec)
 
+    def load_helper(self, name: str):
+        """Load a helper component (auxiliary encoder) by its manifest name."""
+        if name in self.helpers:
+            return self.helpers[name]
+        spec = self.component_specs.get(name)
+        if spec is None:
+            for s in self.component_specs.values():
+                if s.get("type") == "helper":
+                    spec = s
+                    break
+        if spec is None:
+            raise KeyError(f"manifest has no helper component named {name!r}")
+        base = spec.get("base") or ""
+        from apex_studio_tpu.models.registry import text_encoder_registry
+
+        family = "clip_vision" if "CLIPVision" in base else base.split(".")[0].lower()
+        model = self._instantiate_family(text_encoder_registry, spec, family)
+        self.helpers[name] = model
+        return model
+
     # -- offload hooks (API compatibility; sharding replaces offloading) ---------------
 
     def _offload(self, *_names: str) -> None:

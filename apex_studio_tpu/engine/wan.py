@@ -341,6 +341,194 @@ class WanT2VEngine(WanShared):
         )
 
 
+@register_engine("wan", "i2v")
+class WanI2VEngine(WanShared):
+    """Image-to-video: first-frame latent + mask conditioning channels and
+    CLIP-vision cross-attention features (reference engine/wan/i2v.py; latent
+    packing per the published Wan I2V pipeline: condition = [4ch temporal
+    first-frame mask | 16ch VAE encode of (image ‖ zero frames)])."""
+
+    def encode_image_clip(self, image: np.ndarray) -> jnp.ndarray:
+        from apex_studio_tpu.models.text_encoders.clip_vision import preprocess_clip_image
+
+        encoder = self.load_helper("image_encoder")
+        pixels = jnp.asarray(preprocess_clip_image(image, size=encoder.cfg.image_size))
+        graphdef, state = nnx.split(encoder)
+        key = ("wan_clip_vision", pixels.shape)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, px):
+                return nnx.merge(graphdef, state)(px, penultimate=True)
+
+            self._jit_cache[key] = fwd
+        return fwd(state, pixels)
+
+    def build_condition(self, image: np.ndarray, num_frames: int, height: int, width: int):
+        """→ ([1, 20, T_lat, h, w] condition channels)."""
+        import cv2
+
+        t_scale = self.vae.cfg.temporal_scale
+        lat_t = (num_frames - 1) // t_scale + 1
+        resized = cv2.resize(image, (width, height), interpolation=cv2.INTER_LANCZOS4)
+        first = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+        video = jnp.concatenate(
+            [first[None, :, None], jnp.zeros((1, 3, num_frames - 1, height, width))],
+            axis=2,
+        )
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("wan_vae_encode", tuple(video.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, v):
+                return nnx.merge(graphdef, state).encode(v)
+
+            self._jit_cache[key] = enc
+        latent_condition = enc(vae_state, video.astype(jnp.float32))
+
+        lat_h, lat_w = latent_condition.shape[-2:]
+        # Temporal mask: pixel-frame validity packed t_scale-to-1 into channels.
+        mask = np.zeros((1, 1, num_frames, lat_h, lat_w), np.float32)
+        mask[:, :, 0] = 1.0
+        first_rep = np.repeat(mask[:, :, :1], t_scale, axis=2)
+        mask = np.concatenate([first_rep, mask[:, :, 1:]], axis=2)
+        mask = mask.reshape(1, lat_t, t_scale, lat_h, lat_w).transpose(0, 2, 1, 3, 4)
+        return jnp.concatenate([jnp.asarray(mask), latent_condition], axis=1)
+
+    def run(
+        self,
+        image: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        guidance_scale_2: Optional[float] = None,
+        boundary_ratio: Optional[float] = None,
+        seed: Optional[int] = None,
+        shift: Optional[float] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        easy_cache_thresh: float = 0.0,
+        easy_cache_ret_steps: int = 10,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting i2v pipeline")
+        self.load_components(return_latents=False)  # i2v always needs the VAE
+        if image is None:
+            raise ValueError("i2v requires an input image")
+        if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            image = load_frames(image)[0]
+        image = np.asarray(image)
+
+        vae_cfg = self.vae.cfg
+        s_scale, t_scale = vae_cfg.spatial_scale, vae_cfg.temporal_scale
+        pt, ph, pw = self.transformer.cfg.patch_size
+        height -= height % (s_scale * ph)
+        width -= width % (s_scale * pw)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt or "") if use_cfg else None
+
+        has_image_branch = self.transformer.cfg.image_dim is not None
+        clip_feats = self.encode_image_clip(image) if has_image_branch else None
+        condition = self.build_condition(image, num_frames, height, width)
+        safe_emit_progress(progress_callback, 0.25, "Image conditioning ready")
+
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        noise_c = self.transformer.cfg.in_channels - condition.shape[1]
+        x = self.get_latents((1, noise_c, lat_t, lat_h, lat_w), seed=seed)
+        safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
+
+        ts, _ = self.get_timesteps(
+            self.scheduler, num_inference_steps,
+            **({"shift": shift} if shift is not None else {}),
+        )
+        boundary_timestep = (
+            boundary_ratio * getattr(self.scheduler, "num_train_timesteps", 1000)
+            if boundary_ratio is not None
+            else None
+        )
+        if boundary_timestep is not None and self.transformer_2 is None:
+            self._load_transformer_2()
+        _, state_1 = nnx.split(self.transformer)
+        state_2 = nnx.split(self.transformer_2)[1] if self.transformer_2 is not None else None
+
+        shapes = ((1, self.transformer.cfg.in_channels, lat_t, lat_h, lat_w), context.shape[1])
+        denoise_cb = make_mapped_progress(progress_callback, 0.35, 0.9)
+        if len(ts) <= 8:
+            render_on_step = False
+        for i, t in enumerate(ts):
+            if boundary_timestep is not None and float(t) < boundary_timestep and state_2 is not None:
+                transformer, state, tag = self.transformer_2, state_2, "wan_i2v_low"
+                g = guidance_scale_2 if guidance_scale_2 is not None else guidance_scale
+            else:
+                transformer, state, tag = self.transformer, state_1, "wan_i2v_high"
+                g = guidance_scale
+            fwd = self._fwd_i2v_for(transformer, tag, shapes, clip_feats is not None)
+
+            t_vec = jnp.full((1,), float(t), jnp.float32)
+            x_in = jnp.concatenate([x, condition], axis=1).astype(transformer.dtype)
+            v = fwd(state, x_in, t_vec, context, clip_feats)
+            if use_cfg and g > 1.0:
+                v_neg = fwd(state, x_in, t_vec, neg_context, clip_feats)
+                v = v_neg.astype(jnp.float32) + g * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and (i + 1) % render_on_step_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self.decode_latents(x), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.9, "Denoising complete")
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
+        return frames
+
+    def _fwd_i2v_for(self, transformer, tag: str, shapes, with_image: bool):
+        key = (tag, shapes, with_image)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            graphdef, _ = nnx.split(transformer)
+
+            @jax.jit
+            def fwd(state, x, t, ctx, ctx_img):
+                return nnx.merge(graphdef, state)(x, t, ctx, context_image=ctx_img)
+
+            self._jit_cache[key] = fwd
+        return fwd
+
+
 @register_engine("wan", "t2i")
 class WanT2IEngine(WanShared):
     """Single-frame t2v → image (the Wan 2.2 A14B text-to-image manifest)."""

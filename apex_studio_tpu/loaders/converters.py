@@ -294,6 +294,23 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "clip_vision",
+    KeyConverter(
+        renames=[
+            (r"^vision_model\.embeddings\.class_embedding$", "class_embedding"),
+            (r"^vision_model\.embeddings\.patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^vision_model\.embeddings\.position_embedding\.weight$", "position_embedding"),
+            (r"^vision_model\.pre_layrnorm\.", "pre_layrnorm."),
+            (r"^vision_model\.post_layernorm\.", "post_layernorm."),
+            (r"^vision_model\.encoder\.layers\.", "layers."),
+            (r"(q_proj|k_proj|v_proj|out_proj|fc1|fc2)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^visual_projection", r"^text_model", r"position_ids", r"logit_scale"),
+    ),
+)
+
+converter_registry.add(
     "autoencoder_kl",
     KeyConverter(
         renames=[

@@ -28,6 +28,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.text_encoders.qwen2",
         "apex_studio_tpu.models.text_encoders.t5",
         "apex_studio_tpu.models.text_encoders.clip",
+        "apex_studio_tpu.models.text_encoders.clip_vision",
         "apex_studio_tpu.models.vaes.hunyuanvideo15_vae",
     ):
         try:

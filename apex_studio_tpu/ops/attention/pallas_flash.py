@@ -172,7 +172,7 @@ def flash_attention(
     scale: Optional[float] = None,
     is_causal: bool = False,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,  # swept on v5e: (512,1024) hits ~80 TFLOP/s vs ~50 at (512,512)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q/k/v: [B, S, H, D] → [B, Sq, H, D]. bias limited to key-padding shapes

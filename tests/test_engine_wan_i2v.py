@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_engine_wan import WAN_TINY
+from tests.test_engine_zimage import make_tokenizer
+
+
+def make_i2v_engine(tmp_path):
+    doc = yaml.safe_load(yaml.safe_dump(WAN_TINY))
+    doc["spec"]["model_type"] = "i2v"
+    # i2v transformer: 4 noise + 8 condition channels (4 mask + 4 latent),
+    # CLIP image branch.
+    tf = next(c for c in doc["spec"]["components"] if c["type"] == "transformer")
+    # tiny VAE has temporal_scale=2 → condition = 2 mask + 4 latent channels;
+    # noise 4 → in_channels 10.
+    tf["config"]["in_channels"] = 10
+    tf["config"]["image_dim"] = 16
+    # added_kv_proj_dim is the DiT inner dim (image features are projected to
+    # inner_dim by the image embedder before the added-kv projections).
+    tf["config"]["added_kv_proj_dim"] = 48
+    doc["spec"]["components"].append(
+        {
+            "type": "helper",
+            "name": "image_encoder",
+            "base": "CLIPVisionModel",
+            "config": {
+                "hidden_size": 16,
+                "intermediate_size": 32,
+                "num_hidden_layers": 2,
+                "num_attention_heads": 2,
+                "image_size": 28,
+                "patch_size": 14,
+            },
+        }
+    )
+    path = tmp_path / "wan-tiny-i2v.yml"
+    path.write_text(yaml.safe_dump(doc))
+    from apex_studio_tpu.engine import UniversalEngine
+
+    eng = UniversalEngine(path, model_type="i2v")
+    eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+    return eng
+
+
+def sample_image(h=32, w=32):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[8:24, 8:24] = [200, 120, 40]
+    return img
+
+
+class TestCLIPVision:
+    def test_forward_shape(self):
+        import jax
+        import jax.numpy as jnp
+
+        from apex_studio_tpu.models.text_encoders.clip_vision import (
+            CLIPVisionConfig,
+            CLIPVisionEncoder,
+        )
+
+        cfg = CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               image_size=28, patch_size=14)
+        model = CLIPVisionEncoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        px = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 28, 28))
+        out = model(px)
+        assert out.shape == (1, 1 + 4, 16)  # cls + 2x2 patches
+
+    def test_preprocess(self):
+        from apex_studio_tpu.models.text_encoders.clip_vision import preprocess_clip_image
+
+        arr = preprocess_clip_image(sample_image(), size=28)
+        assert arr.shape == (1, 3, 28, 28)
+        assert np.isfinite(arr).all()
+
+    def test_converter(self):
+        from apex_studio_tpu.loaders.converters import convert_keys
+
+        sd = {
+            "vision_model.embeddings.class_embedding": np.zeros((8,), np.float32),
+            "vision_model.embeddings.patch_embedding.weight": np.zeros((8, 3, 14, 14), np.float32),
+            "vision_model.embeddings.position_embedding.weight": np.zeros((5, 8), np.float32),
+            "vision_model.encoder.layers.0.self_attn.q_proj.weight": np.zeros((8, 8), np.float32),
+            "vision_model.pre_layrnorm.weight": np.zeros((8,), np.float32),
+            "visual_projection.weight": np.zeros((4, 8), np.float32),
+        }
+        out = convert_keys("clip_vision", sd)
+        assert "class_embedding" in out
+        assert "patch_embedding.kernel" in out
+        assert "layers.0.self_attn.q_proj.kernel" in out
+        assert not any("visual_projection" in k for k in out)
+
+
+class TestWanI2V:
+    def test_i2v_produces_frames(self, tmp_path):
+        eng = make_i2v_engine(tmp_path)
+        frames = eng.run(
+            image=sample_image(),
+            prompt="hello",
+            height=32,
+            width=32,
+            num_frames=5,
+            num_inference_steps=2,
+            guidance_scale=1.0,
+            seed=3,
+        )
+        assert len(frames) == 5
+        assert frames[0].shape == (32, 32, 3)
+
+    def test_condition_channels(self, tmp_path):
+        eng = make_i2v_engine(tmp_path)
+        eng.load_components(return_latents=False)
+        cond = eng.build_condition(sample_image(), num_frames=5, height=32, width=32)
+        # 4 mask channels (t_scale=2 → packing 2... config temporal scale 2 here)
+        assert cond.shape[0] == 1
+        assert cond.shape[2] == 3  # (5-1)/2+1 latent frames
+        assert np.isfinite(np.asarray(cond)).all()
+
+    def test_requires_image(self, tmp_path):
+        eng = make_i2v_engine(tmp_path)
+        with pytest.raises(ValueError, match="image"):
+            eng.run(prompt="x", height=32, width=32, num_frames=5,
+                    num_inference_steps=1, guidance_scale=1.0)
