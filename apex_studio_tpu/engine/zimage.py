@@ -15,6 +15,7 @@ loop only sequences steps, emits progress, and taps previews.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Callable, Dict, List, Optional
 
@@ -53,6 +54,43 @@ class ZImageT2IEngine(BaseEngine):
 
             self._jit_cache[key] = fwd
         return fwd
+
+    def _fused_step(self, cap_len: int, latent_shape, cfg_variant: str):
+        """Forward + CFG + negation + Euler update in ONE compiled program
+        (donated latents; a denoise step is a single device dispatch)."""
+        key = ("zimage_step", cap_len, tuple(latent_shape), cfg_variant)
+        step = self._jit_cache.get(key)
+        if step is None:
+            graphdef, _ = nnx.split(self.transformer)
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def step(state, lats, t_model, sigma, sigma_next, cap, cap_mask,
+                     neg_cap, neg_mask, g, cfg_norm_ratio):
+                model = nnx.merge(graphdef, state)
+                b = lats.shape[0]
+                t_vec = jnp.full((b,), t_model, jnp.float32)
+                x_in = lats.astype(model.dtype)[:, :, None, :, :]
+                pos = model(x_in, t_vec, cap, cap_mask)[:, :, 0].astype(jnp.float32)
+                if cfg_variant == "cfg":
+                    neg = model(x_in, t_vec, neg_cap, neg_mask)[:, :, 0].astype(jnp.float32)
+                    pred = pos + g * (pos - neg)
+                    # pos-anchored norm clamp (only shrinks)
+                    pos_n = jnp.linalg.norm(pos.reshape(b, -1), axis=-1)
+                    new_n = jnp.linalg.norm(pred.reshape(b, -1), axis=-1)
+                    max_n = pos_n * cfg_norm_ratio
+                    ratio = jnp.where(
+                        (cfg_norm_ratio > 0) & (new_n > max_n),
+                        max_n / jnp.maximum(new_n, 1e-12),
+                        1.0,
+                    )
+                    pred = pred * ratio[:, None, None, None]
+                else:
+                    pred = pos
+                v = -pred  # reference negates the DiT output
+                return lats + (sigma_next - sigma) * v
+
+            self._jit_cache[key] = step
+        return step
 
     def _encode_single(self, prompt: str, max_sequence_length: int):
         """→ (embeds [1, bucket, D], mask [1, bucket]) with a 32-multiple bucket."""
@@ -145,19 +183,13 @@ class ZImageT2IEngine(BaseEngine):
         safe_emit_progress(progress_callback, 0.40, "Timesteps computed; starting denoise")
         denoise_cb = make_mapped_progress(progress_callback, 0.40, 0.92)
 
-        fwd = self._transformer_fwd(cap.shape[1], (b, cfg_t.in_channels, 1, lat_h, lat_w))
-        fwd_neg = (
-            self._transformer_fwd(neg_cap.shape[1], (b, cfg_t.in_channels, 1, lat_h, lat_w))
-            if do_cfg
-            else None
-        )
+        latent_shape = (b, cfg_t.in_channels, 1, lat_h, lat_w)
         _, tf_state = nnx.split(self.transformer)
-        model_dtype = self.transformer.dtype
+        can_fuse = hasattr(self.scheduler, "step_at")  # Euler-family schedulers
+        cfg_norm_ratio = float(cfg_normalization or 0.0)
 
         for i, t in enumerate(ts):
             t_model = (1000.0 - float(t)) / 1000.0
-            t_vec = jnp.full((b,), t_model, jnp.float32)
-            x_in = lats.astype(model_dtype)[:, :, None, :, :]  # [B,C,1,H,W]
 
             g = guidance_scale
             if do_cfg and cfg_truncation is not None and float(cfg_truncation) <= 1.0:
@@ -165,23 +197,32 @@ class ZImageT2IEngine(BaseEngine):
                     g = 0.0
             apply_cfg = do_cfg and g > 0
 
-            pos = fwd(tf_state, x_in, t_vec, cap, cap_mask)[:, :, 0]
-            if apply_cfg:
-                neg = fwd_neg(tf_state, x_in, t_vec, neg_cap, neg_mask)[:, :, 0]
-                pos32, neg32 = pos.astype(jnp.float32), neg.astype(jnp.float32)
-                pred = pos32 + g * (pos32 - neg32)
-                if cfg_normalization and float(cfg_normalization) > 0.0:
-                    pos_norm = jnp.linalg.norm(pos32.reshape(b, -1), axis=-1)
-                    new_norm = jnp.linalg.norm(pred.reshape(b, -1), axis=-1)
-                    max_norm = pos_norm * float(cfg_normalization)
-                    ratio = jnp.where(new_norm > max_norm, max_norm / jnp.maximum(new_norm, 1e-12), 1.0)
-                    pred = pred * ratio[:, None, None, None]
-                noise_pred = pred
+            if can_fuse:
+                # One device dispatch: forward(+cfg) + negate + Euler update.
+                step = self._fused_step(
+                    cap.shape[1], latent_shape, "cfg" if apply_cfg else "nocfg"
+                )
+                lats = step(
+                    tf_state, lats, t_model,
+                    float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                    cap, cap_mask,
+                    neg_cap if apply_cfg else cap,
+                    neg_mask if apply_cfg else cap_mask,
+                    float(g), cfg_norm_ratio,
+                )
             else:
+                fwd = self._transformer_fwd(cap.shape[1], latent_shape)
+                t_vec = jnp.full((b,), t_model, jnp.float32)
+                x_in = lats.astype(self.transformer.dtype)[:, :, None, :, :]
+                pos = fwd(tf_state, x_in, t_vec, cap, cap_mask)[:, :, 0]
                 noise_pred = pos.astype(jnp.float32)
-
-            noise_pred = -noise_pred  # reference negates the DiT output
-            (lats,) = self.scheduler.step(noise_pred, float(t), lats)
+                if apply_cfg:
+                    fwd_neg = self._transformer_fwd(neg_cap.shape[1], latent_shape)
+                    neg = fwd_neg(tf_state, x_in, t_vec, neg_cap, neg_mask)[:, :, 0]
+                    noise_pred = noise_pred + g * (
+                        noise_pred - neg.astype(jnp.float32)
+                    )
+                (lats,) = self.scheduler.step(-noise_pred, float(t), lats)
 
             if (
                 render_on_step

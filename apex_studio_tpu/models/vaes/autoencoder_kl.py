@@ -13,6 +13,7 @@ import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import nnx
 
@@ -318,3 +319,45 @@ class AutoencoderKL(nnx.Module):
             z = self.post_quant_conv(z)
         x = self.decoder(z)
         return jnp.transpose(x, (0, 3, 1, 2))
+
+    def decode_tiled(
+        self, z_nchw: jnp.ndarray, tile: int = 96, overlap: int = 16
+    ) -> jnp.ndarray:
+        """Spatially tiled decode with linear blending at tile seams —
+        counterpart of the reference's VAE tiling (engine/base_engine.py:1077,
+        vae/auto/model.py:44). Keeps peak activation memory at one tile's
+        worth for arbitrarily large images; tiles share the same compiled
+        program when shapes repeat."""
+        b, c, h, w = z_nchw.shape
+        if h <= tile and w <= tile:
+            return self.decode(z_nchw)
+        s = self.cfg.spatial_scale
+        stride = tile - overlap
+        out = np.zeros((b, self.cfg.out_channels, h * s, w * s), np.float32)
+        weight = np.zeros((1, 1, h * s, w * s), np.float32)
+
+        def ramp(n: int, lead: bool, trail: bool) -> np.ndarray:
+            wv = np.ones(n, np.float32)
+            ov = overlap * s
+            if lead:
+                wv[:ov] = np.linspace(0.0, 1.0, ov, endpoint=False)
+            if trail:
+                wv[-ov:] = np.linspace(1.0, 0.0, ov, endpoint=False)
+            return wv
+
+        ys = list(range(0, max(h - overlap, 1), stride))
+        xs = list(range(0, max(w - overlap, 1), stride))
+        for yi, y0 in enumerate(ys):
+            for xi, x0 in enumerate(xs):
+                y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+                y0a, x0a = max(0, y1 - tile), max(0, x1 - tile)  # uniform tile shape
+                patch = self.decode(z_nchw[:, :, y0a:y1, x0a:x1])
+                ph, pw = patch.shape[-2:]
+                wy = ramp(ph, lead=y0a > 0, trail=y1 < h)
+                wx = ramp(pw, lead=x0a > 0, trail=x1 < w)
+                wmap = wy[:, None] * wx[None, :]
+                out[:, :, y0a * s : y1 * s, x0a * s : x1 * s] += (
+                    np.asarray(patch, np.float32) * wmap
+                )
+                weight[:, :, y0a * s : y1 * s, x0a * s : x1 * s] += wmap
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
