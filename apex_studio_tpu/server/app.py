@@ -509,6 +509,11 @@ def create_app(
         return resp
 
     app.middlewares.append(cors)
+
+    if os.environ.get("APEX_DISABLE_STABILITY", "0") not in ("1", "true"):
+        from apex_studio_tpu.server.stability import install_stability_middleware
+
+        install_stability_middleware(app)
     return app
 
 

@@ -114,7 +114,24 @@ class TextEncoder:
         use_chat_template: bool = True,
         output: str = "pre_norm",  # "pre_norm" == HF hidden_states[-2]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """→ (hidden_states [B, L, D], mask [B, L])."""
+        """→ (hidden_states [B, L, D], mask [B, L]). Results are disk-cached
+        per canonicalized inputs (reference mixins/cache_mixin.py:99)."""
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
+        cache = EmbeddingCache(self._converter_family() or "te")
+        cache_key = {
+            "prompts": list(prompts),
+            "max_len": max_sequence_length,
+            "chat": use_chat_template,
+            "output": output,
+            "base": self.base,
+            "weights": str((self.spec.get("model_path") or ""))[:256],
+        }
+        cached = cache.load(cache_key)
+        if cached is not None:
+            hidden_np, mask_np = cached
+            return jnp.asarray(hidden_np), jnp.asarray(mask_np)
+
         model = self._ensure_model()
         texts = [self.apply_chat_template(p) if use_chat_template else p for p in prompts]
         ids, mask = self.tokenize(texts, max_sequence_length)
@@ -142,4 +159,7 @@ class TextEncoder:
             self.engine._jit_cache[key] = fwd
         _, state = nnx.split(model)
         hidden = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
+        import numpy as np
+
+        cache.store(cache_key, np.asarray(hidden, np.float32), mask)
         return hidden, jnp.asarray(mask)
