@@ -111,13 +111,14 @@ class FluxT2IEngine(BaseEngine):
         render_on_step_interval: int = 3,
         progress_callback: Optional[Callable] = None,
         offload: bool = True,
+        _kontext_image: Any = None,
         **_: Any,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
 
         if self.transformer is None:
             self.load_component_by_type("transformer")
-        if self.vae is None and not return_latents:
+        if self.vae is None and (not return_latents or _kontext_image is not None):
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")
@@ -144,6 +145,12 @@ class FluxT2IEngine(BaseEngine):
 
         noise = self.get_latents((b, lat_c, lat_h, lat_w), seed=seed, latents=latents)
         x = self.transformer.pack_latents(noise.astype(jnp.float32))
+
+        cond_tokens = cond_grid = None
+        if _kontext_image is not None:
+            cond_tokens, cond_grid = self._encode_kontext_image(
+                _kontext_image, height, width, lat_scale, b
+            )
         safe_emit_progress(progress_callback, 0.38, "Initialized latent noise")
 
         image_seq_len = x.shape[1]
@@ -168,14 +175,15 @@ class FluxT2IEngine(BaseEngine):
 
         graphdef, tf_state = nnx.split(self.transformer)
         grid = (lat_h // 2, lat_w // 2)
-        key = ("flux_fwd", x.shape, seq.shape[1])
+        key = ("flux_fwd", x.shape, seq.shape[1], cond_grid)
         fwd = self._jit_cache.get(key)
         if fwd is None:
 
             @jax.jit
-            def fwd(state, x, seq, pooled, t, guidance):
+            def fwd(state, x, seq, pooled, t, guidance, cond):
                 m = nnx.merge(graphdef, state)
-                return m(x, seq, pooled, t, guidance, grid_hw=grid)
+                return m(x, seq, pooled, t, guidance, grid_hw=grid,
+                         cond_tokens=cond, cond_grid_hw=cond_grid)
 
             self._jit_cache[key] = fwd
 
@@ -184,9 +192,9 @@ class FluxT2IEngine(BaseEngine):
         for i, t in enumerate(ts):
             t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
             x_in = x.astype(model_dtype)
-            v = fwd(tf_state, x_in, seq, pooled, t_vec, guidance)
+            v = fwd(tf_state, x_in, seq, pooled, t_vec, guidance, cond_tokens)
             if use_cfg:
-                v_neg = fwd(tf_state, x_in, neg_seq, neg_pooled, t_vec, guidance)
+                v_neg = fwd(tf_state, x_in, neg_seq, neg_pooled, t_vec, guidance, cond_tokens)
                 v = v_neg.astype(jnp.float32) + true_cfg_scale * (
                     v.astype(jnp.float32) - v_neg.astype(jnp.float32)
                 )
@@ -230,3 +238,44 @@ class FluxT2IEngine(BaseEngine):
         _, vae_state = nnx.split(self.vae)
         img = dec(vae_state, z.astype(jnp.float32))
         return self.tensor_to_frames(img)
+
+    def _encode_kontext_image(self, image, height, width, lat_scale, b):
+        """Reference image → clean packed latent tokens at the target size."""
+        import cv2
+
+        if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            image = load_frames(image)[0]
+        image = np.asarray(image)
+        resized = cv2.resize(image, (width, height), interpolation=cv2.INTER_LANCZOS4)
+        px = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)[None]
+
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("flux_vae_encode", tuple(px.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, x):
+                return nnx.merge(graphdef, state).encode(x)
+
+            self._jit_cache[key] = enc
+        z = enc(vae_state, px)
+        tokens = self.transformer.pack_latents(z.astype(jnp.float32))
+        tokens = jnp.broadcast_to(tokens, (b, *tokens.shape[1:]))
+        lat_h, lat_w = z.shape[-2:]
+        return tokens, (lat_h // 2, lat_w // 2)
+
+
+@register_engine("flux", "kontext")
+class FluxKontextEngine(FluxT2IEngine):
+    """Flux Kontext image editing (reference engine/flux/kontext.py role):
+    the reference image's clean VAE latents join the image stream at RoPE
+    t-index 1; only the noisy target tokens are denoised and returned."""
+
+    def run(self, image=None, **kwargs):
+        if image is None:
+            raise ValueError("kontext requires an input image")
+        kwargs.pop("_kontext_image", None)
+        return super().run(_kontext_image=image, **kwargs)

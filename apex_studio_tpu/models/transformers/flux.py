@@ -240,9 +240,16 @@ class FluxTransformer2DModel(nnx.Module):
         ids[..., 2] = np.arange(w_tok)[None, :]
         return ids.reshape(-1, 3)
 
-    def rope_tables(self, n_txt: int, h_tok: int, w_tok: int):
+    def rope_tables(self, n_txt: int, h_tok: int, w_tok: int,
+                    cond_grid_hw: Optional[Tuple[int, int]] = None):
         txt_ids = np.zeros((n_txt, 3), np.int64)
-        ids = np.concatenate([txt_ids, self.img_ids(h_tok, w_tok)], axis=0)
+        parts = [txt_ids, self.img_ids(h_tok, w_tok)]
+        if cond_grid_hw is not None:
+            # Kontext convention: conditioning image tokens live at t-index 1.
+            cond_ids = self.img_ids(*cond_grid_hw)
+            cond_ids[:, 0] = 1
+            parts.append(cond_ids)
+        ids = np.concatenate(parts, axis=0)
         cos, sin = precompute_axial_freqs(
             jnp.asarray(ids)[None], self.cfg.axes_dims_rope, self.cfg.rope_theta
         )
@@ -272,6 +279,8 @@ class FluxTransformer2DModel(nnx.Module):
         timestep: jnp.ndarray,            # [B] in [0, 1]
         guidance: Optional[jnp.ndarray] = None,  # [B]
         grid_hw: Optional[Tuple[int, int]] = None,  # token grid (h_tok, w_tok)
+        cond_tokens: Optional[jnp.ndarray] = None,  # Kontext: [B, N_cond, 64]
+        cond_grid_hw: Optional[Tuple[int, int]] = None,
     ) -> jnp.ndarray:
         b, n_img, _ = hidden_states.shape
         n_txt = encoder_hidden_states.shape[1]
@@ -282,9 +291,15 @@ class FluxTransformer2DModel(nnx.Module):
         temb = self.time_text_embed(
             timestep.astype(jnp.float32), pooled_projections.astype(self.dtype), guidance
         )
+        if cond_tokens is not None:
+            # Kontext: clean conditioning latents ride the image stream; only
+            # the leading n_img tokens are denoised/returned.
+            hidden_states = jnp.concatenate(
+                [hidden_states, cond_tokens.astype(hidden_states.dtype)], axis=1
+            )
         img = self.x_embedder(hidden_states.astype(self.dtype))
         txt = self.context_embedder(encoder_hidden_states.astype(self.dtype))
-        rope_cos, rope_sin = self.rope_tables(n_txt, *grid_hw)
+        rope_cos, rope_sin = self.rope_tables(n_txt, *grid_hw, cond_grid_hw=cond_grid_hw)
 
         for blk in self.transformer_blocks:
             img, txt = blk(img, txt, temb, rope_cos, rope_sin)
@@ -292,7 +307,7 @@ class FluxTransformer2DModel(nnx.Module):
         x = jnp.concatenate([txt, img], axis=1)
         for blk in self.single_transformer_blocks:
             x = blk(x, temb, rope_cos, rope_sin)
-        img = x[:, n_txt:]
+        img = x[:, n_txt : n_txt + n_img]  # drop Kontext conditioning tokens
 
         shift, scale = jnp.split(self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
         img = layer_norm(img, eps=1e-6) * (1 + scale) + shift

@@ -126,3 +126,45 @@ class TestFluxEndToEnd:
         frames = engine.run(prompt="a", height=70, width=67, num_inference_steps=1, seed=1)
         # vae scale 2 * packing 2 = 4 → 70→68, 67→64
         assert frames[0].shape == (68, 64, 3)
+
+
+class TestFluxKontext:
+    @pytest.fixture()
+    def kontext_engine(self, tmp_path):
+        import yaml
+
+        doc = yaml.safe_load(yaml.safe_dump(FLUX_TINY))
+        doc["spec"]["model_type"] = "kontext"
+        path = tmp_path / "flux-kontext-tiny.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="kontext")
+        for spec in eng.component_specs.values():
+            if spec.get("type") == "text_encoder":
+                from tests.test_engine_zimage import make_tokenizer
+
+                spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_kontext_edit_runs(self, kontext_engine):
+        ref_img = np.zeros((64, 64, 3), np.uint8)
+        ref_img[16:48, 16:48] = [180, 60, 200]
+        frames = kontext_engine.run(
+            image=ref_img, prompt="make it blue", height=64, width=64,
+            num_inference_steps=2, seed=4,
+        )
+        assert frames[0].shape == (64, 64, 3)
+
+    def test_conditioning_changes_output(self, kontext_engine):
+        img_a = np.zeros((64, 64, 3), np.uint8)
+        img_b = np.full((64, 64, 3), 255, np.uint8)
+        kw = dict(prompt="edit", height=64, width=64, num_inference_steps=1,
+                  seed=9, return_latents=True)
+        a = kontext_engine.run(image=img_a, **kw)
+        b = kontext_engine.run(image=img_b, **kw)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
+
+    def test_requires_image(self, kontext_engine):
+        with pytest.raises(ValueError, match="image"):
+            kontext_engine.run(prompt="x", height=64, width=64, num_inference_steps=1)
