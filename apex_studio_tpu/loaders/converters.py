@@ -60,7 +60,106 @@ class KeyConverter:
 
 
 def convert_keys(family: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if family == "flux" and any(
+        k.split("model.diffusion_model.")[-1].startswith(("double_blocks.", "single_blocks."))
+        for k in sd
+    ):
+        sd = convert_flux_bfl(sd)
     return converter_registry.get(family).convert(sd)
+
+
+def convert_flux_bfl(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Original BFL / ComfyUI single-file flux layout → diffusers layout
+    (which the 'flux' converter then maps to our paths). Fused qkv tensors are
+    split; the final adaLN swaps from [shift|scale] to [scale|shift]."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(k: str, v: np.ndarray) -> None:
+        out[k] = v
+
+    def swap_scale_shift(w: np.ndarray) -> np.ndarray:
+        shift, scale = np.split(w, 2, axis=0)
+        return np.concatenate([scale, shift], axis=0)
+
+    for key, v in sd.items():
+        k = key
+        for pref in _COMMON_PREFIXES:
+            if k.startswith(pref):
+                k = k[len(pref):]
+                break
+        if k.startswith("double_blocks."):
+            _, n, rest = k.split(".", 2)
+            base = f"transformer_blocks.{n}"
+            stream = "img" if rest.startswith("img_") else "txt"
+            r = rest.split(".", 1)[-1] if "." in rest else rest
+            if rest.startswith(f"{stream}_mod.lin."):
+                tgt = "norm1.linear" if stream == "img" else "norm1_context.linear"
+                put(f"{base}.{tgt}.{rest.rsplit('.', 1)[-1]}", v)
+            elif rest.startswith(f"{stream}_attn.qkv."):
+                q, kk, vv = np.split(v, 3, axis=0)
+                names = ("to_q", "to_k", "to_v") if stream == "img" else (
+                    "add_q_proj", "add_k_proj", "add_v_proj")
+                suffix = rest.rsplit(".", 1)[-1]
+                for name, part in zip(names, (q, kk, vv)):
+                    put(f"{base}.attn.{name}.{suffix}", part)
+            elif rest.startswith(f"{stream}_attn.norm.query_norm.scale"):
+                name = "norm_q" if stream == "img" else "norm_added_q"
+                put(f"{base}.attn.{name}.weight", v)
+            elif rest.startswith(f"{stream}_attn.norm.key_norm.scale"):
+                name = "norm_k" if stream == "img" else "norm_added_k"
+                put(f"{base}.attn.{name}.weight", v)
+            elif rest.startswith(f"{stream}_attn.proj."):
+                tgt = "attn.to_out.0" if stream == "img" else "attn.to_add_out"
+                put(f"{base}.{tgt}.{rest.rsplit('.', 1)[-1]}", v)
+            elif rest.startswith(f"{stream}_mlp.0."):
+                tgt = "ff.net.0.proj" if stream == "img" else "ff_context.net.0.proj"
+                put(f"{base}.{tgt}.{rest.rsplit('.', 1)[-1]}", v)
+            elif rest.startswith(f"{stream}_mlp.2."):
+                tgt = "ff.net.2" if stream == "img" else "ff_context.net.2"
+                put(f"{base}.{tgt}.{rest.rsplit('.', 1)[-1]}", v)
+        elif k.startswith("single_blocks."):
+            _, n, rest = k.split(".", 2)
+            base = f"single_transformer_blocks.{n}"
+            suffix = rest.rsplit(".", 1)[-1]
+            if rest.startswith("linear1."):
+                # fused [q|k|v|mlp(4d)] along the output axis
+                d = v.shape[0] // 7
+                q, kk, vv, mlp = np.split(v, [d, 2 * d, 3 * d], axis=0)
+                put(f"{base}.attn.to_q.{suffix}", q)
+                put(f"{base}.attn.to_k.{suffix}", kk)
+                put(f"{base}.attn.to_v.{suffix}", vv)
+                put(f"{base}.proj_mlp.{suffix}", mlp)
+            elif rest.startswith("linear2."):
+                put(f"{base}.proj_out.{suffix}", v)
+            elif rest.startswith("modulation.lin."):
+                put(f"{base}.norm.linear.{suffix}", v)
+            elif rest.startswith("norm.query_norm.scale"):
+                put(f"{base}.attn.norm_q.weight", v)
+            elif rest.startswith("norm.key_norm.scale"):
+                put(f"{base}.attn.norm_k.weight", v)
+        elif k.startswith("img_in."):
+            put(k.replace("img_in.", "x_embedder."), v)
+        elif k.startswith("txt_in."):
+            put(k.replace("txt_in.", "context_embedder."), v)
+        elif k.startswith("time_in.in_layer."):
+            put(k.replace("time_in.in_layer.", "time_text_embed.timestep_embedder.linear_1."), v)
+        elif k.startswith("time_in.out_layer."):
+            put(k.replace("time_in.out_layer.", "time_text_embed.timestep_embedder.linear_2."), v)
+        elif k.startswith("vector_in.in_layer."):
+            put(k.replace("vector_in.in_layer.", "time_text_embed.text_embedder.linear_1."), v)
+        elif k.startswith("vector_in.out_layer."):
+            put(k.replace("vector_in.out_layer.", "time_text_embed.text_embedder.linear_2."), v)
+        elif k.startswith("guidance_in.in_layer."):
+            put(k.replace("guidance_in.in_layer.", "time_text_embed.guidance_embedder.linear_1."), v)
+        elif k.startswith("guidance_in.out_layer."):
+            put(k.replace("guidance_in.out_layer.", "time_text_embed.guidance_embedder.linear_2."), v)
+        elif k.startswith("final_layer.linear."):
+            put(k.replace("final_layer.linear.", "proj_out."), v)
+        elif k.startswith("final_layer.adaLN_modulation.1."):
+            put(k.replace("final_layer.adaLN_modulation.1.", "norm_out.linear."),
+                swap_scale_shift(np.asarray(v)))
+        # anything else (e.g. distilled-guidance extras) is dropped
+    return out
 
 
 # -- family tables ------------------------------------------------------------------

@@ -309,6 +309,7 @@ class FluxTransformer2DModel(nnx.Module):
             x = blk(x, temb, rope_cos, rope_sin)
         img = x[:, n_txt : n_txt + n_img]  # drop Kontext conditioning tokens
 
-        shift, scale = jnp.split(self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
+        # AdaLayerNormContinuous ordering: scale first, then shift.
+        scale, shift = jnp.split(self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
         img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
         return self.proj_out(img)

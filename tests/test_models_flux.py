@@ -194,3 +194,77 @@ class TestFluxConverter:
         assert "layers.0.self_attn.q_proj.kernel" in clip
         assert "layers.0.self_attn.q_proj.bias" in clip
         assert not any("position_ids" in k for k in clip)
+
+
+class TestFluxBFLConverter:
+    def test_bfl_layout_roundtrip(self):
+        """A full BFL single-file layout must load into the tiny flux model."""
+        from apex_studio_tpu.loaders.converters import convert_keys
+        from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+        from apex_studio_tpu.models.transformers.flux import FluxConfig, FluxTransformer2DModel
+
+        cfg = FluxConfig(
+            in_channels=16, out_channels=16, num_layers=1, num_single_layers=1,
+            attention_head_dim=8, num_attention_heads=2, joint_attention_dim=24,
+            pooled_projection_dim=12, guidance_embeds=True, axes_dims_rope=(2, 3, 3),
+        )
+        model = FluxTransformer2DModel(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        d = cfg.dim
+        rng = np.random.default_rng(0)
+
+        def w(o, i):
+            return rng.normal(size=(o, i)).astype(np.float32)
+
+        def b(o):
+            return rng.normal(size=(o,)).astype(np.float32)
+
+        sd = {}
+        pre = "model.diffusion_model."
+        sd[pre + "img_in.weight"] = w(d, 16); sd[pre + "img_in.bias"] = b(d)
+        sd[pre + "txt_in.weight"] = w(d, 24); sd[pre + "txt_in.bias"] = b(d)
+        for name, din in (("time_in", 256), ("vector_in", 12), ("guidance_in", 256)):
+            sd[pre + f"{name}.in_layer.weight"] = w(d, din)
+            sd[pre + f"{name}.in_layer.bias"] = b(d)
+            sd[pre + f"{name}.out_layer.weight"] = w(d, d)
+            sd[pre + f"{name}.out_layer.bias"] = b(d)
+        for s in ("img", "txt"):
+            sd[pre + f"double_blocks.0.{s}_mod.lin.weight"] = w(6 * d, d)
+            sd[pre + f"double_blocks.0.{s}_mod.lin.bias"] = b(6 * d)
+            sd[pre + f"double_blocks.0.{s}_attn.qkv.weight"] = w(3 * d, d)
+            sd[pre + f"double_blocks.0.{s}_attn.qkv.bias"] = b(3 * d)
+            sd[pre + f"double_blocks.0.{s}_attn.norm.query_norm.scale"] = b(8)
+            sd[pre + f"double_blocks.0.{s}_attn.norm.key_norm.scale"] = b(8)
+            sd[pre + f"double_blocks.0.{s}_attn.proj.weight"] = w(d, d)
+            sd[pre + f"double_blocks.0.{s}_attn.proj.bias"] = b(d)
+            sd[pre + f"double_blocks.0.{s}_mlp.0.weight"] = w(4 * d, d)
+            sd[pre + f"double_blocks.0.{s}_mlp.0.bias"] = b(4 * d)
+            sd[pre + f"double_blocks.0.{s}_mlp.2.weight"] = w(d, 4 * d)
+            sd[pre + f"double_blocks.0.{s}_mlp.2.bias"] = b(d)
+        sd[pre + "single_blocks.0.linear1.weight"] = w(7 * d, d)
+        sd[pre + "single_blocks.0.linear1.bias"] = b(7 * d)
+        sd[pre + "single_blocks.0.linear2.weight"] = w(d, 5 * d)
+        sd[pre + "single_blocks.0.linear2.bias"] = b(d)
+        sd[pre + "single_blocks.0.modulation.lin.weight"] = w(3 * d, d)
+        sd[pre + "single_blocks.0.modulation.lin.bias"] = b(3 * d)
+        sd[pre + "single_blocks.0.norm.query_norm.scale"] = b(8)
+        sd[pre + "single_blocks.0.norm.key_norm.scale"] = b(8)
+        sd[pre + "final_layer.linear.weight"] = w(16, d)
+        sd[pre + "final_layer.linear.bias"] = b(16)
+        sd[pre + "final_layer.adaLN_modulation.1.weight"] = w(2 * d, d)
+        sd[pre + "final_layer.adaLN_modulation.1.bias"] = b(2 * d)
+
+        mapped = convert_keys("flux", sd)
+        missing, unexpected = apply_state_dict(model, mapped, strict=True)
+        assert not missing and not unexpected
+
+        # qkv split landed in the right projections
+        qkv = sd[pre + "double_blocks.0.img_attn.qkv.weight"]
+        np.testing.assert_allclose(
+            np.asarray(model.transformer_blocks[0].attn.to_k.kernel.value),
+            qkv[d : 2 * d].T,
+        )
+        # final adaLN swapped to scale-first
+        ada = sd[pre + "final_layer.adaLN_modulation.1.weight"]
+        np.testing.assert_allclose(
+            np.asarray(model.norm_out_linear.kernel.value)[:, :d], ada[d:].T
+        )
