@@ -112,6 +112,7 @@ class FluxT2IEngine(BaseEngine):
         progress_callback: Optional[Callable] = None,
         offload: bool = True,
         _kontext_image: Any = None,
+        _fill_cond: Optional[jnp.ndarray] = None,  # [B, N, 320] masked-img+mask tokens
         **_: Any,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
@@ -192,6 +193,9 @@ class FluxT2IEngine(BaseEngine):
         for i, t in enumerate(ts):
             t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
             x_in = x.astype(model_dtype)
+            if _fill_cond is not None:
+                # Fill models: [noise(64) | masked image(64) | 8x8 mask bits(256)]
+                x_in = jnp.concatenate([x_in, _fill_cond.astype(model_dtype)], axis=-1)
             v = fwd(tf_state, x_in, seq, pooled, t_vec, guidance, cond_tokens)
             if use_cfg:
                 v_neg = fwd(tf_state, x_in, neg_seq, neg_pooled, t_vec, guidance, cond_tokens)
@@ -279,3 +283,68 @@ class FluxKontextEngine(FluxT2IEngine):
             raise ValueError("kontext requires an input image")
         kwargs.pop("_kontext_image", None)
         return super().run(_kontext_image=image, **kwargs)
+
+
+@register_engine("flux", "fill")
+class FluxFillEngine(FluxT2IEngine):
+    """Flux Fill inpainting (reference engine/flux/fill.py role): the model's
+    384 input channels are [noise(64) | VAE(masked image)(64) | 8×8 pixel mask
+    bits per latent cell, packed 2×2 (256)]."""
+
+    def run(self, image=None, mask_image=None, height: int = 1024,
+            width: int = 1024, **kwargs):
+        if image is None or mask_image is None:
+            raise ValueError("fill requires both image and mask_image")
+        import cv2
+
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+
+        lat_scale = self.vae.cfg.spatial_scale
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+
+        def to_frame(x):
+            if isinstance(x, (str, bytes)) or hasattr(x, "__fspath__"):
+                from apex_studio_tpu.preprocess.base import load_frames
+
+                return load_frames(x)[0]
+            return np.asarray(x)
+
+        img = cv2.resize(to_frame(image), (width, height), interpolation=cv2.INTER_LANCZOS4)
+        mask = to_frame(mask_image)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        mask = cv2.resize(mask, (width, height), interpolation=cv2.INTER_NEAREST)
+        mask01 = (mask > 127).astype(np.float32)
+
+        # Masked image → VAE latents → packed tokens (64).
+        masked = img.astype(np.float32) / 127.5 - 1.0
+        masked = masked * (1.0 - mask01)[..., None]
+        px = jnp.asarray(masked).transpose(2, 0, 1)[None]
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("flux_vae_encode", tuple(px.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, x):
+                return nnx.merge(graphdef, state).encode(x)
+
+            self._jit_cache[key] = enc
+        masked_tokens = self.transformer.pack_latents(
+            enc(vae_state, px).astype(jnp.float32)
+        )
+
+        # Pixel mask → 8×8 bits per latent cell → packed 2×2 (256 per token).
+        s = lat_scale
+        lat_h, lat_w = height // s, width // s
+        m = mask01.reshape(lat_h, s, lat_w, s).transpose(1, 3, 0, 2)  # [s,s,lh,lw]
+        m = m.reshape(1, s * s, lat_h, lat_w)
+        mask_tokens = self.transformer.pack_latents(jnp.asarray(m))
+
+        fill_cond = jnp.concatenate([masked_tokens, mask_tokens], axis=-1)
+        kwargs.pop("_fill_cond", None)
+        return super().run(height=height, width=width, _fill_cond=fill_cond, **kwargs)

@@ -86,22 +86,33 @@ def make_train_step(
     forward: Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray],
     optimizer,
     scale: float = 1.0,
+    remat: bool = False,
 ):
     """Build a jitted flow-matching LoRA train step.
 
     ``forward(model, batch) -> v_pred`` runs the merged model on the batch;
     the loss is MSE against the rectified-flow target (noise − x0) at the
-    batch's sigmas.
+    batch's sigmas. ``remat=True`` rematerializes the forward on the backward
+    pass (jax.checkpoint), trading FLOPs for activation memory — the TPU
+    answer to the reference's gradient checkpointing (train.py:221).
     """
+
+    def _fwd(merged_state, batch):
+        model = nnx.merge(graphdef, merged_state)
+        return forward(model, batch)
+
+    if remat:
+        _fwd = jax.checkpoint(
+            _fwd, policy=jax.checkpoint_policies.nothing_saveable
+        )
 
     def loss_fn(lora: LoraParams, batch):
         merged = apply_lora_to_state(base_state, lora, scale=scale)
-        model = nnx.merge(graphdef, merged)
         sigma = batch["sigma"]
         while sigma.ndim < batch["x0"].ndim:
             sigma = sigma[..., None]
         xt = (1.0 - sigma) * batch["x0"] + sigma * batch["noise"]
-        v_pred = forward(model, {**batch, "xt": xt})
+        v_pred = _fwd(merged, {**batch, "xt": xt})
         target = batch["noise"] - batch["x0"]
         return jnp.mean((v_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 

@@ -168,3 +168,37 @@ class TestFluxKontext:
     def test_requires_image(self, kontext_engine):
         with pytest.raises(ValueError, match="image"):
             kontext_engine.run(prompt="x", height=64, width=64, num_inference_steps=1)
+
+
+class TestFluxFill:
+    @pytest.fixture()
+    def fill_engine(self, tmp_path):
+        doc = yaml.safe_load(yaml.safe_dump(FLUX_TINY))
+        doc["spec"]["model_type"] = "fill"
+        # fill input channels: 16 noise + 16 masked img + 4 (2*2 vae scale)
+        # mask bits packed 2x2 = 16 → in_channels 48 for the tiny 2x-vae config
+        tf = next(c for c in doc["spec"]["components"] if c["type"] == "transformer")
+        tf["config"]["in_channels"] = 48
+        path = tmp_path / "flux-fill-tiny.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="fill")
+        for spec in eng.component_specs.values():
+            if spec.get("type") == "text_encoder":
+                spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_fill_runs(self, fill_engine):
+        img = np.full((64, 64, 3), 128, np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        frames = fill_engine.run(
+            image=img, mask_image=mask, prompt="fill it", height=64, width=64,
+            num_inference_steps=2, seed=3,
+        )
+        assert frames[0].shape == (64, 64, 3)
+
+    def test_fill_requires_mask(self, fill_engine):
+        with pytest.raises(ValueError, match="mask"):
+            fill_engine.run(image=np.zeros((64, 64, 3), np.uint8), prompt="x")

@@ -143,3 +143,75 @@ class TestTPShardedForward:
         with jax.sharding.set_mesh(mesh):
             out = fwd(sharded_state, x, t, cap, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def _tp_shard_state(model_cls, cfg, model, mesh):
+    from flax import nnx
+
+    rules = model_cls.sharding_rules(cfg)
+    graphdef, state = nnx.split(model)
+    flat = nnx.to_flat_state(state)
+    sharded = [
+        (kp, jax.device_put(
+            leaf.value,
+            NamedSharding(mesh, rules.spec_for(".".join(str(p) for p in kp))),
+        ))
+        for kp, leaf in flat
+    ]
+    return graphdef, nnx.from_flat_state(sharded)
+
+
+class TestTPFluxAndWan:
+    def test_flux_tp_matches_single_device(self, devices8):
+        from flax import nnx
+
+        from apex_studio_tpu.models.transformers.flux import FluxConfig, FluxTransformer2DModel
+
+        cfg = FluxConfig(
+            in_channels=16, out_channels=16, num_layers=1, num_single_layers=1,
+            attention_head_dim=16, num_attention_heads=4, joint_attention_dim=32,
+            pooled_projection_dim=16, guidance_embeds=False, axes_dims_rope=(4, 6, 6),
+        )
+        model = FluxTransformer2DModel(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+        t = jnp.full((1,), 0.5)
+        ref = model(x, txt, pooled, t, grid_hw=(4, 4))
+
+        mesh = create_mesh(dp=1, sp=1, tp=4, devices=jax.devices()[:4])
+        graphdef, state = _tp_shard_state(FluxTransformer2DModel, cfg, model, mesh)
+
+        @jax.jit
+        def fwd(state, x, txt, pooled, t):
+            return nnx.merge(graphdef, state)(x, txt, pooled, t, grid_hw=(4, 4))
+
+        with jax.sharding.set_mesh(mesh):
+            out = fwd(state, x, txt, pooled, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_wan_tp_matches_single_device(self, devices8):
+        from flax import nnx
+
+        from apex_studio_tpu.models.transformers.wan import WanConfig, WanTransformer3DModel
+
+        cfg = WanConfig(
+            num_attention_heads=4, attention_head_dim=24, in_channels=4,
+            out_channels=4, text_dim=32, freq_dim=32, ffn_dim=64, num_layers=1,
+        )
+        model = WanTransformer3DModel(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 1, 8, 8))
+        t = jnp.full((1,), 500.0)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+        ref = model(x, t, ctx)
+
+        mesh = create_mesh(dp=1, sp=1, tp=4, devices=jax.devices()[:4])
+        graphdef, state = _tp_shard_state(WanTransformer3DModel, cfg, model, mesh)
+
+        @jax.jit
+        def fwd(state, x, t, ctx):
+            return nnx.merge(graphdef, state)(x, t, ctx)
+
+        with jax.sharding.set_mesh(mesh):
+            out = fwd(state, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
