@@ -119,7 +119,8 @@ class FluxT2IEngine(BaseEngine):
 
         if self.transformer is None:
             self.load_component_by_type("transformer")
-        if self.vae is None and (not return_latents or _kontext_image is not None):
+        # The VAE defines the latent geometry — always load it.
+        if self.vae is None:
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")

@@ -123,7 +123,8 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         self.load_text_encoders()
         if self.transformer is None:
             self.load_component_by_type("transformer")
-        if self.vae is None and not return_latents:
+        # The VAE defines the latent geometry — always load it.
+        if self.vae is None:
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")

@@ -90,7 +90,8 @@ class QwenImageT2IEngine(BaseEngine):
         safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
         if self.transformer is None:
             self.load_component_by_type("transformer")
-        if self.vae is None and not return_latents:
+        # The VAE defines the latent geometry — always load it.
+        if self.vae is None:
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")

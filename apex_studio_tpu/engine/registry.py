@@ -20,6 +20,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.qwenimage",
     "apex_studio_tpu.engine.wan",
     "apex_studio_tpu.engine.hunyuanvideo15",
+    "apex_studio_tpu.engine.ltx",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

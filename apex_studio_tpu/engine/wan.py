@@ -64,7 +64,8 @@ class WanShared(BaseEngine):
         if self.transformer is None:
             spec = self._primary_transformer_spec()
             self.transformer = self._load_transformer(spec)
-        if self.vae is None and not return_latents:
+        # The VAE defines the latent geometry — always load it.
+        if self.vae is None:
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")

@@ -137,7 +137,9 @@ class ZImageT2IEngine(BaseEngine):
         # Components.
         if self.text_encoder is None:
             self.load_component_by_type("text_encoder")
-        if self.vae is None and not return_latents:
+        # The VAE defines the latent geometry — load it even for
+        # return_latents runs so shapes never depend on warm-pool state.
+        if self.vae is None:
             self.load_component_by_type("vae")
         if self.transformer is None:
             self.load_component_by_type("transformer")

@@ -426,3 +426,61 @@ converter_registry.add(
         drop=(),
     ),
 )
+
+
+converter_registry.add(
+    # LTX-Video DiT (reference transformer/ltx/base/model.py; accepts both the
+    # diffusers layout and the original Lightricks naming via the same
+    # TRANSFORMER_KEYS_RENAME_DICT pre-renames, model.py:77).
+    "ltx",
+    KeyConverter(
+        renames=[
+            # original → diffusers-style first
+            (r"^proj_in\.", "patchify_proj."),
+            (r"^time_embed\.", "adaln_single."),
+            (r"\.norm_q\.", ".q_norm."),
+            (r"\.norm_k\.", ".k_norm."),
+            # diffusers-style → our paths
+            (r"^adaln_single\.emb\.timestep_embedder\.linear_1\.", "time_embed.in_layer."),
+            (r"^adaln_single\.emb\.timestep_embedder\.linear_2\.", "time_embed.out_layer."),
+            (r"^adaln_single\.linear\.", "time_proj."),
+            (r"^caption_projection\.linear_1\.", "caption_in."),
+            (r"^caption_projection\.linear_2\.", "caption_out."),
+            (r"^transformer_blocks\.", "blocks."),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"\.ff\.net\.0\.proj\.", ".ff.fc1."),
+            (r"\.ff\.net\.2\.", ".ff.fc2."),
+            (r"(to_q|to_k|to_v|to_out|fc1|fc2|patchify_proj|proj_out|in_layer|out_layer|time_proj|caption_in|caption_out)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
+    # LTX causal video VAE (reference vae/ltx/model.py). Convs live inside
+    # CausalConv3d wrappers (".conv.weight"); per-channel statistics use
+    # hyphenated buffer names (model.py:1189).
+    "ltx_vae",
+    KeyConverter(
+        renames=[
+            (r"^vae\.", ""),
+            (r"^per_channel_statistics\.std-of-means$", "std_of_means"),
+            (r"^per_channel_statistics\.mean-of-means$", "mean_of_means"),
+            (r"\.time_embedder\.timestep_embedder\.linear_1\.", ".time_embedder.in_layer."),
+            (r"\.time_embedder\.timestep_embedder\.linear_2\.", ".time_embedder.out_layer."),
+            (r"^decoder\.last_time_embedder\.timestep_embedder\.linear_1\.", "decoder.last_time_embedder.in_layer."),
+            (r"^decoder\.last_time_embedder\.timestep_embedder\.linear_2\.", "decoder.last_time_embedder.out_layer."),
+            # torch LayerNorm lives one level deeper (model.py:2077)
+            (r"\.norm(\d)\.norm\.", r".norm\1."),
+            (r"\.conv_norm_out\.norm\.", ".conv_norm_out."),
+            # unwrap CausalConv3d
+            (r"\.conv\.conv\.weight$", ".conv.kernel"),
+            (r"\.conv\.conv\.bias$", ".conv.bias"),
+            (r"(conv_in|conv_out|conv1|conv2)\.conv\.weight$", r"\1.kernel"),
+            (r"(conv_in|conv_out|conv1|conv2)\.conv\.bias$", r"\1.bias"),
+            (r"(conv_shortcut)\.weight$", r"\1.kernel"),
+            (r"(in_layer|out_layer)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"per_channel_statistics\.(channel|mean-of-stds)",),
+    ),
+)

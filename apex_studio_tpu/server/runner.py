@@ -33,6 +33,35 @@ def _merge_inputs(config: Dict[str, Any], inputs: Dict[str, Any]) -> Dict[str, A
     return merged
 
 
+def persist_run_config(out_dir: Path, **payload: Any) -> Path:
+    import json
+
+    path = out_dir / "model_inputs.json"
+    try:
+        path.write_text(json.dumps(payload, indent=2, default=str))
+    except OSError:
+        logger.exception("failed to persist run config")
+    return path
+
+
+def replay_run(run_dir: Path, **overrides: Any):
+    """Re-execute a persisted run (the reference's captured-run fixture
+    pattern, tests/engine/test_model.py): load model_inputs.json and run the
+    engine with the same manifest + inputs."""
+    import json
+
+    from apex_studio_tpu.engine import UniversalEngine
+
+    cfg = json.loads((Path(run_dir) / "model_inputs.json").read_text())
+    engine = UniversalEngine(
+        cfg["manifest_path"], selected_components=cfg.get("selected_components") or {}
+    )
+    inputs = _merge_inputs(engine.config, cfg.get("inputs") or {})
+    inputs.update(overrides)
+    inputs.setdefault("render_on_step", False)
+    return engine, engine.run(**inputs)
+
+
 def run_engine_job(
     job: Job,
     manifest_path: str,
@@ -83,6 +112,16 @@ def run_engine_job(
     kwargs.setdefault("render_on_step", True)
     kwargs["render_on_step_callback"] = render_preview
     kwargs["progress_callback"] = progress
+
+    # Persist the run config next to the outputs — every run is a replayable
+    # golden fixture (reference _persist_run_config, ray_tasks.py:792).
+    persist_run_config(
+        out_dir,
+        manifest_path=manifest_path,
+        inputs=inputs,
+        selected_components=selected_components or {},
+        job_id=job_id,
+    )
 
     started = time.time()
     try:

@@ -186,3 +186,43 @@ class TestStepIndexHandling:
         (out,) = s.step(jnp.ones((1,)), float(s.timesteps[2]), x)
         expected = float(s.sigmas[3] - s.sigmas[2])
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+class TestRectifiedFlow:
+    def test_linear_quadratic_grid(self):
+        from apex_studio_tpu.schedulers.rectified_flow import linear_quadratic_schedule
+
+        g = linear_quadratic_schedule(10, threshold_noise=0.025)
+        assert len(g) == 10
+        assert g[0] == 1.0
+        assert np.all(np.diff(g) < 0)
+
+    def test_uniform_with_static_shift(self):
+        from apex_studio_tpu.schedulers import RectifiedFlowScheduler
+
+        s = RectifiedFlowScheduler(shift=2.0)
+        s.set_timesteps(8)
+        assert len(s.timesteps) == 8 and s.sigmas[-1] == 0.0
+
+    def test_sd3_token_shift(self):
+        from apex_studio_tpu.schedulers import RectifiedFlowScheduler
+
+        s = RectifiedFlowScheduler(shifting="SD3")
+        s.set_timesteps(8, n_tokens=4096)
+        s2 = RectifiedFlowScheduler(shifting="SD3")
+        s2.set_timesteps(8, n_tokens=1024)
+        # more tokens → higher shift → larger sigmas mid-schedule
+        assert s.sigmas[4] > s2.sigmas[4]
+
+    def test_constant_velocity_exactness(self):
+        from apex_studio_tpu.schedulers import RectifiedFlowScheduler
+
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), jnp.float32)
+        v = noise - x0
+        s = RectifiedFlowScheduler(sampler="LinearQuadratic")
+        s.set_timesteps(10)
+        x = (1 - float(s.sigmas[0])) * x0 + float(s.sigmas[0]) * noise
+        out = run_sampling(s, lambda x_, s_: v, x, 10)
+        np.testing.assert_allclose(out, np.asarray(x0), atol=2e-3)

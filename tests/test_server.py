@@ -128,8 +128,10 @@ class TestEngineJobFlow:
     def test_job_catalog(self, server):
         out = requests.get(server + "/ray/jobs").json()
         assert "jobs" in out and len(out["jobs"]) >= 1
-        job = next(iter(out["jobs"].values()))
-        assert job["category"] == "engine"
+        # The session server is shared across modules (mask/processing jobs may
+        # precede these) — assert our engine jobs are catalogued, not ordering.
+        cats = {j["category"] for j in out["jobs"].values()}
+        assert "engine" in cats
 
     def test_cancel_queued_job(self, server):
         # Submit a job then cancel immediately; depending on timing it either
@@ -143,3 +145,33 @@ class TestEngineJobFlow:
         requests.post(server + f"/engine/cancel/{job_id}")
         st = _wait_job(server, job_id)
         assert st["status"] in ("canceled", "complete")
+
+
+class TestRunPersistence:
+    def test_run_config_persisted_and_replayable(self, server):
+        """Every run writes model_inputs.json; replay produces identical latents
+        (the reference's captured-run golden-fixture pattern, SURVEY §4)."""
+        import os
+        from pathlib import Path
+
+        payload = {
+            "manifest_id": "zimage-tiny-test",
+            "inputs": {"prompt": "golden", "height": 32, "width": 32,
+                       "num_inference_steps": 2, "seed": 42,
+                       "return_latents": True},
+        }
+        job_id = requests.post(server + "/engine/run", json=payload).json()["job_id"]
+        st = _wait_job(server, job_id)
+        assert st["status"] == "complete"
+
+        from apex_studio_tpu.server.runner import engine_results_dir, replay_run
+
+        run_dir = engine_results_dir() / job_id
+        assert (run_dir / "model_inputs.json").exists()
+
+        engine, result = replay_run(run_dir)
+        # same seed + same config → identical latents
+        import numpy as np
+
+        first = np.load(run_dir / "latents.npy")
+        np.testing.assert_allclose(np.asarray(result), first, atol=1e-6)
