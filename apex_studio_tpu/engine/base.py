@@ -299,7 +299,12 @@ class BaseEngine:
         base = spec.get("base") or ""
         from apex_studio_tpu.models.registry import text_encoder_registry
 
-        family = "clip_vision" if "CLIPVision" in base else base.split(".")[0].lower()
+        if "CLIPVision" in base:
+            family = "clip_vision"
+        elif "Siglip" in base or "siglip" in base:
+            family = "siglip"
+        else:
+            family = base.split(".")[0].lower()
         model = self._instantiate_family(text_encoder_registry, spec, family)
         self.helpers[name] = model
         return model
@@ -311,6 +316,24 @@ class BaseEngine:
 
     def to_device(self, *_args: Any) -> None:
         return None
+
+    # -- media inputs -----------------------------------------------------------------
+
+    @staticmethod
+    def load_image_input(image) -> np.ndarray:
+        """Normalize an image input (HWC uint8 array, file path, or nested
+        list) to an RGB HWC uint8 array. Wire-protocol jobs pass paths."""
+        if isinstance(image, str):
+            import cv2
+
+            arr = cv2.imread(image, cv2.IMREAD_COLOR)
+            if arr is None:
+                raise FileNotFoundError(f"cannot read image: {image}")
+            return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        return arr
 
     # -- seed → latents contract ----------------------------------------------------
 

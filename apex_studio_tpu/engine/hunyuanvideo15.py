@@ -1,4 +1,4 @@
-"""HunyuanVideo 1.5 engines (t2v; i2v pending the SigLIP tower).
+"""HunyuanVideo 1.5 engines (t2v + i2v).
 
 Contract parity with the reference's ``engine/hunyuanvideo15/shared/__init__.py``:
 - mllm conditioning: Qwen2.5-VL chat template with the video-description
@@ -7,7 +7,10 @@ Contract parity with the reference's ``engine/hunyuanvideo15/shared/__init__.py`
 - byT5 glyph branch: text inside quotes is encoded by byT5-small; zeros
   otherwise (shared/__init__.py:228)
 - FlowMatchDiscrete sampler; CFG cond/uncond
-- latent packing: [noise(32) | cond(32) | mask(1)] channels; zeros for t2v
+- latent packing: [noise(32) | cond(32) | mask(1)] channels; zeros for t2v,
+  image latent at frame 0 + mask=1 for i2v (i2v.py:19)
+- i2v vision stream: SigLIP last_hidden_state (729×1152) through the DiT's
+  image_embedder with cond-type 2 (shared/__init__.py:301)
 """
 
 from __future__ import annotations
@@ -107,6 +110,7 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         num_frames: Optional[int] = None,
         num_inference_steps: int = 50,
         guidance_scale: float = 6.0,
+        guidance_rescale: float = 0.0,
         seed: Optional[int] = None,
         latents: Optional[np.ndarray] = None,
         shift: Optional[float] = None,
@@ -119,6 +123,7 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         offload: bool = True,
         **_: Any,
     ):
+        _image = _.pop("_image", None)
         safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
         self.load_text_encoders()
         if self.transformer is None:
@@ -152,9 +157,9 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         lat_t = (num_frames - 1) // t_scale + 1
         lat_h, lat_w = height // s_scale, width // s_scale
         x = self.get_latents((1, lat_c, lat_t, lat_h, lat_w), seed=seed, latents=latents)
-        # t2v packing: cond latents and mask channels are zeros.
-        cond = jnp.zeros((1, cfg_t.in_channels - lat_c - 1, lat_t, lat_h, lat_w), jnp.float32)
-        mask_ch = jnp.zeros((1, 1, lat_t, lat_h, lat_w), jnp.float32)
+        cond, mask_ch, image_embeds = self._prepare_cond(
+            _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
+        )
         safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
 
         ts, _ = self.get_timesteps(
@@ -164,16 +169,27 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         safe_emit_progress(progress_callback, 0.4, "Timesteps computed; starting denoise")
 
         graphdef, tf_state = nnx.split(self.transformer)
-        key = ("hyv15_fwd", (1, cfg_t.in_channels, lat_t, lat_h, lat_w), text.shape[1], text2.shape[1])
+        has_img = image_embeds is not None
+        key = ("hyv15_fwd", (1, cfg_t.in_channels, lat_t, lat_h, lat_w),
+               text.shape[1], text2.shape[1], has_img)
         fwd = self._jit_cache.get(key)
         if fwd is None:
+            if has_img:
 
-            @jax.jit
-            def fwd(state, x_in, t, text, text_mask, text2, text2_mask):
-                m = nnx.merge(graphdef, state)
-                return m(x_in, t, text, text_mask, text2, text2_mask)
+                @jax.jit
+                def fwd(state, x_in, t, text, text_mask, text2, text2_mask, img_emb):
+                    m = nnx.merge(graphdef, state)
+                    return m(x_in, t, text, text_mask, text2, text2_mask,
+                             image_embeds=img_emb)
+            else:
+
+                @jax.jit
+                def fwd(state, x_in, t, text, text_mask, text2, text2_mask):
+                    m = nnx.merge(graphdef, state)
+                    return m(x_in, t, text, text_mask, text2, text2_mask)
 
             self._jit_cache[key] = fwd
+        img_args = (image_embeds,) if has_img else ()
 
         denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
         model_dtype = self.transformer.dtype
@@ -182,12 +198,20 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         for i, t in enumerate(ts):
             t_vec = jnp.full((1,), float(t), jnp.float32)
             x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(model_dtype)
-            v = fwd(tf_state, x_in, t_vec, text, text_mask, text2, text2_mask)
+            v = fwd(tf_state, x_in, t_vec, text, text_mask, text2, text2_mask, *img_args)
             if use_cfg:
-                v_neg = fwd(tf_state, x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask)
+                v_neg = fwd(tf_state, x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask,
+                            *img_args)
                 v = v_neg.astype(jnp.float32) + guidance_scale * (
                     v.astype(jnp.float32) - v_neg.astype(jnp.float32)
                 )
+                if guidance_rescale and guidance_rescale > 0:
+                    # arXiv:2305.08891 §3.4 overexposure rescale (i2v.py:341)
+                    v32 = v
+                    std_pos = jnp.std(v_neg.astype(jnp.float32) + (v32 - v_neg.astype(jnp.float32)) / guidance_scale)
+                    std_cfg = jnp.std(v32)
+                    rescaled = v32 * (std_pos / jnp.maximum(std_cfg, 1e-8))
+                    v = guidance_rescale * rescaled + (1 - guidance_rescale) * v32
             (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
 
             if (
@@ -227,3 +251,74 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         b, c, t, h, w = video.shape
         frames_nchw = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
         return self.tensor_to_frames(frames_nchw)
+
+    def _prepare_cond(self, image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c):
+        """t2v: zero cond latents + zero mask channel; no vision stream."""
+        cond = jnp.zeros((1, cfg_t.in_channels - lat_c - 1, lat_t, lat_h, lat_w), jnp.float32)
+        mask_ch = jnp.zeros((1, 1, lat_t, lat_h, lat_w), jnp.float32)
+        return cond, mask_ch, None
+
+
+@register_engine("hunyuanvideo15", "i2v")
+class HunyuanVideo15I2VEngine(HunyuanVideo15T2VEngine):
+    """i2v: first-frame latent conditioning + SigLIP vision tokens
+    (reference engine/hunyuanvideo15/i2v.py)."""
+
+    def run(self, *args: Any, image=None, **kwargs: Any):
+        if image is None:
+            raise ValueError("hunyuanvideo15 i2v requires an input image")
+        kwargs["_image"] = self.load_image_input(image)
+        return super().run(*args, **kwargs)
+
+    def _encode_image_latents(self, image: np.ndarray, height: int, width: int):
+        import cv2
+
+        resized = cv2.resize(np.asarray(image), (width, height),
+                             interpolation=cv2.INTER_LANCZOS4)
+        px = resized.astype(np.float32) / 127.5 - 1.0
+        video = jnp.asarray(px.transpose(2, 0, 1))[None, :, None]  # [1,3,1,H,W]
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("hyv15_vae_encode", tuple(video.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, v):
+                return nnx.merge(graphdef, state).encode(v)
+
+            self._jit_cache[key] = enc
+        return enc(vae_state, video)  # [1,C,1,h,w]
+
+    def encode_image_siglip(self, image: np.ndarray) -> jnp.ndarray:
+        from apex_studio_tpu.models.text_encoders.siglip import preprocess_siglip_image
+
+        encoder = self.load_helper("image_encoder")
+        pixels = jnp.asarray(preprocess_siglip_image(
+            np.asarray(image), getattr(encoder.cfg, "image_size", 384)))
+        graphdef, state = nnx.split(encoder)
+        key = ("siglip_fwd", tuple(pixels.shape))
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, px):
+                return nnx.merge(graphdef, state)(px)
+
+            self._jit_cache[key] = fwd
+        return fwd(state, pixels)
+
+    def _prepare_cond(self, image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c):
+        z = self._encode_image_latents(image, height, width)  # [1,C,1,h,w]
+        cond = jnp.concatenate(
+            [z.astype(jnp.float32),
+             jnp.zeros((1, z.shape[1], lat_t - 1, lat_h, lat_w), jnp.float32)],
+            axis=2,
+        )
+        mask_ch = jnp.zeros((1, 1, lat_t, lat_h, lat_w), jnp.float32)
+        mask_ch = mask_ch.at[:, :, 0].set(1.0)
+        try:
+            image_embeds = self.encode_image_siglip(image)
+        except KeyError:
+            logger.warning("no image_encoder helper in manifest; i2v runs without vision tokens")
+            image_embeds = None
+        return cond, mask_ch, image_embeds

@@ -332,10 +332,8 @@ class LTXX2VEngine(BaseEngine):
         import cv2
 
         media = item.get("image") if item.get("image") is not None else item.get("video")
-        if isinstance(media, (str,)):
-            img = cv2.cvtColor(cv2.imread(media), cv2.COLOR_BGR2RGB)
-        else:
-            img = np.asarray(media)
+        img = (np.asarray(media) if (not isinstance(media, str) and np.asarray(media).ndim == 4)
+               else self.load_image_input(media))
         frames = img[None] if img.ndim == 3 else img  # [T,H,W,3]
         out = np.stack([
             cv2.resize(f, (width, height), interpolation=cv2.INTER_LANCZOS4)

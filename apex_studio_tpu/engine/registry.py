@@ -21,6 +21,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.wan",
     "apex_studio_tpu.engine.hunyuanvideo15",
     "apex_studio_tpu.engine.ltx",
+    "apex_studio_tpu.engine.chroma",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

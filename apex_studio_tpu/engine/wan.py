@@ -447,6 +447,7 @@ class WanI2VEngine(WanShared):
         use_cfg = guidance_scale > 1.0
         neg_context = self.encode_prompt(negative_prompt or "") if use_cfg else None
 
+        image = self.load_image_input(image)
         has_image_branch = self.transformer.cfg.image_dim is not None
         clip_feats = self.encode_image_clip(image) if has_image_branch else None
         condition = self.build_condition(image, num_frames, height, width)

@@ -484,3 +484,45 @@ converter_registry.add(
         drop=(r"per_channel_statistics\.(channel|mean-of-stds)",),
     ),
 )
+
+
+converter_registry.add(
+    # Chroma (reference transformer/chroma/base/model.py; diffusers layout).
+    "chroma",
+    KeyConverter(
+        renames=[
+            (r"^distilled_guidance_layer\.layers\.(\d+)\.linear_1\.", r"distilled_guidance_layer.layers_1.\1."),
+            (r"^distilled_guidance_layer\.layers\.(\d+)\.linear_2\.", r"distilled_guidance_layer.layers_2.\1."),
+            (r"^distilled_guidance_layer\.norms\.(\d+)\.weight$", r"distilled_guidance_layer.norms.\1.weight"),
+            (r"\.attn\.to_out\.0\.", ".attn.to_out."),
+            (r"\.attn\.(to_q|to_k|to_v|to_out|add_q_proj|add_k_proj|add_v_proj|to_add_out|norm_q|norm_k|norm_added_q|norm_added_k)\.", r".attn.\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff\.net\.0\.proj\.", ".ff.fc1."),
+            (r"\.ff\.net\.2\.", ".ff.fc2."),
+            (r"\.ff_context\.net\.0\.proj\.", ".ff_context.fc1."),
+            (r"\.ff_context\.net\.2\.", ".ff_context.fc2."),
+            (r"(x_embedder|context_embedder|to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|proj_mlp|proj_out|in_proj|out_proj|linear_1|linear_2|layers_1\.\d+|layers_2\.\d+)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed", r"mod_proj"),
+    ),
+)
+
+
+converter_registry.add(
+    # SigLIP vision tower (transformers SiglipVisionModel layout).
+    "siglip",
+    KeyConverter(
+        renames=[
+            (r"^vision_model\.embeddings\.patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^vision_model\.embeddings\.patch_embedding\.bias$", "patch_embedding.bias"),
+            (r"^vision_model\.embeddings\.position_embedding\.weight$", "position_embedding"),
+            (r"^vision_model\.post_layernorm\.", "post_layernorm."),
+            (r"^vision_model\.encoder\.layers\.", "layers."),
+            (r"\.mlp\.fc1\.", ".fc1."),
+            (r"\.mlp\.fc2\.", ".fc2."),
+            (r"(q_proj|k_proj|v_proj|out_proj|fc1|fc2)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^vision_model\.head", r"^text_model", r"^logit_"),
+    ),
+)

@@ -23,6 +23,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.qwenimage",
         "apex_studio_tpu.models.transformers.hunyuanvideo15",
         "apex_studio_tpu.models.transformers.ltx",
+        "apex_studio_tpu.models.transformers.chroma",
         "apex_studio_tpu.models.vaes.autoencoder_kl",
         "apex_studio_tpu.models.vaes.wan_vae",
         "apex_studio_tpu.models.text_encoders.qwen3",
@@ -30,6 +31,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.text_encoders.t5",
         "apex_studio_tpu.models.text_encoders.clip",
         "apex_studio_tpu.models.text_encoders.clip_vision",
+        "apex_studio_tpu.models.text_encoders.siglip",
         "apex_studio_tpu.models.vaes.hunyuanvideo15_vae",
         "apex_studio_tpu.models.vaes.ltx_vae",
     ):

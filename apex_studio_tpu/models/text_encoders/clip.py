@@ -40,6 +40,8 @@ class CLIPTextConfig:
 def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
     if name == "quick_gelu":
         return x * nnx.sigmoid(1.702 * x)
+    if name in ("gelu_tanh", "gelu_pytorch_tanh", "gelu_new"):
+        return nnx.gelu(x, approximate=True)
     return nnx.gelu(x, approximate=False)
 
 

@@ -106,7 +106,7 @@ class FluxJointAttention(nnx.Module):
         self.heads = cfg.num_attention_heads
         self.head_dim = cfg.attention_head_dim
 
-    def __call__(self, img, txt, rope_cos, rope_sin):
+    def __call__(self, img, txt, rope_cos, rope_sin, mask_bias=None):
         b, n_img, _ = img.shape
         n_txt = txt.shape[1]
 
@@ -126,7 +126,7 @@ class FluxJointAttention(nnx.Module):
         v = jnp.concatenate([v_t, v_i], axis=1)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
-        out = attention_op(q, k, v).reshape(b, n_txt + n_img, -1)
+        out = attention_op(q, k, v, bias=mask_bias).reshape(b, n_txt + n_img, -1)
         txt_out, img_out = out[:, :n_txt], out[:, n_txt:]
         return self.to_out(img_out), self.to_add_out(txt_out)
 

@@ -139,3 +139,71 @@ class TestHYV15EndToEnd:
         a = engine.run(**kw)
         b = engine.run(**kw)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+@pytest.fixture(scope="module")
+def i2v_engine(tmp_path_factory):
+    import copy
+
+    doc = copy.deepcopy(HYV_TINY)
+    doc["metadata"]["id"] = "hyv15-i2v-tiny-test"
+    doc["spec"]["model_type"] = "i2v"
+    for c in doc["spec"]["components"]:
+        if c["type"] == "transformer":
+            # i2v input: 4 noise + 4 cond + 1 mask
+            c["config"]["in_channels"] = 9
+    doc["spec"]["components"].append({
+        "type": "helper",
+        "name": "image_encoder",
+        "base": "SiglipVisionModel",
+        "config": {
+            "hidden_size": 16,
+            "intermediate_size": 32,
+            "num_hidden_layers": 1,
+            "num_attention_heads": 2,
+            "image_size": 28,
+            "patch_size": 14,
+        },
+    })
+    # vision stream feeds the DiT image_embedder
+    for c in doc["spec"]["components"]:
+        if c["type"] == "transformer":
+            c["config"]["image_embed_dim"] = 16
+    path = tmp_path_factory.mktemp("manifests") / "hyv15-i2v-tiny.yml"
+    path.write_text(yaml.safe_dump(doc))
+    from apex_studio_tpu.engine import UniversalEngine
+
+    eng = UniversalEngine(path)
+    for spec in eng.component_specs.values():
+        if spec.get("type") == "text_encoder":
+            spec["tokenizer"] = make_tokenizer()
+    return eng
+
+
+class TestHYV15I2V:
+    def test_i2v_produces_frames(self, i2v_engine):
+        rng = np.random.default_rng(0)
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        frames = i2v_engine.run(
+            prompt="animate this", image=img, height=16, width=16,
+            num_frames=3, num_inference_steps=2, guidance_scale=1.0, seed=3,
+        )
+        assert len(frames) == 3
+        assert frames[0].shape == (16, 16, 3)
+
+    def test_i2v_requires_image(self, i2v_engine):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            i2v_engine.run(prompt="x", height=16, width=16, num_frames=3,
+                           num_inference_steps=1)
+
+    def test_image_changes_output(self, i2v_engine):
+        rng = np.random.default_rng(1)
+        img_a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        img_b = np.zeros((16, 16, 3), np.uint8)
+        kw = dict(prompt="x", height=16, width=16, num_frames=3,
+                  num_inference_steps=1, guidance_scale=1.0, seed=3,
+                  return_latents=True)
+        a = np.asarray(i2v_engine.run(image=img_a, **kw))
+        b = np.asarray(i2v_engine.run(image=img_b, **kw))
+        assert not np.allclose(a, b)
