@@ -526,3 +526,34 @@ converter_registry.add(
         drop=(r"^vision_model\.head", r"^text_model", r"^logit_"),
     ),
 )
+
+
+# SkyReels V2 shares the wan key layout plus the fps embedding/projection
+# (reference transformer/skyreels/base/model.py:102).
+converter_registry.add(
+    "skyreels",
+    KeyConverter(
+        renames=[
+            (r"^condition_embedder\.time_embedder\.linear_(\d)\.", r"time_embedder_linear_\1."),
+            (r"^condition_embedder\.time_proj\.", "time_proj."),
+            (r"^condition_embedder\.text_embedder\.linear_(\d)\.", r"text_embedder_linear_\1."),
+            (r"^condition_embedder\.fps_embedding\.weight$", "fps_embedding"),
+            (r"^condition_embedder\.fps_projection\.0\.", "fps_projection_1."),
+            (r"^condition_embedder\.fps_projection\.2\.", "fps_projection_2."),
+            (r"^condition_embedder\.image_embedder\.norm1\.weight$", "img_norm1"),
+            (r"^condition_embedder\.image_embedder\.norm1\.bias$", "img_norm1_bias"),
+            (r"^condition_embedder\.image_embedder\.norm2\.weight$", "img_norm2"),
+            (r"^condition_embedder\.image_embedder\.norm2\.bias$", "img_norm2_bias"),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.0\.proj\.", "img_ff1."),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.2\.", "img_ff2."),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"\.norm2\.weight$", ".norm2_weight"),
+            (r"\.norm2\.bias$", ".norm2_bias"),
+            (r"\.ffn\.net\.0\.proj\.", ".ffn.fc1."),
+            (r"\.ffn\.net\.2\.", ".ffn.fc2."),
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|time_proj|fc1|fc2|img_ff1|img_ff2|proj_out|fps_projection_\d|time_embedder_linear_\d|text_embedder_linear_\d)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^rope\.", r"\.freqs"),
+    ),
+)

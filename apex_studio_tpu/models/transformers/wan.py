@@ -48,6 +48,9 @@ class WanConfig:
     num_layers: int = 40
     cross_attn_norm: bool = True
     eps: float = 1e-6
+    # SkyReels (reference transformer/skyreels/base/model.py:81): a 2-entry
+    # fps embedding whose 6·dim projection is added to every block's temb.
+    inject_sample_info: bool = False
     image_dim: Optional[int] = None         # 1280 for i2v (CLIP features)
     added_kv_proj_dim: Optional[int] = None  # set for i2v cross-attn image kv
     rope_max_seq_len: int = 1024
@@ -133,10 +136,15 @@ class WanTransformerBlock(nnx.Module):
         self.eps = cfg.eps
 
     def __call__(self, x, context, temb6, rope_cos, rope_sin, context_image=None):
-        # temb6: [B, 6, dim] f32
-        mods = (self.scale_shift_table.value + temb6).astype(x.dtype)
-        shift_msa, scale_msa, gate_msa = mods[:, 0:1], mods[:, 1:2], mods[:, 2:3]
-        c_shift, c_scale, c_gate = mods[:, 3:4], mods[:, 4:5], mods[:, 5:6]
+        # temb6: [B, 6, dim] f32, or [B, N, 6, dim] per-token (diffusion forcing)
+        if temb6.ndim == 4:
+            mods = (self.scale_shift_table.value[:, :, None] + temb6.swapaxes(1, 2)).astype(x.dtype)
+            shift_msa, scale_msa, gate_msa = mods[:, 0], mods[:, 1], mods[:, 2]
+            c_shift, c_scale, c_gate = mods[:, 3], mods[:, 4], mods[:, 5]
+        else:
+            mods = (self.scale_shift_table.value + temb6).astype(x.dtype)
+            shift_msa, scale_msa, gate_msa = mods[:, 0:1], mods[:, 1:2], mods[:, 2:3]
+            c_shift, c_scale, c_gate = mods[:, 3:4], mods[:, 4:5], mods[:, 5:6]
 
         norm_x = layer_norm(x, eps=self.eps) * (1 + scale_msa) + shift_msa
         x = x + self.attn1(norm_x, rope_cos=rope_cos, rope_sin=rope_sin) * gate_msa
@@ -171,6 +179,12 @@ class WanTransformer3DModel(nnx.Module):
         self.time_proj = Linear(d, 6 * d, **lkw)
         self.text_embedder_linear_1 = Linear(cfg.text_dim, d, **lkw)
         self.text_embedder_linear_2 = Linear(d, d, **lkw)
+        if cfg.inject_sample_info:
+            self.fps_embedding = nnx.Param(
+                nnx.initializers.normal(0.02)(rngs.params(), (2, d), jnp.float32)
+            )
+            self.fps_projection_1 = Linear(d, d, **lkw)
+            self.fps_projection_2 = Linear(d, 6 * d, **lkw)
         if cfg.image_dim is not None:
             self.img_norm1 = nnx.Param(jnp.ones((cfg.image_dim,), jnp.float32))
             self.img_norm1_bias = nnx.Param(jnp.zeros((cfg.image_dim,), jnp.float32))
@@ -234,19 +248,38 @@ class WanTransformer3DModel(nnx.Module):
     def __call__(
         self,
         x: jnp.ndarray,                 # [B, C, T, H, W] latents
-        t: jnp.ndarray,                 # [B] timestep values (0..1000 scale)
+        t: jnp.ndarray,                 # [B] or [B, T_lat] timesteps (0..1000)
         context: jnp.ndarray,           # [B, L, text_dim] UMT5 features
         context_image: Optional[jnp.ndarray] = None,  # [B, Li, image_dim] CLIP
+        fps_index: Optional[jnp.ndarray] = None,      # [B] int 0|1 (skyreels)
     ) -> jnp.ndarray:
         cfg = self.cfg
         b, c, tt, hh, ww = x.shape
         pt, ph, pw = cfg.patch_size
 
-        t_freq = timestep_embedding(t.astype(jnp.float32), cfg.freq_dim, flip_sin_to_cos=True)
+        per_frame = t.ndim == 2  # diffusion forcing (skyreels df)
+        t_freq = timestep_embedding(
+            t.reshape(-1).astype(jnp.float32), cfg.freq_dim, flip_sin_to_cos=True
+        )
         temb = self.time_embedder_linear_2(
             nnx.silu(self.time_embedder_linear_1(t_freq.astype(self.dtype)))
         )
-        temb6 = self.time_proj(nnx.silu(temb)).astype(jnp.float32).reshape(b, 6, cfg.dim)
+        temb6 = self.time_proj(nnx.silu(temb)).astype(jnp.float32).reshape(-1, 6, cfg.dim)
+        if cfg.inject_sample_info and fps_index is not None:
+            fps_emb = self.fps_embedding.value[fps_index].astype(self.dtype)
+            fps6 = self.fps_projection_2(
+                nnx.silu(self.fps_projection_1(fps_emb))
+            ).astype(jnp.float32).reshape(b, 6, cfg.dim)
+            temb6 = temb6 + (jnp.tile(fps6, (temb6.shape[0] // b, 1, 1))
+                             if per_frame else fps6)
+        if per_frame:
+            # [B·T_lat, …] → broadcast each frame's conditioning over its
+            # h·w tokens: [B, N_tokens, …] with token order (t, h, w).
+            f_lat = t.shape[1]
+            hw = (hh // ph) * (ww // pw)
+            assert f_lat == tt // pt
+            temb = jnp.repeat(temb.reshape(b, f_lat, cfg.dim), hw, axis=1)
+            temb6 = jnp.repeat(temb6.reshape(b, f_lat, 6, cfg.dim), hw, axis=1)
 
         ctx = self.text_embedder_linear_2(
             nnx.gelu(self.text_embedder_linear_1(context.astype(self.dtype)), approximate=True)
@@ -265,7 +298,22 @@ class WanTransformer3DModel(nnx.Module):
             tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin, context_image=ctx_img)
 
         # Final modulated norm: table order is (shift, scale).
-        table = self.scale_shift_table.value + temb.astype(jnp.float32)[:, None, :]
-        shift, scale = table[:, 0:1].astype(tokens.dtype), table[:, 1:2].astype(tokens.dtype)
+        if per_frame:
+            table = self.scale_shift_table.value[:, :, None] \
+                + temb.astype(jnp.float32)[:, None, :, :]   # [B, 2, N, d]
+            shift = table[:, 0].astype(tokens.dtype)
+            scale = table[:, 1].astype(tokens.dtype)
+        else:
+            table = self.scale_shift_table.value + temb.astype(jnp.float32)[:, None, :]
+            shift, scale = table[:, 0:1].astype(tokens.dtype), table[:, 1:2].astype(tokens.dtype)
         tokens = layer_norm(tokens, eps=cfg.eps) * (1 + scale) + shift
         return self.unpatchify(self.proj_out(tokens), tt, hh, ww)
+
+
+# SkyReels V2 is this architecture with inject_sample_info=True and
+# diffusion-forcing per-frame timesteps (reference transformer/skyreels/base/
+# model.py:362 SkyReelsTransformer3DModel).
+transformer_registry.add(
+    "skyreels.base", WanTransformer3DModel,
+    aliases=("skyreels", "SkyReelsTransformer3DModel"),
+)

@@ -126,6 +126,9 @@ class TextEncoder:
             "output": output,
             "base": self.base,
             "weights": str((self.spec.get("model_path") or ""))[:256],
+            # distinguish configs sharing a base but different dims (and
+            # weightless test models, which would otherwise collide)
+            "config": self.spec.get("config") or self.spec.get("config_path") or "",
         }
         cached = cache.load(cache_key)
         if cached is not None:
