@@ -531,6 +531,184 @@ class WanI2VEngine(WanShared):
         return fwd
 
 
+def _frames_to_video_tensor(frames: List[np.ndarray], height: int, width: int) -> jnp.ndarray:
+    """HWC uint8 frames → [1, 3, T, H, W] in [-1, 1]."""
+    import cv2
+
+    stacked = np.stack(
+        [cv2.resize(f, (width, height), interpolation=cv2.INTER_LANCZOS4) for f in frames]
+    )
+    video = stacked.astype(np.float32) / 127.5 - 1.0  # [T,H,W,3]
+    return jnp.asarray(video.transpose(3, 0, 1, 2))[None]
+
+
+class _WanVaeEncodeMixin:
+    """VAE-encode helpers shared by the conditioned Wan engines."""
+
+    def encode_video_latents(self, video: jnp.ndarray) -> jnp.ndarray:
+        """[1,3,T,H,W] pixels → [1,16,T_lat,h,w] latents via the 3D-causal VAE."""
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("wan_vae_encode", tuple(video.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, v):
+                return nnx.merge(graphdef, state).encode(v)
+
+            self._jit_cache[key] = enc
+        return enc(vae_state, video.astype(jnp.float32))
+
+
+@register_engine("wan", "v2v")
+class WanV2VEngine(WanShared, _WanVaeEncodeMixin):
+    """Video-to-video: VAE-encode the input video, corrupt it to ``strength``
+    on the rectified-flow path, and denoise the remaining schedule tail
+    (reference engine/wan/v2v.py — strength semantics match diffusers:
+    ``strength=1`` is full resampling, ``0`` returns the input)."""
+
+    def run(
+        self,
+        video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: Optional[int] = None,
+        strength: float = 0.7,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        guidance_scale_2: Optional[float] = None,
+        boundary_ratio: Optional[float] = None,
+        seed: Optional[int] = None,
+        shift: Optional[float] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting v2v pipeline")
+        self.load_components(return_latents=False)
+        if video is None:
+            raise ValueError("v2v requires an input video")
+        if isinstance(video, (str, bytes)) or hasattr(video, "__fspath__"):
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            video = load_frames(video, max_frames=num_frames)
+        frames_in = [np.asarray(f) for f in video]
+
+        vae_cfg = self.vae.cfg
+        s_scale, t_scale = vae_cfg.spatial_scale, vae_cfg.temporal_scale
+        pt, ph, pw = self.transformer.cfg.patch_size
+        height -= height % (s_scale * ph)
+        width -= width % (s_scale * pw)
+        n = len(frames_in)
+        n = max(1, n - (n - 1) % t_scale)
+        frames_in = frames_in[:n]
+
+        source = self.encode_video_latents(_frames_to_video_tensor(frames_in, height, width))
+        safe_emit_progress(progress_callback, 0.2, "Encoded source video")
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt or "") if use_cfg else None
+
+        ts_full, _ = self.get_timesteps(
+            self.scheduler, num_inference_steps,
+            **({"shift": shift} if shift is not None else {}),
+        )
+        # Keep the schedule tail: start denoising from sigma ≈ strength.
+        start = min(int(round(num_inference_steps * (1.0 - strength))), len(ts_full) - 1)
+        ts = ts_full[start:]
+        if hasattr(self.scheduler, "set_begin_index"):
+            self.scheduler.set_begin_index(start)
+
+        noise = self.get_latents(source.shape, seed=seed)
+        x = self.scheduler.add_noise(source.astype(jnp.float32), noise, ts[0])
+        boundary_timestep = (
+            boundary_ratio * getattr(self.scheduler, "num_train_timesteps", 1000)
+            if boundary_ratio is not None
+            else None
+        )
+        safe_emit_progress(progress_callback, 0.35, "Corrupted source; starting denoise")
+
+        x = self.denoise(
+            x, ts, context, neg_context, guidance_scale, guidance_scale_2,
+            boundary_timestep, render_on_step_callback, render_on_step_interval,
+            render_on_step, make_mapped_progress(progress_callback, 0.35, 0.9),
+        )
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
+        return frames
+
+
+@register_engine("wan", "fflf")
+class WanFFLFEngine(WanI2VEngine, _WanVaeEncodeMixin):
+    """First-frame-last-frame interpolation (reference engine/wan/fflf.py):
+    i2v conditioning where both endpoint frames are valid — condition =
+    [4ch temporal mask with first+last set | VAE([first, 0…0, last])] and the
+    CLIP branch sees the concatenated features of both endpoints."""
+
+    def build_fflf_condition(
+        self, first: np.ndarray, last: np.ndarray, num_frames: int, height: int, width: int
+    ) -> jnp.ndarray:
+        import cv2
+
+        t_scale = self.vae.cfg.temporal_scale
+        lat_t = (num_frames - 1) // t_scale + 1
+
+        def to_chw(img: np.ndarray) -> jnp.ndarray:
+            resized = cv2.resize(img, (width, height), interpolation=cv2.INTER_LANCZOS4)
+            return jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+
+        video = jnp.concatenate(
+            [
+                to_chw(first)[None, :, None],
+                jnp.zeros((1, 3, num_frames - 2, height, width)),
+                to_chw(last)[None, :, None],
+            ],
+            axis=2,
+        )
+        latent_condition = self.encode_video_latents(video)
+
+        lat_h, lat_w = latent_condition.shape[-2:]
+        mask = np.zeros((1, 1, num_frames, lat_h, lat_w), np.float32)
+        mask[:, :, 0] = 1.0
+        mask[:, :, -1] = 1.0
+        first_rep = np.repeat(mask[:, :, :1], t_scale, axis=2)
+        mask = np.concatenate([first_rep, mask[:, :, 1:]], axis=2)
+        mask = mask.reshape(1, lat_t, t_scale, lat_h, lat_w).transpose(0, 2, 1, 3, 4)
+        return jnp.concatenate([jnp.asarray(mask), latent_condition], axis=1)
+
+    def run(self, image: Any = None, last_image: Any = None, **kwargs: Any):
+        if image is None or last_image is None:
+            raise ValueError("fflf requires both `image` (first frame) and `last_image`")
+        self._fflf_last = self.load_image_input(
+            np.asarray(last_image)
+            if not (isinstance(last_image, (str, bytes)) or hasattr(last_image, "__fspath__"))
+            else last_image
+        )
+        try:
+            return super().run(image=image, **kwargs)
+        finally:
+            self._fflf_last = None
+
+    # i2v hooks, overridden to fold in the last frame --------------------------------
+
+    def build_condition(self, image: np.ndarray, num_frames: int, height: int, width: int):
+        return self.build_fflf_condition(image, self._fflf_last, num_frames, height, width)
+
+    def encode_image_clip(self, image: np.ndarray) -> jnp.ndarray:
+        first = super().encode_image_clip(image)
+        last = super().encode_image_clip(self._fflf_last)
+        return jnp.concatenate([first, last], axis=1)
+
+
 @register_engine("wan", "t2i")
 class WanT2IEngine(WanShared):
     """Single-frame t2v → image (the Wan 2.2 A14B text-to-image manifest)."""

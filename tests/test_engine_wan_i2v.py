@@ -122,3 +122,92 @@ class TestWanI2V:
         with pytest.raises(ValueError, match="image"):
             eng.run(prompt="x", height=32, width=32, num_frames=5,
                     num_inference_steps=1, guidance_scale=1.0)
+
+
+def sample_video(n=5, h=32, w=32):
+    rng = np.random.default_rng(0)
+    return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+class TestWanV2V:
+    def make_engine(self, tmp_path):
+        doc = yaml.safe_load(yaml.safe_dump(WAN_TINY))
+        doc["spec"]["model_type"] = "v2v"
+        path = tmp_path / "wan-tiny-v2v.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="v2v")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_v2v_produces_frames(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        frames = eng.run(
+            video=sample_video(), prompt="restyle", height=32, width=32,
+            strength=0.6, num_inference_steps=3, guidance_scale=1.0, seed=3,
+        )
+        assert len(frames) == 5
+        assert frames[0].shape == (32, 32, 3)
+
+    def test_low_strength_stays_close_to_source(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        vid = sample_video()
+        lo = eng.run(video=vid, prompt="x", height=32, width=32, strength=0.1,
+                     num_inference_steps=10, guidance_scale=1.0, seed=1,
+                     return_latents=True)
+        hi = eng.run(video=vid, prompt="x", height=32, width=32, strength=0.9,
+                     num_inference_steps=10, guidance_scale=1.0, seed=1,
+                     return_latents=True)
+        src = eng.encode_video_latents(
+            __import__("apex_studio_tpu.engine.wan", fromlist=["x"])
+            ._frames_to_video_tensor(vid, 32, 32))
+        d_lo = float(np.abs(np.asarray(lo) - np.asarray(src)).mean())
+        d_hi = float(np.abs(np.asarray(hi) - np.asarray(src)).mean())
+        assert d_lo < d_hi  # weaker corruption → closer to the source video
+
+    def test_requires_video(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        with pytest.raises(ValueError, match="video"):
+            eng.run(prompt="x", height=32, width=32, num_inference_steps=1,
+                    guidance_scale=1.0)
+
+
+class TestWanFFLF:
+    def make_engine(self, tmp_path):
+        doc = yaml.safe_load(yaml.safe_dump(WAN_TINY))
+        doc["spec"]["model_type"] = "fflf"
+        tf = next(c for c in doc["spec"]["components"] if c["type"] == "transformer")
+        tf["config"]["in_channels"] = 10  # 4 noise + 2 mask + 4 latent
+        path = tmp_path / "wan-tiny-fflf.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="fflf")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_fflf_produces_frames(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        frames = eng.run(
+            image=sample_image(), last_image=sample_image()[::-1].copy(),
+            prompt="morph", height=32, width=32, num_frames=5,
+            num_inference_steps=2, guidance_scale=1.0, seed=3,
+        )
+        assert len(frames) == 5
+
+    def test_condition_marks_both_endpoints(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        eng.load_components(return_latents=False)
+        cond = eng.build_fflf_condition(
+            sample_image(), sample_image()[::-1].copy(), 5, 32, 32)
+        mask = np.asarray(cond)[:, :2]  # t_scale=2 mask channels
+        assert mask[0, 0, 0].max() == 1.0   # first latent frame valid
+        assert mask[0, -1, -1].max() == 1.0  # last latent frame valid
+        assert mask[0, :, 1].max() == 0.0    # middle invalid
+
+    def test_requires_both_frames(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        with pytest.raises(ValueError, match="last_image"):
+            eng.run(image=sample_image(), prompt="x", height=32, width=32,
+                    num_frames=5, num_inference_steps=1, guidance_scale=1.0)
