@@ -30,18 +30,27 @@ SYSTEM_MESSAGE = (
     "Describe the image by detailing the color, shape, size, texture, quantity, "
     "text, spatial relationships of the objects and background:"
 )
+EDIT_SYSTEM_MESSAGE = (
+    "Describe the key features of the input image (color, shape, size, texture, "
+    "objects, background), then explain how the user's text instruction should "
+    "alter or modify the image. Generate a new image that meets the user's "
+    "requirements while maintaining consistency with the original input where "
+    "appropriate."
+)
 DROP_IDX = 34  # tokens of the chat-template prefix to crop
 
 
 @register_engine("qwenimage", "t2i")
 class QwenImageT2IEngine(BaseEngine):
+    system_message = SYSTEM_MESSAGE
+
     def encode_prompt(self, prompt: str, max_length: int = 1024):
         if self.text_encoder is None:
             self.load_component_by_type("text_encoder")
         te = self.text_encoder
         model = te._ensure_model()
         text = (
-            f"<|im_start|>system\n{SYSTEM_MESSAGE}<|im_end|>\n"
+            f"<|im_start|>system\n{self.system_message}<|im_end|>\n"
             f"<|im_start|>user\n{prompt}<|im_end|>\n<|im_start|>assistant\n"
         )
         ids, mask = te.tokenize([text], max_length + DROP_IDX)
@@ -182,6 +191,34 @@ class QwenImageT2IEngine(BaseEngine):
         safe_emit_progress(progress_callback, 1.0, "Completed t2i pipeline")
         return frames
 
+    # -- image-conditioning hooks (used by the edit engines) ---------------------------
+
+    def encode_image_latents(self, image: np.ndarray, height: int, width: int) -> jnp.ndarray:
+        """RGB uint8 → packed latent tokens via the manifest VAE."""
+        import cv2
+
+        from apex_studio_tpu.models.vaes.wan_vae import AutoencoderKLWan
+
+        resized = cv2.resize(image, (width, height), interpolation=cv2.INTER_LANCZOS4)
+        px = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)[None]
+        is_video_vae = isinstance(self.vae, AutoencoderKLWan)
+        key = ("vae_encode", tuple(px.shape), is_video_vae)
+        enc = self._jit_cache.get(key)
+        if enc is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def enc(state, v):
+                m = nnx.merge(graphdef, state)
+                if is_video_vae:
+                    return m.encode(v[:, :, None])[:, :, 0]
+                return m.encode(v)
+
+            self._jit_cache[key] = enc
+        _, vae_state = nnx.split(self.vae)
+        z = enc(vae_state, px.astype(jnp.float32))
+        return self.transformer.pack_latents(z.astype(jnp.float32))
+
     def _decode_frames(self, packed: jnp.ndarray, lat_h: int, lat_w: int) -> List[np.ndarray]:
         from apex_studio_tpu.models.vaes.wan_vae import AutoencoderKLWan
 
@@ -204,3 +241,145 @@ class QwenImageT2IEngine(BaseEngine):
         _, vae_state = nnx.split(self.vae)
         img = dec(vae_state, z.astype(jnp.float32))
         return self.tensor_to_frames(img)
+
+
+@register_engine("qwenimage", "edit", "edit_plus")
+class QwenImageEditEngine(QwenImageT2IEngine):
+    """Instruction-based image editing (reference engine/qwenimage/edit.py and
+    edit_plus.py "2509"): conditioning images are VAE-encoded, packed, and
+    appended to the noise token sequence; each condition grid becomes a later
+    RoPE "frame" (diffusers img_shapes convention); the DiT output is sliced
+    back to the noise tokens. ``edit_plus`` differs only in allowing multiple
+    condition images — both map here, with `image` as a path/array or a list.
+
+    Divergence note: the reference conditions the Qwen2.5-VL encoder on the
+    image via vision tokens; this build conditions the text branch on the edit
+    system prompt only (the vision tower is a planned helper) while the DiT
+    sees the full image latents.
+    """
+
+    system_message = EDIT_SYSTEM_MESSAGE
+
+    def run(
+        self,
+        image: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        true_cfg_scale: float = 4.0,
+        seed: Optional[int] = None,
+        sigmas: Optional[List[float]] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting edit pipeline")
+        if image is None:
+            raise ValueError("edit requires at least one input image")
+        images = image if isinstance(image, (list, tuple)) else [image]
+        images = [self.load_image_input(im) for im in images]
+
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+        txt = self.encode_prompt(prompt or "")
+        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
+        safe_emit_progress(progress_callback, 0.15, "Prompts ready")
+
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+        lat_c = cfg_t.out_channels
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+
+        cond_tokens = [self.encode_image_latents(im, height, width) for im in images]
+        cond = jnp.concatenate(cond_tokens, axis=1)
+        cond_segments = tuple((lat_h // 2, lat_w // 2) for _ in cond_tokens)
+        safe_emit_progress(progress_callback, 0.3, "Condition images encoded")
+
+        noise = self.get_latents((1, lat_c, lat_h, lat_w), seed=seed)
+        x = self.transformer.pack_latents(noise.astype(jnp.float32))
+        n_noise = x.shape[1]
+
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = compute_dynamic_shift_mu(
+            n_noise,
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps, sigmas=sigmas, mu=mu
+        )
+        self.scheduler.set_begin_index(0)
+        safe_emit_progress(progress_callback, 0.4, "Timesteps computed")
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        grid = (lat_h // 2, lat_w // 2)
+
+        def make_fwd(n_txt):
+            key = ("qwenimage_edit_fwd", x.shape, cond.shape, n_txt)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(state, xt, cond, txt, t):
+                    m = nnx.merge(graphdef, state)
+                    seq = jnp.concatenate([xt, cond.astype(xt.dtype)], axis=1)
+                    out = m(seq, txt, t, grid_hw=grid, extra_segments=cond_segments)
+                    return out[:, :n_noise]
+
+                self._jit_cache[key] = fwd
+            return fwd
+
+        fwd_pos = make_fwd(txt.shape[1])
+        fwd_neg = make_fwd(neg_txt.shape[1]) if use_cfg else None
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        model_dtype = self.transformer.dtype
+        for i, t in enumerate(ts):
+            t_vec = jnp.full((1,), float(t) / 1000.0, jnp.float32)
+            x_in = x.astype(model_dtype)
+            v = fwd_pos(tf_state, x_in, cond, txt, t_vec)
+            if use_cfg:
+                v_neg = fwd_neg(tf_state, x_in, cond, neg_txt, t_vec)
+                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
+                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                )
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+
+            if (
+                render_on_step
+                and render_on_step_callback is not None
+                and num_inference_steps > 8
+                and (i + 1) % render_on_step_interval == 0
+                and i + 1 < len(ts)
+            ):
+                try:
+                    render_on_step_callback(self._decode_frames(x, lat_h, lat_w), i)
+                except Exception:
+                    logger.exception("preview callback failed")
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
+
+        safe_emit_progress(progress_callback, 0.9, "Denoising complete")
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self._decode_frames(x, lat_h, lat_w)
+        safe_emit_progress(progress_callback, 1.0, "Completed edit pipeline")
+        return frames

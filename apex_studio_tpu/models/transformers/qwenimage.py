@@ -155,12 +155,21 @@ class QwenImageTransformer2DModel(nnx.Module):
 
     # -- geometry (scale_rope convention) ---------------------------------------------
 
-    def rope_tables(self, h_tok: int, w_tok: int, n_txt: int):
-        img_ids = np.zeros((h_tok, w_tok, 3), np.int64)
-        img_ids[..., 1] = (np.arange(h_tok) - h_tok // 2)[:, None]
-        img_ids[..., 2] = (np.arange(w_tok) - w_tok // 2)[None, :]
-        img_ids = img_ids.reshape(-1, 3)
-        max_vid = max(h_tok // 2, w_tok // 2)
+    def rope_tables(self, h_tok: int, w_tok: int, n_txt: int, extra_segments=()):
+        """Axial RoPE ids. ``extra_segments`` adds condition-image token grids
+        (QwenImage Edit: each conditioning image is a later "frame", getting
+        frame id 1, 2, … while keeping centered spatial coordinates — the
+        diffusers img_shapes convention)."""
+        segs = [(h_tok, w_tok)] + list(extra_segments)
+        parts = []
+        for frame, (ht, wt) in enumerate(segs):
+            ids = np.zeros((ht, wt, 3), np.int64)
+            ids[..., 0] = frame
+            ids[..., 1] = (np.arange(ht) - ht // 2)[:, None]
+            ids[..., 2] = (np.arange(wt) - wt // 2)[None, :]
+            parts.append(ids.reshape(-1, 3))
+        img_ids = np.concatenate(parts, axis=0)
+        max_vid = max(max(ht // 2, wt // 2) for ht, wt in segs)
         txt_ids = np.stack([max_vid + np.arange(n_txt)] * 3, axis=-1)
         icos, isin = precompute_axial_freqs(
             jnp.asarray(img_ids)[None], self.cfg.axes_dims_rope, self.cfg.rope_theta
@@ -180,6 +189,7 @@ class QwenImageTransformer2DModel(nnx.Module):
         encoder_hidden_states: jnp.ndarray,  # [B, N_txt, 3584]
         timestep: jnp.ndarray,               # [B] in [0, 1]
         grid_hw: Tuple[int, int] = None,
+        extra_segments: Tuple[Tuple[int, int], ...] = (),
     ) -> jnp.ndarray:
         b, n_img, _ = hidden_states.shape
         n_txt = encoder_hidden_states.shape[1]
@@ -193,7 +203,7 @@ class QwenImageTransformer2DModel(nnx.Module):
 
         img = self.img_in(hidden_states.astype(self.dtype))
         txt = self.txt_in(self.txt_norm(encoder_hidden_states.astype(self.dtype)))
-        icos, isin, tcos, tsin = self.rope_tables(*grid_hw, n_txt)
+        icos, isin, tcos, tsin = self.rope_tables(*grid_hw, n_txt, extra_segments)
 
         for blk in self.transformer_blocks:
             img, txt = blk(img, txt, temb, icos, isin, tcos, tsin)

@@ -151,3 +151,65 @@ class TestQwenImageEndToEnd:
         a = engine.run(**kw)
         b = engine.run(**kw)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestQwenImageEdit:
+    def make_engine(self, tmp_path, model_type="edit"):
+        doc = yaml.safe_load(yaml.safe_dump(QWEN_TINY))
+        doc["spec"]["model_type"] = model_type
+        path = tmp_path / f"qwen-tiny-{model_type}.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type=model_type)
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def sample_image(self, h=32, w=32):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[4:20, 10:28] = [30, 180, 90]
+        return img
+
+    def test_edit_produces_image(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        frames = eng.run(
+            image=self.sample_image(), prompt="make it red", height=32, width=32,
+            num_inference_steps=2, true_cfg_scale=1.0, seed=5,
+        )
+        assert len(frames) == 1
+        assert frames[0].shape == (32, 32, 3) and frames[0].dtype == np.uint8
+
+    def test_edit_plus_multi_image(self, tmp_path):
+        eng = self.make_engine(tmp_path, model_type="edit_plus")
+        lat = eng.run(
+            image=[self.sample_image(), self.sample_image()[::-1].copy()],
+            prompt="blend", height=32, width=32,
+            num_inference_steps=2, true_cfg_scale=1.0, seed=5, return_latents=True,
+        )
+        # packed tokens for the 32x32 target only (condition tokens sliced off);
+        # tiny VAE downsamples 2x → 16x16 latent → 8x8 packed grid = 64 tokens
+        assert np.asarray(lat).shape[1] == 64
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_condition_changes_output(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        kw = dict(prompt="x", height=32, width=32, num_inference_steps=2,
+                  true_cfg_scale=1.0, seed=7, return_latents=True)
+        a = eng.run(image=self.sample_image(), **kw)
+        b = eng.run(image=255 - self.sample_image(), **kw)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_requires_image(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        with pytest.raises(ValueError, match="image"):
+            eng.run(prompt="x", height=32, width=32, num_inference_steps=1)
+
+    def test_rope_multi_segment_tables(self):
+        cfg = QwenImageConfig(
+            in_channels=16, out_channels=4, num_layers=1, attention_head_dim=24,
+            num_attention_heads=2, joint_attention_dim=48, axes_dims_rope=(8, 8, 8),
+        )
+        m = QwenImageTransformer2DModel(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        icos, _, tcos, _ = m.rope_tables(2, 2, 4, extra_segments=((2, 2),))
+        assert icos.shape[1] == 8  # two 2x2 segments
+        assert tcos.shape[1] == 4
