@@ -23,6 +23,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.ltx",
     "apex_studio_tpu.engine.chroma",
     "apex_studio_tpu.engine.skyreels",
+    "apex_studio_tpu.engine.cogvideox",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
