@@ -24,6 +24,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.chroma",
     "apex_studio_tpu.engine.skyreels",
     "apex_studio_tpu.engine.cogvideox",
+    "apex_studio_tpu.engine.mochi",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

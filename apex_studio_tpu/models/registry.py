@@ -26,6 +26,8 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.chroma",
         "apex_studio_tpu.models.transformers.cogvideox",
         "apex_studio_tpu.models.vaes.cogvideox_vae",
+        "apex_studio_tpu.models.transformers.mochi",
+        "apex_studio_tpu.models.vaes.mochi_vae",
         "apex_studio_tpu.models.vaes.autoencoder_kl",
         "apex_studio_tpu.models.vaes.wan_vae",
         "apex_studio_tpu.models.text_encoders.qwen3",
