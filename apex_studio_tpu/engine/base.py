@@ -275,8 +275,14 @@ class BaseEngine:
     def _load_vae(self, spec: Dict[str, Any]):
         from apex_studio_tpu.models.registry import vae_registry
 
+        from apex_studio_tpu.loaders.converters import converter_registry
+
         base = spec.get("base") or "auto"
         family = "autoencoder_kl" if base in ("auto", "AutoencoderKL") else base.split(".")[0]
+        # VAE checkpoints have their own key layout — prefer "<family>_vae"
+        # converters (wan_vae, cogvideo_vae, …) over the DiT converter.
+        if f"{family}_vae" in converter_registry:
+            family = f"{family}_vae"
         return self._instantiate_family(vae_registry, spec, family)
 
     def _load_text_encoder(self, spec: Dict[str, Any]):

@@ -557,3 +557,84 @@ converter_registry.add(
         drop=(r"^rope\.", r"\.freqs"),
     ),
 )
+
+
+converter_registry.add(
+    "cogvideo",
+    KeyConverter(
+        renames=[
+            (r"^patch_embed\.proj\.", "patch_embed_proj."),
+            (r"^patch_embed\.text_proj\.", "text_proj."),
+            (r"^time_embedding\.linear_1\.", "time_embed.in_layer."),
+            (r"^time_embedding\.linear_2\.", "time_embed.out_layer."),
+            (r"\.attn1\.to_out\.0\.", ".attn1.to_out."),
+            (r"\.ff\.net\.0\.proj\.", ".ff.fc1."),
+            (r"\.ff\.net\.2\.", ".ff.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|fc1|fc2|patch_embed_proj|text_proj|in_layer|out_layer|norm_out_linear|proj_out|norm1\.linear|norm2\.linear)\.weight$", r"\1.kernel"),
+        ],
+        # 2B-style learned positional embeddings and the param-free output norm
+        drop=(r"^patch_embed\.pos_embedding", r"^norm_out\.norm\.", r"^time_proj\."),
+    ),
+)
+
+converter_registry.add(
+    "cogvideo_vae",
+    KeyConverter(
+        renames=[
+            # (down|up)samplers are plain Conv2ds named .conv in both layouts
+            (r"(downsamplers|upsamplers)\.0\.conv\.weight$", r"\1.0.conv.kernel"),
+            # CogVideoXCausalConv3d wraps a .conv submodule (samplers keep theirs)
+            (r"(?<!samplers\.0)\.conv\.weight$", ".kernel"),
+            (r"(?<!samplers\.0)\.conv\.bias$", ".bias"),
+            (r"^(encoder|decoder)\.conv_in\.weight$", r"\1.conv_in.kernel"),
+            (r"^(encoder|decoder)\.conv_out\.weight$", r"\1.conv_out.kernel"),
+            (r"\.conv_shortcut\.weight$", ".conv_shortcut.kernel"),
+            (r"\.(conv1|conv2)\.weight$", r".\1.kernel"),
+        ],
+        drop=(r"^quant_conv\.", r"^post_quant_conv\."),
+    ),
+)
+
+converter_registry.add(
+    "mochi",
+    KeyConverter(
+        renames=[
+            (r"^patch_embed\.proj\.", "patch_proj."),
+            (r"^time_embed\.timestep_embedder\.linear_1\.", "time_embed.in_layer."),
+            (r"^time_embed\.timestep_embedder\.linear_2\.", "time_embed.out_layer."),
+            (r"^time_embed\.pooler\.", "pooler."),
+            (r"^time_embed\.caption_proj\.", "caption_proj."),
+            (r"^pos_frequencies$", "rope.pos_frequencies"),
+            (r"^transformer_blocks\.(\d+)\.norm1\.linear\.", r"blocks.\1.mod_x."),
+            (r"^transformer_blocks\.(\d+)\.norm1_context\.linear(_1)?\.", r"blocks.\1.mod_y."),
+            (r"^transformer_blocks\.(\d+)\.attn1\.", r"blocks.\1.attn."),
+            (r"^transformer_blocks\.(\d+)\.ff\.net\.0\.proj\.", r"blocks.\1.ff_x.proj_in."),
+            (r"^transformer_blocks\.(\d+)\.ff\.net\.2\.", r"blocks.\1.ff_x.proj_out."),
+            (r"^transformer_blocks\.(\d+)\.ff_context\.net\.0\.proj\.", r"blocks.\1.ff_y.proj_in."),
+            (r"^transformer_blocks\.(\d+)\.ff_context\.net\.2\.", r"blocks.\1.ff_y.proj_out."),
+            (r"^norm_out\.linear(_1)?\.", "norm_out_linear."),
+            (r"\.to_out\.0\.", ".to_out."),
+            # per-head rms-norm scales are bare Params here
+            (r"\.(norm_q|norm_k|norm_added_q|norm_added_k)\.weight$", r".\1"),
+            (r"(to_q|to_k|to_v|to_kv|add_q_proj|add_k_proj|add_v_proj|to_out|to_add_out|proj_in|proj_out|in_layer|out_layer|mod_x|mod_y|patch_proj|caption_proj|norm_out_linear|pooler\.to_q|pooler\.to_kv|pooler\.to_out)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^norm_out\.norm\.",),
+    ),
+)
+
+converter_registry.add(
+    "mochi_vae",
+    KeyConverter(
+        renames=[
+            (r"^decoder\.block_in\.", "mid_resnets_in."),
+            (r"\.conv\.weight$", ".kernel"),
+            (r"\.conv\.bias$", ".bias"),
+            (r"^decoder\.conv_in\.weight$", "conv_in.kernel"),
+            (r"^decoder\.conv_out\.weight$", "conv_out.kernel"),
+            (r"^decoder\.", ""),
+            (r"\.(conv1|conv2|conv_shortcut|proj)\.weight$", r".\1.kernel"),
+        ],
+        drop=(r"^encoder\.",),
+    ),
+)

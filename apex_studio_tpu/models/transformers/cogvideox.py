@@ -212,7 +212,8 @@ class CogVideoXTransformer3DModel(nnx.Module):
 
         seq = self.norm_final(jnp.concatenate([txt, vid], axis=1))
         vid = seq[:, txt.shape[1]:]
-        scale, shift = jnp.split(
+        # diffusers AdaLayerNorm chunk order is (shift, scale)
+        shift, scale = jnp.split(
             self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1
         )
         vid = layer_norm(vid, eps=1e-5) * (1 + scale) + shift

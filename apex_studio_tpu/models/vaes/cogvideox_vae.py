@@ -143,26 +143,82 @@ class CogUpsample3D(nnx.Module):
         return self.conv(x)
 
 
+class CogDownBlock3D(nnx.Module):
+    """N resnets + optional downsampler (diffusers CogVideoXDownBlock3D shape)."""
+
+    def __init__(self, cin: int, cout: int, num_layers: int, groups: int,
+                 downsample: bool, compress_time: bool, *, dtype, rngs: nnx.Rngs):
+        res, cur = [], cin
+        for _ in range(num_layers):
+            res.append(CogResnetBlock3D(cur, cout, groups, dtype=dtype, rngs=rngs))
+            cur = cout
+        self.resnets = nnx.List(res)
+        self.downsamplers = (
+            nnx.List([CogDownsample3D(cout, compress_time, dtype=dtype, rngs=rngs)])
+            if downsample
+            else None
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for r in self.resnets:
+            x = r(x)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+        return x
+
+
+class CogUpBlock3D(nnx.Module):
+    def __init__(self, cin: int, cout: int, num_layers: int, groups: int,
+                 upsample: bool, compress_time: bool, *, dtype, rngs: nnx.Rngs):
+        res, cur = [], cin
+        for _ in range(num_layers):
+            res.append(CogResnetBlock3D(cur, cout, groups, dtype=dtype, rngs=rngs))
+            cur = cout
+        self.resnets = nnx.List(res)
+        self.upsamplers = (
+            nnx.List([CogUpsample3D(cout, compress_time, dtype=dtype, rngs=rngs)])
+            if upsample
+            else None
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for r in self.resnets:
+            x = r(x)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class CogMidBlock3D(nnx.Module):
+    def __init__(self, dim: int, groups: int, *, dtype, rngs: nnx.Rngs):
+        self.resnets = nnx.List(
+            [CogResnetBlock3D(dim, dim, groups, dtype=dtype, rngs=rngs) for _ in range(2)]
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for r in self.resnets:
+            x = r(x)
+        return x
+
+
 class CogEncoder3D(nnx.Module):
     def __init__(self, cfg: CogVideoXVAEConfig, *, dtype, rngs: nnx.Rngs):
         chans = cfg.block_out_channels
         g = cfg.norm_num_groups
         self.conv_in = CausalConv3d(cfg.in_channels, chans[0], dtype=dtype, rngs=rngs)
-        blocks = []
-        cur = chans[0]
         n_temporal = {4: 2, 2: 1, 1: 0}.get(cfg.temporal_compression_ratio, 2)
+        blocks, cur = [], chans[0]
         for i, cout in enumerate(chans):
-            for _ in range(cfg.layers_per_block):
-                blocks.append(CogResnetBlock3D(cur, cout, g, dtype=dtype, rngs=rngs))
-                cur = cout
-            if i != len(chans) - 1:
-                blocks.append(
-                    CogDownsample3D(cout, compress_time=i < n_temporal, dtype=dtype, rngs=rngs)
+            blocks.append(
+                CogDownBlock3D(
+                    cur, cout, cfg.layers_per_block, g,
+                    downsample=i != len(chans) - 1, compress_time=i < n_temporal,
+                    dtype=dtype, rngs=rngs,
                 )
+            )
+            cur = cout
         self.down_blocks = nnx.List(blocks)
-        self.mid_resnets = nnx.List(
-            [CogResnetBlock3D(cur, cur, g, dtype=dtype, rngs=rngs) for _ in range(2)]
-        )
+        self.mid_block = CogMidBlock3D(cur, g, dtype=dtype, rngs=rngs)
         self.norm_out = GroupNormCh(g, cur, rngs=rngs)
         self.conv_out = CausalConv3d(cur, 2 * cfg.latent_channels, dtype=dtype, rngs=rngs)
 
@@ -170,8 +226,7 @@ class CogEncoder3D(nnx.Module):
         x = self.conv_in(x)
         for blk in self.down_blocks:
             x = blk(x)
-        for r in self.mid_resnets:
-            x = r(x)
+        x = self.mid_block(x)
         return self.conv_out(nnx.silu(self.norm_out(x)))
 
 
@@ -180,29 +235,27 @@ class CogDecoder3D(nnx.Module):
         chans = tuple(reversed(cfg.block_out_channels))
         g = cfg.norm_num_groups
         self.conv_in = CausalConv3d(cfg.latent_channels, chans[0], dtype=dtype, rngs=rngs)
-        self.mid_resnets = nnx.List(
-            [CogResnetBlock3D(chans[0], chans[0], g, dtype=dtype, rngs=rngs) for _ in range(2)]
-        )
-        blocks = []
-        cur = chans[0]
+        self.mid_block = CogMidBlock3D(chans[0], g, dtype=dtype, rngs=rngs)
         n_temporal = {4: 2, 2: 1, 1: 0}.get(cfg.temporal_compression_ratio, 2)
+        blocks, cur = [], chans[0]
         for i, cout in enumerate(chans):
-            for _ in range(cfg.layers_per_block + 1):
-                blocks.append(CogResnetBlock3D(cur, cout, g, dtype=dtype, rngs=rngs))
-                cur = cout
-            if i != len(chans) - 1:
-                # the deepest up blocks expand time (mirrors diffusers i < level)
-                blocks.append(
-                    CogUpsample3D(cout, compress_time=i < n_temporal, dtype=dtype, rngs=rngs)
+            blocks.append(
+                CogUpBlock3D(
+                    cur, cout, cfg.layers_per_block + 1, g,
+                    upsample=i != len(chans) - 1,
+                    # the deepest up blocks expand time (mirrors diffusers i < level)
+                    compress_time=i < n_temporal,
+                    dtype=dtype, rngs=rngs,
                 )
+            )
+            cur = cout
         self.up_blocks = nnx.List(blocks)
         self.norm_out = GroupNormCh(g, cur, rngs=rngs)
         self.conv_out = CausalConv3d(cur, cfg.out_channels, dtype=dtype, rngs=rngs)
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         x = self.conv_in(z)
-        for r in self.mid_resnets:
-            x = r(x)
+        x = self.mid_block(x)
         for blk in self.up_blocks:
             x = blk(x)
         return self.conv_out(nnx.silu(self.norm_out(x)))
