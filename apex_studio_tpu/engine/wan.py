@@ -709,6 +709,79 @@ class WanFFLFEngine(WanI2VEngine, _WanVaeEncodeMixin):
         return jnp.concatenate([first, last], axis=1)
 
 
+@register_engine("wan", "inp")
+class WanInpaintEngine(WanI2VEngine, _WanVaeEncodeMixin):
+    """Video inpainting (reference engine/wan/inp.py): condition =
+    [t_scale-packed *known-region* mask | VAE(video with the inpaint region
+    zeroed)]. Mask semantics: 1 = regenerate, 0 = keep; the packed channels
+    carry validity (1 − mask) like the i2v temporal mask, but spatially
+    varying. Reuses the i2v denoise loop (no CLIP branch unless the manifest
+    has an image_dim)."""
+
+    def run(self, video: Any = None, mask: Any = None, image: Any = None, **kwargs: Any):
+        if video is None:
+            raise ValueError("inp requires an input video")
+        if mask is None:
+            raise ValueError("inp requires a mask (image or video)")
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        if isinstance(video, (str, bytes)) or hasattr(video, "__fspath__"):
+            video = load_frames(video)
+        self._inp_frames = [self.load_image_input(np.asarray(f)) for f in video]
+        if isinstance(mask, (str, bytes)) or hasattr(mask, "__fspath__"):
+            mask = load_frames(mask)
+        if isinstance(mask, np.ndarray) and mask.ndim in (2, 3):
+            mask = [mask]
+        self._inp_masks = [np.asarray(m) for m in mask]
+        kwargs.setdefault("num_frames", len(self._inp_frames))
+        try:
+            # first frame doubles as the i2v `image` arg (unused beyond checks)
+            return super().run(image=self._inp_frames[0], **kwargs)
+        finally:
+            self._inp_frames = self._inp_masks = None
+
+    def encode_image_clip(self, image: np.ndarray) -> jnp.ndarray:
+        return super().encode_image_clip(self._inp_frames[0])
+
+    def _mask_at(self, i: int, height: int, width: int) -> np.ndarray:
+        """→ [H, W] float in {0,1}, 1 = inpaint. A single mask broadcasts."""
+        import cv2
+
+        m = self._inp_masks[min(i, len(self._inp_masks) - 1)]
+        if m.ndim == 3:
+            m = m[..., 0]
+        m = cv2.resize(m.astype(np.float32), (width, height), interpolation=cv2.INTER_NEAREST)
+        return (m > 127).astype(np.float32) if m.max() > 1.0 else (m > 0.5).astype(np.float32)
+
+    def build_condition(self, image: np.ndarray, num_frames: int, height: int, width: int):
+        import cv2
+
+        t_scale = self.vae.cfg.temporal_scale
+        lat_t = (num_frames - 1) // t_scale + 1
+
+        frames = self._inp_frames[:num_frames]
+        while len(frames) < num_frames:
+            frames.append(frames[-1])
+        masks = np.stack([self._mask_at(i, height, width) for i in range(num_frames)])
+
+        pix = np.stack(
+            [cv2.resize(f, (width, height), interpolation=cv2.INTER_LANCZOS4) for f in frames]
+        ).astype(np.float32) / 127.5 - 1.0  # [T,H,W,3]
+        pix = pix * (1.0 - masks[..., None])  # zero the regenerate region
+        video = jnp.asarray(pix.transpose(3, 0, 1, 2))[None]
+        latent_condition = self.encode_video_latents(video)
+
+        lat_h, lat_w = latent_condition.shape[-2:]
+        valid = 1.0 - masks  # known pixels
+        valid_lat = np.stack(
+            [cv2.resize(v, (lat_w, lat_h), interpolation=cv2.INTER_AREA) for v in valid]
+        )[None, None]  # [1,1,T,h,w]
+        first_rep = np.repeat(valid_lat[:, :, :1], t_scale, axis=2)
+        packed = np.concatenate([first_rep, valid_lat[:, :, 1:]], axis=2)
+        packed = packed.reshape(1, lat_t, t_scale, lat_h, lat_w).transpose(0, 2, 1, 3, 4)
+        return jnp.concatenate([jnp.asarray(packed, jnp.float32), latent_condition], axis=1)
+
+
 @register_engine("wan", "t2i")
 class WanT2IEngine(WanShared):
     """Single-frame t2v → image (the Wan 2.2 A14B text-to-image manifest)."""

@@ -211,3 +211,50 @@ class TestWanFFLF:
         with pytest.raises(ValueError, match="last_image"):
             eng.run(image=sample_image(), prompt="x", height=32, width=32,
                     num_frames=5, num_inference_steps=1, guidance_scale=1.0)
+
+
+class TestWanInpaint:
+    def make_engine(self, tmp_path):
+        doc = yaml.safe_load(yaml.safe_dump(WAN_TINY))
+        doc["spec"]["model_type"] = "inp"
+        tf = next(c for c in doc["spec"]["components"] if c["type"] == "transformer")
+        tf["config"]["in_channels"] = 10  # 4 noise + 2 mask + 4 latent
+        path = tmp_path / "wan-tiny-inp.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="inp")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def square_mask(self, h=32, w=32):
+        m = np.zeros((h, w), np.uint8)
+        m[8:24, 8:24] = 255
+        return m
+
+    def test_inpaint_produces_frames(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        frames = eng.run(
+            video=sample_video(), mask=self.square_mask(), prompt="fill the hole",
+            height=32, width=32, num_inference_steps=2, guidance_scale=1.0, seed=3,
+        )
+        assert len(frames) == 5
+        assert frames[0].shape == (32, 32, 3)
+
+    def test_condition_masks_known_region(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        eng.load_components(return_latents=False)
+        eng._inp_frames = sample_video()
+        eng._inp_masks = [self.square_mask()]
+        cond = eng.build_condition(eng._inp_frames[0], 5, 32, 32)
+        m = np.asarray(cond)[:, :2]  # validity channels (t_scale=2)
+        lat_h = m.shape[-1]
+        # center (masked) → 0, corner (known) → 1
+        assert m[0, 0, 0, lat_h // 2, lat_h // 2] == 0.0
+        assert m[0, 0, 0, 0, 0] == 1.0
+
+    def test_requires_mask(self, tmp_path):
+        eng = self.make_engine(tmp_path)
+        with pytest.raises(ValueError, match="mask"):
+            eng.run(video=sample_video(), prompt="x", height=32, width=32,
+                    num_inference_steps=1, guidance_scale=1.0)
