@@ -25,6 +25,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.skyreels",
     "apex_studio_tpu.engine.cogvideox",
     "apex_studio_tpu.engine.mochi",
+    "apex_studio_tpu.engine.lucy",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
