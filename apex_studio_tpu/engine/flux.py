@@ -349,3 +349,26 @@ class FluxFillEngine(FluxT2IEngine):
         fill_cond = jnp.concatenate([masked_tokens, mask_tokens], axis=-1)
         kwargs.pop("_fill_cond", None)
         return super().run(height=height, width=width, _fill_cond=fill_cond, **kwargs)
+
+
+@register_engine("flux", "control")
+class FluxControlEngine(FluxT2IEngine):
+    """Flux Control (Canny/Depth) conditioning (reference engine/flux/
+    control.py role): the model's 128 input channels are [noise(64) |
+    VAE(control image)(64)] — the control map rides the same per-token
+    feature-concat path as Fill, without a mask."""
+
+    def run(self, control_image=None, height: int = 1024, width: int = 1024, **kwargs):
+        if control_image is None:
+            raise ValueError("control requires a control_image")
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+
+        lat_scale = self.vae.cfg.spatial_scale
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+        tokens, _ = self._encode_kontext_image(control_image, height, width, lat_scale, 1)
+        kwargs.pop("_fill_cond", None)
+        return super().run(height=height, width=width, _fill_cond=tokens, **kwargs)

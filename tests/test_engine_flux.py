@@ -202,3 +202,32 @@ class TestFluxFill:
     def test_fill_requires_mask(self, fill_engine):
         with pytest.raises(ValueError, match="mask"):
             fill_engine.run(image=np.zeros((64, 64, 3), np.uint8), prompt="x")
+
+
+class TestFluxControl:
+    def test_control_produces_image(self, tmp_path):
+        import yaml
+
+        from tests.test_engine_flux import FLUX_TINY  # self-import safe at runtime
+
+        doc = yaml.safe_load(yaml.safe_dump(FLUX_TINY))
+        doc["spec"]["model_type"] = "control"
+        tf = next(c for c in doc["spec"]["components"] if c["type"] == "transformer")
+        tf["config"]["in_channels"] = 2 * tf["config"]["in_channels"]
+        path = tmp_path / "flux-tiny-control.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+        from tests.test_engine_zimage import make_tokenizer
+
+        eng = UniversalEngine(path, model_type="control")
+        for spec in eng.component_specs.values():
+            if spec.get("type") == "text_encoder":
+                spec["tokenizer"] = make_tokenizer()
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[10:20, 10:20] = 255
+        frames = eng.run(
+            control_image=img, prompt="a house", height=32, width=32,
+            num_inference_steps=2, guidance_scale=1.0, seed=3,
+        )
+        assert len(frames) == 1
+        assert frames[0].shape == (32, 32, 3)
