@@ -177,33 +177,46 @@ class FluxT2IEngine(BaseEngine):
 
         graphdef, tf_state = nnx.split(self.transformer)
         grid = (lat_h // 2, lat_w // 2)
-        key = ("flux_fwd", x.shape, seq.shape[1], cond_grid)
-        fwd = self._jit_cache.get(key)
-        if fwd is None:
+        # Fused hot loop: forward (+fill concat, +CFG) and the Euler update in
+        # ONE dispatch per step, latents donated (reference eager loop:
+        # engine/flux/t2i.py + shared.py denoise).
+        key = ("flux_step", x.shape, seq.shape[1], cond_grid, grid, use_cfg,
+               _fill_cond is not None)
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
 
-            @jax.jit
-            def fwd(state, x, seq, pooled, t, guidance, cond):
-                m = nnx.merge(graphdef, state)
-                return m(x, seq, pooled, t, guidance, grid_hw=grid,
-                         cond_tokens=cond, cond_grid_hw=cond_grid)
+            def apply(m, x, aux, t_vec, seq, pooled, n_seq, n_pooled, guidance, cond, fill, g):
+                x_in = x.astype(m.dtype)
+                if fill is not None:
+                    # Fill models: [noise(64) | masked image(64) | 8x8 mask bits(256)]
+                    x_in = jnp.concatenate([x_in, fill.astype(m.dtype)], axis=-1)
 
-            self._jit_cache[key] = fwd
+                def fw(s_, p_):
+                    return m(x_in, s_, p_, t_vec, guidance, grid_hw=grid,
+                             cond_tokens=cond, cond_grid_hw=cond_grid)
+
+                v = fw(seq, pooled).astype(jnp.float32)
+                if use_cfg:
+                    v_neg = fw(n_seq, n_pooled).astype(jnp.float32)
+                    v = v_neg + g * (v - v_neg)
+                return v, aux
+
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
 
         denoise_cb = make_mapped_progress(progress_callback, 0.50, 0.90)
-        model_dtype = self.transformer.dtype
         for i, t in enumerate(ts):
             t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
-            x_in = x.astype(model_dtype)
-            if _fill_cond is not None:
-                # Fill models: [noise(64) | masked image(64) | 8x8 mask bits(256)]
-                x_in = jnp.concatenate([x_in, _fill_cond.astype(model_dtype)], axis=-1)
-            v = fwd(tf_state, x_in, seq, pooled, t_vec, guidance, cond_tokens)
-            if use_cfg:
-                v_neg = fwd(tf_state, x_in, neg_seq, neg_pooled, t_vec, guidance, cond_tokens)
-                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
-                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
-                )
-            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x, _ = step(
+                tf_state, x,
+                float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                (), t_vec, seq, pooled,
+                neg_seq if use_cfg else seq,
+                neg_pooled if use_cfg else pooled,
+                guidance, cond_tokens, _fill_cond,
+                jnp.float32(true_cfg_scale if use_cfg else 1.0),
+            )
 
             if (
                 render_on_step

@@ -170,49 +170,53 @@ class HunyuanVideo15T2VEngine(BaseEngine):
 
         graphdef, tf_state = nnx.split(self.transformer)
         has_img = image_embeds is not None
-        key = ("hyv15_fwd", (1, cfg_t.in_channels, lat_t, lat_h, lat_w),
-               text.shape[1], text2.shape[1], has_img)
-        fwd = self._jit_cache.get(key)
-        if fwd is None:
-            if has_img:
+        use_rescale = bool(use_cfg and guidance_rescale and guidance_rescale > 0)
+        # Fused hot loop: channel-packing + forward (+CFG +rescale) + Euler
+        # update in ONE dispatch per step, latents donated (reference eager
+        # loop: engine/hunyuanvideo15/shared/__init__.py:26 + i2v.py:341).
+        key = ("hyv15_step", (1, cfg_t.in_channels, lat_t, lat_h, lat_w),
+               text.shape[1], text2.shape[1], has_img, use_cfg, use_rescale)
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
 
-                @jax.jit
-                def fwd(state, x_in, t, text, text_mask, text2, text2_mask, img_emb):
-                    m = nnx.merge(graphdef, state)
-                    return m(x_in, t, text, text_mask, text2, text2_mask,
-                             image_embeds=img_emb)
-            else:
+            def apply(m, x, aux, t_vec, cond, mask_ch, text, text_mask, text2,
+                      text2_mask, ntext, ntext_mask, ntext2, ntext2_mask, g, g_re, *img):
+                x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(m.dtype)
+                img_kw = {"image_embeds": img[0]} if img else {}
+                v = m(x_in, t_vec, text, text_mask, text2, text2_mask, **img_kw)
+                v = v.astype(jnp.float32)
+                if use_cfg:
+                    v_neg = m(x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask,
+                              **img_kw).astype(jnp.float32)
+                    v = v_neg + g * (v - v_neg)
+                    if use_rescale:
+                        # arXiv:2305.08891 §3.4 overexposure rescale (i2v.py:341)
+                        std_pos = jnp.std(v_neg + (v - v_neg) / g)
+                        std_cfg = jnp.std(v)
+                        rescaled = v * (std_pos / jnp.maximum(std_cfg, 1e-8))
+                        v = g_re * rescaled + (1 - g_re) * v
+                return v, aux
 
-                @jax.jit
-                def fwd(state, x_in, t, text, text_mask, text2, text2_mask):
-                    m = nnx.merge(graphdef, state)
-                    return m(x_in, t, text, text_mask, text2, text2_mask)
-
-            self._jit_cache[key] = fwd
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
         img_args = (image_embeds,) if has_img else ()
+        if not use_cfg:
+            ntext, ntext_mask, ntext2, ntext2_mask = text, text_mask, text2, text2_mask
 
         denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
-        model_dtype = self.transformer.dtype
         if len(ts) <= 8:
             render_on_step = False
         for i, t in enumerate(ts):
             t_vec = jnp.full((1,), float(t), jnp.float32)
-            x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(model_dtype)
-            v = fwd(tf_state, x_in, t_vec, text, text_mask, text2, text2_mask, *img_args)
-            if use_cfg:
-                v_neg = fwd(tf_state, x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask,
-                            *img_args)
-                v = v_neg.astype(jnp.float32) + guidance_scale * (
-                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
-                )
-                if guidance_rescale and guidance_rescale > 0:
-                    # arXiv:2305.08891 §3.4 overexposure rescale (i2v.py:341)
-                    v32 = v
-                    std_pos = jnp.std(v_neg.astype(jnp.float32) + (v32 - v_neg.astype(jnp.float32)) / guidance_scale)
-                    std_cfg = jnp.std(v32)
-                    rescaled = v32 * (std_pos / jnp.maximum(std_cfg, 1e-8))
-                    v = guidance_rescale * rescaled + (1 - guidance_rescale) * v32
-            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x, _ = step(
+                tf_state, x,
+                float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                (), t_vec, cond, mask_ch, text, text_mask, text2, text2_mask,
+                ntext, ntext_mask, ntext2, ntext2_mask,
+                jnp.float32(guidance_scale), jnp.float32(guidance_rescale or 0.0),
+                *img_args,
+            )
 
             if (
                 render_on_step

@@ -140,34 +140,34 @@ class QwenImageT2IEngine(BaseEngine):
         graphdef, tf_state = nnx.split(self.transformer)
         grid = (lat_h // 2, lat_w // 2)
 
-        def make_fwd(n_txt):
-            key = ("qwenimage_fwd", x.shape, n_txt)
-            fwd = self._jit_cache.get(key)
-            if fwd is None:
+        # Fused hot loop: forward (+CFG) + Euler update in ONE dispatch per
+        # step, latents donated.
+        key = ("qwenimage_step", x.shape, txt.shape[1],
+               neg_txt.shape[1] if use_cfg else None, grid, use_cfg)
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
 
-                @jax.jit
-                def fwd(state, x, txt, t):
-                    m = nnx.merge(graphdef, state)
-                    return m(x, txt, t, grid_hw=grid)
+            def apply(m, x, aux, t_vec, txt, neg_txt, g):
+                x_in = x.astype(m.dtype)
+                v = m(x_in, txt, t_vec, grid_hw=grid).astype(jnp.float32)
+                if use_cfg:
+                    v_neg = m(x_in, neg_txt, t_vec, grid_hw=grid).astype(jnp.float32)
+                    v = v_neg + g * (v - v_neg)
+                return v, aux
 
-                self._jit_cache[key] = fwd
-            return fwd
-
-        fwd_pos = make_fwd(txt.shape[1])
-        fwd_neg = make_fwd(neg_txt.shape[1]) if use_cfg else None
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
 
         denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
-        model_dtype = self.transformer.dtype
         for i, t in enumerate(ts):
             t_vec = jnp.full((b,), float(t) / 1000.0, jnp.float32)
-            x_in = x.astype(model_dtype)
-            v = fwd_pos(tf_state, x_in, txt, t_vec)
-            if use_cfg:
-                v_neg = fwd_neg(tf_state, x_in, neg_txt, t_vec)
-                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
-                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
-                )
-            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x, _ = step(
+                tf_state, x,
+                float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                (), t_vec, txt, neg_txt if use_cfg else txt,
+                jnp.float32(true_cfg_scale if use_cfg else 1.0),
+            )
 
             if (
                 render_on_step
@@ -331,36 +331,40 @@ class QwenImageEditEngine(QwenImageT2IEngine):
         graphdef, tf_state = nnx.split(self.transformer)
         grid = (lat_h // 2, lat_w // 2)
 
-        def make_fwd(n_txt):
-            key = ("qwenimage_edit_fwd", x.shape, cond.shape, n_txt)
-            fwd = self._jit_cache.get(key)
-            if fwd is None:
+        # Fused hot loop: cond-concat + forward (+CFG) + Euler update in ONE
+        # dispatch per step, latents donated.
+        key = ("qwenimage_edit_step", x.shape, cond.shape, txt.shape[1],
+               neg_txt.shape[1] if use_cfg else None, grid, cond_segments, use_cfg)
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
 
-                @jax.jit
-                def fwd(state, xt, cond, txt, t):
-                    m = nnx.merge(graphdef, state)
-                    seq = jnp.concatenate([xt, cond.astype(xt.dtype)], axis=1)
-                    out = m(seq, txt, t, grid_hw=grid, extra_segments=cond_segments)
-                    return out[:, :n_noise]
+            def apply(m, x, aux, t_vec, cond, txt, neg_txt, g):
+                x_in = x.astype(m.dtype)
+                seq = jnp.concatenate([x_in, cond.astype(x_in.dtype)], axis=1)
 
-                self._jit_cache[key] = fwd
-            return fwd
+                def fw(txt_):
+                    out = m(seq, txt_, t_vec, grid_hw=grid, extra_segments=cond_segments)
+                    return out[:, :n_noise].astype(jnp.float32)
 
-        fwd_pos = make_fwd(txt.shape[1])
-        fwd_neg = make_fwd(neg_txt.shape[1]) if use_cfg else None
+                v = fw(txt)
+                if use_cfg:
+                    v_neg = fw(neg_txt)
+                    v = v_neg + g * (v - v_neg)
+                return v, aux
+
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
 
         denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
-        model_dtype = self.transformer.dtype
         for i, t in enumerate(ts):
             t_vec = jnp.full((1,), float(t) / 1000.0, jnp.float32)
-            x_in = x.astype(model_dtype)
-            v = fwd_pos(tf_state, x_in, cond, txt, t_vec)
-            if use_cfg:
-                v_neg = fwd_neg(tf_state, x_in, cond, neg_txt, t_vec)
-                v = v_neg.astype(jnp.float32) + true_cfg_scale * (
-                    v.astype(jnp.float32) - v_neg.astype(jnp.float32)
-                )
-            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x, _ = step(
+                tf_state, x,
+                float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                (), t_vec, cond, txt, neg_txt if use_cfg else txt,
+                jnp.float32(true_cfg_scale if use_cfg else 1.0),
+            )
 
             if (
                 render_on_step

@@ -114,6 +114,50 @@ class WanShared(BaseEngine):
             self._jit_cache[key] = fwd
         return fwd
 
+    def _fused_denoise_step(
+        self, transformer, tag: str, shapes, kind: str,
+        use_cfg: bool, thresh: float, force: bool,
+    ):
+        """One compiled program per step: forward (+CFG, +EasyCache skip) and
+        the scheduler update, latents donated — the reference's eager hot loop
+        (engine/wan/shared/__init__.py:610-725) collapsed to a single dispatch."""
+        key = (tag, shapes, kind, use_cfg, thresh, force)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from apex_studio_tpu.engine.fused import build_euler_step, build_unipc_step
+
+        graphdef, _ = nnx.split(transformer)
+        use_easycache = thresh > 0.0
+
+        def apply(m, x, aux, t_vec, ctx, neg_ctx, g):
+            x_in = x.astype(m.dtype)
+            if use_easycache:
+                from apex_studio_tpu.ops.easycache import cached_step
+
+                ec_pos, ec_neg = aux
+                v, ec_pos = cached_step(
+                    lambda xi: m(xi, t_vec, ctx), x_in, ec_pos, thresh, force
+                )
+                if use_cfg:
+                    v_neg, ec_neg = cached_step(
+                        lambda xi: m(xi, t_vec, neg_ctx), x_in, ec_neg, thresh, force
+                    )
+                    v = v_neg + g * (v - v_neg)
+                return v, (ec_pos, ec_neg)
+            v = m(x_in, t_vec, ctx).astype(jnp.float32)
+            if use_cfg:
+                v_neg = m(x_in, t_vec, neg_ctx).astype(jnp.float32)
+                v = v_neg + g * (v - v_neg)
+            return v, aux
+
+        if kind == "unipc":
+            fn = build_unipc_step(graphdef, apply, self.scheduler.solver_order)
+        else:
+            fn = build_euler_step(graphdef, apply)
+        self._jit_cache[key] = fn
+        return fn
+
     def denoise(
         self,
         latents: jnp.ndarray,
@@ -143,14 +187,29 @@ class WanShared(BaseEngine):
         if self.transformer_2 is not None:
             _, state_2 = nnx.split(self.transformer_2)
 
-        ec_pos = ec_neg = None
+        # Scheduler family → fused-step kind. UniPC fuses via its linear plan;
+        # Euler-family via (sigma, sigma_next) scalars; anything else falls
+        # back to a host-side scheduler.step per iteration.
+        if hasattr(self.scheduler, "fused_plan"):
+            kind, plan = "unipc", self.scheduler.fused_plan()
+        elif hasattr(self.scheduler, "step_at"):
+            kind, plan = "euler", None
+        else:
+            kind, plan = "host", None
+
+        aux: Any = ()
         if use_easycache:
             from apex_studio_tpu.ops.easycache import init_state
 
             v_like = latents.astype(jnp.float32)
-            x_like = latents.astype(jnp.float32)
-            ec_pos = init_state(x_like, v_like)
-            ec_neg = init_state(x_like, v_like)
+            aux = (init_state(v_like, v_like), init_state(v_like, v_like))
+        hist = last = None
+        if kind == "unipc":
+            from apex_studio_tpu.engine.fused import init_unipc_carry
+
+            hist, last = init_unipc_carry(latents, self.scheduler.solver_order)
+
+        neg_in = neg_context if neg_context is not None else context
 
         x = latents
         for i, t in enumerate(ts):
@@ -164,23 +223,47 @@ class WanShared(BaseEngine):
                 g = guidance_scale
 
             t_vec = jnp.full((x.shape[0],), float(t), jnp.float32)
-            x_in = x.astype(transformer.dtype)
-            if use_easycache:
-                fwd = self._fwd_cached_for(transformer, tag, shapes, easy_cache_thresh)
-                force = i < easy_cache_ret_steps or i >= len(ts) - 1
-                v, ec_pos = fwd(state, x_in, t_vec, context, ec_pos, force)
-                if use_cfg and g > 1.0:
-                    v_neg, ec_neg = fwd(state, x_in, t_vec, neg_context, ec_neg, force)
-                    v = v_neg + g * (v - v_neg)
+            force = i < easy_cache_ret_steps or i >= len(ts) - 1
+            thresh = easy_cache_thresh if use_easycache else 0.0
+            step_cfg = use_cfg and g > 1.0
+            if kind == "host":
+                x_in = x.astype(transformer.dtype)
+                if use_easycache:
+                    fwd = self._fwd_cached_for(transformer, tag, shapes, easy_cache_thresh)
+                    v, ec_pos = fwd(state, x_in, t_vec, context, aux[0], force)
+                    ec_neg = aux[1]
+                    if step_cfg:
+                        v_neg, ec_neg = fwd(state, x_in, t_vec, neg_in, ec_neg, force)
+                        v = v_neg + g * (v - v_neg)
+                    aux = (ec_pos, ec_neg)
+                else:
+                    fwd = self._fwd_for(transformer, tag, shapes)
+                    v = fwd(state, x_in, t_vec, context)
+                    if step_cfg:
+                        v_neg = fwd(state, x_in, t_vec, neg_in)
+                        v = v_neg.astype(jnp.float32) + g * (
+                            v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                        )
+                (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
             else:
-                fwd = self._fwd_for(transformer, tag, shapes)
-                v = fwd(state, x_in, t_vec, context)
-                if use_cfg and g > 1.0:
-                    v_neg = fwd(state, x_in, t_vec, neg_context)
-                    v = v_neg.astype(jnp.float32) + g * (
-                        v.astype(jnp.float32) - v_neg.astype(jnp.float32)
+                step = self._fused_denoise_step(
+                    transformer, tag, shapes, kind, step_cfg, thresh, force
+                )
+                g_s = jnp.float32(g)
+                if kind == "unipc":
+                    p = plan[i]
+                    x, hist, last, aux = step(
+                        state, x, hist, last,
+                        p["sigma"], p["use_corrector"],
+                        jnp.asarray(p["corr_w"]), jnp.asarray(p["pred_w"]),
+                        aux, t_vec, context, neg_in, g_s,
                     )
-            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+                else:
+                    x, aux = step(
+                        state, x,
+                        float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                        aux, t_vec, context, neg_in, g_s,
+                    )
 
             if (
                 render_on_step

@@ -178,6 +178,96 @@ class FlowUniPCMultistepScheduler(SchedulerBase):
         d1_t = this_model_output_x0 - m0
         return x_t - alpha_t * b_h * (corr_res + float(rhos_c[-1]) * d1_t)
 
+    # -- fused (in-graph) stepping ---------------------------------------------------
+
+    def fused_plan(self):
+        """Per-step linear weights for a fully in-graph UniPC step.
+
+        The UniPC predictor-corrector is *linear* in (sample, x0-history,
+        current x0 prediction) with coefficients that depend only on the sigma
+        grid and step index, so a jitted denoise loop can carry the x0 history
+        as device buffers and apply the whole update as two small linear
+        combinations — forward + scheduler in ONE dispatch per step (the
+        reference's hot loop, ``engine/wan/shared/__init__.py:610-725``, does
+        this eagerly on host).
+
+        Returns a list over steps ``i`` of dicts with f32 numpy scalars/arrays:
+          sigma          — sigma_i (x0 conversion: x0 = x − sigma·v)
+          use_corrector  — 0.0 / 1.0
+          corr_w [K+2]   — weights for [last_sample, hist[0..K−1], x0_i]
+          pred_w [K+1]   — weights for [sample, hist_new[0..K−1]]
+        History layout: hist[K−1] is the newest x0; hist_new = shift(hist)+x0_i.
+        Weights for not-yet-populated history slots are exactly 0.
+        """
+        K = self.solver_order
+        N = len(self.timesteps)
+        plan = []
+        for i in range(N):
+            use_corr = i > 0 and (i - 1) not in self.disable_corrector
+            corr_w = np.zeros(K + 2, np.float64)
+            if use_corr:
+                order_prev = max(1, min(K, i, N - (i - 1) if self.lower_order_final else N))
+                s0, st = float(self.sigmas[i - 1]), float(self.sigmas[i])
+                l0 = _lambda(s0)
+                h = _lambda(st) - l0
+                hh = -h if self.predict_x0 else h
+                h_phi_1 = math.expm1(hh)
+                b_h = h_phi_1 if self.solver_type == "bh2" else hh
+                alpha = 1.0 - st
+                rks = [
+                    (_lambda(float(self.sigmas[i - 1 - j])) - l0) / h
+                    for j in range(1, order_prev)
+                ]
+                r_mat, bvec = _unipc_Rb(rks + [1.0], hh, b_h, rows=order_prev)
+                rhos_c = np.array([0.5]) if order_prev == 1 else np.linalg.solve(r_mat, bvec)
+                corr_w[0] = st / s0                       # last_sample
+                corr_w[K + 1] = -alpha * b_h * float(rhos_c[-1])  # x0_i
+                m0_w = -alpha * h_phi_1 + alpha * b_h * float(rhos_c[-1])
+                for j in range(1, order_prev):
+                    wj = alpha * b_h * float(rhos_c[j - 1]) / rks[j - 1]
+                    corr_w[1 + (K - 1 - j)] += -wj
+                    m0_w += wj
+                corr_w[1 + (K - 1)] += m0_w
+            order_i = max(1, min(K, i + 1, (N - i) if self.lower_order_final else N))
+            pred_w = np.zeros(K + 1, np.float64)
+            s0, st = float(self.sigmas[i]), float(self.sigmas[i + 1])
+            if st <= 0.0:
+                pred_w[1 + (K - 1)] = 1.0  # terminal: the x0 prediction is the answer
+            else:
+                l0 = _lambda(s0)
+                h = _lambda(st) - l0
+                hh = -h if self.predict_x0 else h
+                h_phi_1 = math.expm1(hh)
+                b_h = h_phi_1 if self.solver_type == "bh2" else hh
+                alpha = 1.0 - st
+                pred_w[0] = st / s0
+                m0_w = -alpha * h_phi_1
+                rks = [
+                    (_lambda(float(self.sigmas[i - j])) - l0) / h
+                    for j in range(1, order_i)
+                ]
+                if rks:
+                    r_mat, bvec = _unipc_Rb(rks + [1.0], hh, b_h, rows=order_i)
+                    rhos_p = (
+                        np.array([0.5])
+                        if order_i == 2
+                        else np.linalg.solve(r_mat[:-1, :-1], bvec[:-1])
+                    )
+                    for j in range(1, order_i):
+                        wj = alpha * b_h * float(rhos_p[j - 1]) / rks[j - 1]
+                        pred_w[1 + (K - 1 - j)] += -wj
+                        m0_w += wj
+                pred_w[1 + (K - 1)] += m0_w
+            plan.append(
+                {
+                    "sigma": np.float32(float(self.sigmas[i])),
+                    "use_corrector": np.float32(1.0 if use_corr else 0.0),
+                    "corr_w": corr_w.astype(np.float32),
+                    "pred_w": pred_w.astype(np.float32),
+                }
+            )
+        return plan
+
     # -- public stepping -----------------------------------------------------------
 
     def step(self, model_output, timestep, sample, return_dict: bool = False, **_: object):
