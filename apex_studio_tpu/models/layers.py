@@ -36,10 +36,21 @@ class Linear(nnx.Module):
         self.bias = (
             nnx.Param(jnp.zeros((out_features,), param_dtype)) if use_bias else None
         )
+        # int8 weight residency (quantize/residency.py): when set, ``kernel``
+        # holds int8 values and ``kernel_scale`` the per-out-channel scales.
+        # nnx.data marks the slot non-static so residency can fill it later.
+        self.kernel_scale = nnx.data(None)
         self.dtype = dtype
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = x.astype(self.dtype) @ self.kernel.value.astype(self.dtype)
+        k = self.kernel.value
+        if self.kernel_scale is not None:
+            # Dequantize into the matmul; XLA fuses convert+scale into the
+            # MXU operand load, so no bf16 weight copy lands in HBM.
+            k = k.astype(self.dtype) * self.kernel_scale.value.astype(self.dtype)
+        else:
+            k = k.astype(self.dtype)
+        y = x.astype(self.dtype) @ k
         if self.bias is not None:
             y = y + self.bias.value.astype(self.dtype)
         return y

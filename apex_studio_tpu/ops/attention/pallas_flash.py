@@ -35,7 +35,7 @@ def _flash_kernel(
     q_ref,  # (1, block_q, d)
     k_ref,  # (1, block_k, d)
     v_ref,  # (1, block_k, d)
-    kv_bias_ref,  # (1, block_k) or None
+    kv_bias_ref,  # (1, 8, block_k) sublane-replicated, or None
     out_ref,  # (1, block_q, d)
     m_scr,  # (block_q, LANES) f32
     l_scr,  # (block_q, LANES) f32
@@ -69,7 +69,7 @@ def _flash_kernel(
     kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     s = jnp.where(kv_pos < sk_true, s, NEG_INF)
     if kv_bias_ref is not None:
-        s = s + kv_bias_ref[0][None, :].astype(jnp.float32)
+        s = s + kv_bias_ref[0, 0][None, :].astype(jnp.float32)
     if causal:
         i = pl.program_id(1)
         q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -107,7 +107,7 @@ def _flash_call(
     q3: jnp.ndarray,  # (BH, Sq, D) — padded
     k3: jnp.ndarray,  # (BH, Sk_pad, D)
     v3: jnp.ndarray,
-    kv_bias: Optional[jnp.ndarray],  # (BH, Sk_pad) f32 or None
+    kv_bias: Optional[jnp.ndarray],  # (BH, 8, Sk_pad) f32 or None
     sk_true: int,
     scale: float,
     is_causal: bool,
@@ -134,7 +134,9 @@ def _flash_call(
     ]
     args = [q3, k3, v3]
     if kv_bias is not None:
-        in_specs.append(pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)))
+        # Bias rides as (BH, 8, Sk): the TPU tiling rule wants the block's
+        # second-to-last dim divisible by 8, so the row is sublane-replicated.
+        in_specs.append(pl.BlockSpec((1, 8, block_k), lambda b, i, j: (b, 0, j)))
         args.append(kv_bias)
         wrapped = kernel
     else:
@@ -204,8 +206,10 @@ def flash_attention(
         return x
 
     q3, k3, v3 = fold(q, q_pad), fold(k, k_pad), fold(v, k_pad)
-    if kv_bias is not None and k_pad:
-        kv_bias = jnp.pad(kv_bias, ((0, 0), (0, k_pad)))
+    if kv_bias is not None:
+        if k_pad:
+            kv_bias = jnp.pad(kv_bias, ((0, 0), (0, k_pad)))
+        kv_bias = jnp.broadcast_to(kv_bias[:, None, :], (b * h, 8, kv_bias.shape[1]))
 
     out = _flash_call(
         q3, k3, v3, kv_bias, sk, scale, is_causal, block_q, block_k, interpret
