@@ -378,6 +378,83 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "hunyuanvideo",
+    KeyConverter(
+        renames=[
+            (r"^x_embedder\.proj\.weight$", "x_embedder.kernel"),
+            (r"^x_embedder\.proj\.bias$", "x_embedder.bias"),
+            (r"^time_text_embed\.timestep_embedder\.linear_(\d)\.", r"time_linear_\1."),
+            (r"^time_text_embed\.text_embedder\.linear_(\d)\.", r"text_linear_\1."),
+            (r"^time_text_embed\.guidance_embedder\.linear_(\d)\.", r"guidance_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.timestep_embedder\.linear_(\d)\.",
+             r"context_embedder.timestep_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.text_embedder\.linear_(\d)\.",
+             r"context_embedder.text_linear_\1."),
+            (r"^context_embedder\.token_refiner\.refiner_blocks\.",
+             "context_embedder.refiner_blocks."),
+            (r"(refiner_blocks\.\d+)\.attn\.to_out\.0\.", r"\1.to_out."),
+            (r"(refiner_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.0\.proj\.", r"\1.ff_in."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.2\.", r"\1.ff_out."),
+            (r"(refiner_blocks\.\d+)\.norm_out\.linear\.", r"\1.ada_linear."),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"\.norm\.linear\.", ".norm_linear."),  # single-block adaLN
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|ff_in|ff_out|ada_linear|proj_in|proj_mlp|proj_out|norm1_linear|norm1_context_linear|norm_linear|norm_out_linear|time_linear_\d|timestep_linear_\d|text_linear_\d|guidance_linear_\d)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
+    "hunyuanvideo_vae",
+    KeyConverter(
+        renames=[
+            # CausalConv3d wraps its conv; flatten the extra level.
+            (r"\.conv\.weight$", ".kernel"),
+            (r"\.conv\.bias$", ".bias"),
+            (r"^quant_conv\.weight$", "quant_conv.kernel"),
+            (r"^quant_conv\.bias$", "quant_conv.bias"),
+            (r"^post_quant_conv\.weight$", "post_quant_conv.kernel"),
+            (r"^post_quant_conv\.bias$", "post_quant_conv.bias"),
+            # Mid-block attention (deprecated diffusers attn block naming).
+            (r"\.attentions\.0\.to_out\.0\.", ".attentions.0.to_out."),
+            (r"(to_q|to_k|to_v|to_out|conv_shortcut)\.weight$", r"\1.kernel"),
+            # GroupNorm params keep .weight/.bias names (GroupNormCh leaves).
+        ],
+        strip_prefixes=(),
+        drop=(),
+    ),
+)
+
+converter_registry.add(
+    "llama",
+    KeyConverter(
+        renames=[
+            # llava checkpoints nest the text tower; plain LlamaModel does not.
+            (r"^language_model\.model\.", ""),
+            (r"^language_model\.", ""),
+            (r"^model\.", ""),
+            (r"^embed_tokens\.weight$", "embed_tokens"),
+            (r"(q_proj|k_proj|v_proj|o_proj)\.weight$", r"\1.kernel"),
+            (r"\.mlp\.gate_proj\.", ".mlp.w1."),
+            (r"\.mlp\.up_proj\.", ".mlp.w3."),
+            (r"\.mlp\.down_proj\.", ".mlp.w2."),
+            (r"(w1|w2|w3)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^lm_head\.", r"rotary_emb", r"^vision_tower\.", r"^multi_modal_projector\."),
+    ),
+)
+
+converter_registry.add(
     "hunyuanvideo15_vae",
     KeyConverter(
         renames=[

@@ -38,6 +38,9 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.text_encoders.siglip",
         "apex_studio_tpu.models.vaes.hunyuanvideo15_vae",
         "apex_studio_tpu.models.vaes.ltx_vae",
+        "apex_studio_tpu.models.transformers.hunyuanvideo",
+        "apex_studio_tpu.models.vaes.hunyuanvideo_vae",
+        "apex_studio_tpu.models.text_encoders.llama",
     ):
         try:
             importlib.import_module(mod)
