@@ -133,8 +133,11 @@ class BaseEngine:
         return None
 
     def _load_component_config(self, spec: Dict[str, Any]) -> Dict[str, Any]:
+        # Manifest extra_kwargs overlay the checkpoint config (reference
+        # schema_v1 components[].extra_kwargs).
+        extra = spec.get("extra_kwargs") if isinstance(spec.get("extra_kwargs"), dict) else {}
         if isinstance(spec.get("config"), dict):  # inline config (tests, custom models)
-            return dict(spec["config"])
+            return {**spec["config"], **extra}
         cfg_path = self._resolve_path(spec.get("config_path"))
         if cfg_path is None and spec.get("config_path"):
             raise FileNotFoundError(
@@ -142,10 +145,10 @@ class BaseEngine:
                 f"(searched under {self.components_root})"
             )
         if cfg_path is None:
-            return {}
+            return dict(extra)
         if cfg_path.is_dir():
             cfg_path = cfg_path / "config.json"
-        return json.loads(cfg_path.read_text())
+        return {**json.loads(cfg_path.read_text()), **extra}
 
     def _component_dtype(self, spec: Dict[str, Any]) -> Any:
         sel = self.selected_components.get(spec.get("type"), {})

@@ -17,6 +17,7 @@ from apex_studio_tpu.manifest.loader import load_manifest
 _ENGINE_MODULES = (
     "apex_studio_tpu.engine.zimage",
     "apex_studio_tpu.engine.flux",
+    "apex_studio_tpu.engine.flux2",
     "apex_studio_tpu.engine.qwenimage",
     "apex_studio_tpu.engine.wan",
     "apex_studio_tpu.engine.hunyuanvideo15",

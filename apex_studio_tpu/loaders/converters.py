@@ -435,6 +435,43 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "flux2",
+    KeyConverter(
+        renames=[
+            (r"^time_guidance_embed\.timestep_embedder\.linear_(\d)\.", r"timestep_linear_\1."),
+            (r"^time_guidance_embed\.guidance_embedder\.linear_(\d)\.", r"guidance_linear_\1."),
+            (r"^(double_stream_modulation_img|double_stream_modulation_txt|single_stream_modulation)\.linear\.",
+             r"\1."),
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"\.attn\.to_out\.", ".to_out."),  # single blocks: plain Linear
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.linear_in\.", r".ff\1.linear_in."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|to_qkv_mlp_proj|linear_in|linear_out|x_embedder|context_embedder|proj_out|norm_out_linear|timestep_linear_\d|guidance_linear_\d|double_stream_modulation_img|double_stream_modulation_txt|single_stream_modulation)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed\.",),
+    ),
+)
+
+converter_registry.add(
+    "flux2_vae",
+    KeyConverter(
+        renames=[
+            (r"^bn\.running_mean$", "bn_mean"),
+            (r"^bn\.running_var$", "bn_var"),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(conv|conv1|conv2|conv_shortcut|conv_in|conv_out|quant_conv|post_quant_conv)\.weight$",
+             r"\1.kernel"),
+            (r"(to_q|to_k|to_v|to_out)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"num_batches_tracked",),
+    ),
+)
+
+converter_registry.add(
     "llama",
     KeyConverter(
         renames=[

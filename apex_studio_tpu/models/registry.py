@@ -41,6 +41,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.hunyuanvideo",
         "apex_studio_tpu.models.vaes.hunyuanvideo_vae",
         "apex_studio_tpu.models.text_encoders.llama",
+        "apex_studio_tpu.models.transformers.flux2",
     ):
         try:
             importlib.import_module(mod)

@@ -40,6 +40,9 @@ class LlamaConfig:
     attention_bias: bool = False
     # Which hidden state the conditioning uses (HF hidden_states[-(skip+1)]).
     skip_last_layers: int = 2
+    # Flux2/Mistral mode: concatenate hidden_states[k] for these layer indices
+    # along the feature axis (reference engine/flux2/shared.py:249-258).
+    stack_layers: Optional[Tuple[int, ...]] = None
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "LlamaConfig":
@@ -47,6 +50,8 @@ class LlamaConfig:
         kw = {k: v for k, v in cfg.items() if k in known}
         if "head_dim" not in kw and "hidden_size" in kw and "num_attention_heads" in kw:
             kw["head_dim"] = kw["hidden_size"] // kw["num_attention_heads"]
+        if kw.get("stack_layers") is not None:
+            kw["stack_layers"] = tuple(kw["stack_layers"])
         return cls(**kw)
 
 
@@ -89,7 +94,15 @@ class LlamaDecoderLayer(nnx.Module):
         return x + self.mlp(self.post_attention_layernorm(x))
 
 
-@text_encoder_registry.register("LlamaModel", aliases=("llama", "LlavaForConditionalGeneration"))
+@text_encoder_registry.register(
+    "LlamaModel",
+    aliases=(
+        "llama",
+        "LlavaForConditionalGeneration",
+        "MistralModel",
+        "Mistral3ForConditionalGeneration",  # flux2's text tower is llama-arch
+    ),
+)
 class LlamaTextEncoder(nnx.Module):
     config_class = LlamaConfig
 
@@ -133,6 +146,21 @@ class LlamaTextEncoder(nnx.Module):
         else:
             mask = causal
 
+        if self.cfg.stack_layers is not None:
+            # hidden_states[k] = output after k decoder layers (HF convention).
+            want = set(int(k) for k in self.cfg.stack_layers)
+            collected = {}
+            if 0 in want:
+                collected[0] = x
+            for i, layer in enumerate(self.layers):
+                x = layer(x, cos, sin, mask)
+                if (i + 1) in want:
+                    collected[i + 1] = x
+                if len(collected) == len(want) and (i + 1) >= max(want):
+                    break
+            return jnp.concatenate(
+                [collected[int(k)] for k in self.cfg.stack_layers], axis=-1
+            )
         n_run = len(self.layers) - int(self.cfg.skip_last_layers)
         for layer in list(self.layers)[:n_run]:
             x = layer(x, cos, sin, mask)

@@ -34,6 +34,12 @@ class AutoencoderKLConfig:
     use_quant_conv: bool = False
     use_post_quant_conv: bool = False
     mid_block_add_attention: bool = True
+    # Flux2 variant (reference src/vae/flux2/model.py:152): packed (2x2)
+    # latents are normalized by BatchNorm running stats instead of
+    # scaling/shift factors.
+    packed_batch_norm: bool = False
+    batch_norm_eps: float = 1e-4
+    patch_size: Tuple[int, int] = (2, 2)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "AutoencoderKLConfig":
@@ -41,6 +47,8 @@ class AutoencoderKLConfig:
         kw = {k: v for k, v in cfg.items() if k in known}
         if "block_out_channels" in kw:
             kw["block_out_channels"] = tuple(kw["block_out_channels"])
+        if "patch_size" in kw:
+            kw["patch_size"] = tuple(kw["patch_size"])
         return cls(**kw)
 
     @property
@@ -265,7 +273,7 @@ class Decoder(nnx.Module):
         return self.conv_out(nnx.silu(self.conv_norm_out(x)))
 
 
-@vae_registry.register("auto", aliases=("AutoencoderKL",))
+@vae_registry.register("auto", aliases=("AutoencoderKL", "AutoencoderKLFlux2", "flux2.vae"))
 class AutoencoderKL(nnx.Module):
     config_class = AutoencoderKLConfig
 
@@ -287,6 +295,25 @@ class AutoencoderKL(nnx.Module):
             if cfg.use_post_quant_conv
             else None
         )
+        if cfg.packed_batch_norm:
+            import math
+
+            n_bn = math.prod(cfg.patch_size) * cfg.latent_channels
+            self.bn_mean = nnx.Param(jnp.zeros((n_bn,), jnp.float32))
+            self.bn_var = nnx.Param(jnp.ones((n_bn,), jnp.float32))
+        else:
+            self.bn_mean = nnx.data(None)
+            self.bn_var = nnx.data(None)
+
+    def normalize_packed(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Normalize packed [B, N, C·p²] latents by BatchNorm running stats
+        (reference vae/flux2/model.py:615-621)."""
+        std = jnp.sqrt(self.bn_var.value + self.cfg.batch_norm_eps)
+        return (tokens - self.bn_mean.value) / std
+
+    def denormalize_packed(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        std = jnp.sqrt(self.bn_var.value + self.cfg.batch_norm_eps)
+        return tokens * std + self.bn_mean.value
 
     # Engine-facing API is NCHW like the reference.
     def encode_moments(self, x_nchw: jnp.ndarray) -> jnp.ndarray:
