@@ -17,6 +17,7 @@ denoise loops (``engine/wan/shared/__init__.py:610`` base, ``:478`` MoE):
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Callable, Dict, List, Optional
 
@@ -894,3 +895,208 @@ class WanT2IEngine(WanShared):
             None, return_latents, render_on_step, render_on_step_callback,
             render_on_step_interval, progress_callback,
         )
+
+
+@register_engine("wan", "causal")
+class WanCausalEngine(WanShared, _WanVaeEncodeMixin):
+    """Autoregressive block-causal generation (CausVid/Self-Forcing class).
+
+    Contract parity with the reference's ``engine/wan/causal.py``: latent
+    frames are generated ``num_frame_per_block`` at a time; each block runs a
+    few-step x0-renoise loop (flow → x0 at t, re-noise to the next t) against
+    a KV cache of committed blocks, then the cache is refreshed once with the
+    finished block at ``context_noise``. Image/video inputs pre-fill the cache.
+
+    TPU-native loop: fixed-size functional KV cache, two compiled programs
+    total (a denoise step and a cache commit) reused across every block —
+    block position enters via traced RoPE tables + cache offset, so there is
+    no per-block recompilation. This is the SURVEY §5 long-context engine: one
+    compiled step's sequence length stays bounded no matter the video length.
+    """
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        image: Any = None,
+        video: Any = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 4,
+        num_frame_per_block: int = 3,
+        context_noise: float = 0.0,
+        local_attn_size: int = -1,     # in latent frames; -1 = full
+        sink_size: int = 0,            # in latent frames
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting causal pipeline")
+        self.load_components(return_latents)
+        s_scale = self.vae.cfg.spatial_scale
+        t_scale = self.vae.cfg.temporal_scale
+        height -= height % (s_scale * self.transformer.cfg.patch_size[1])
+        width -= width % (s_scale * self.transformer.cfg.patch_size[2])
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        context = self.encode_prompt(prompt or "")
+        safe_emit_progress(progress_callback, 0.1, "Prompt encoded")
+
+        lat_h, lat_w = height // s_scale, width // s_scale
+        lat_t = (num_frames - 1) // t_scale + 1
+        cfg_t = self.transformer.cfg
+        h_tok, w_tok = lat_h // cfg_t.patch_size[1], lat_w // cfg_t.patch_size[2]
+        frame_seq = h_tok * w_tok
+
+        # Conditioning pre-fill (image → 1 latent frame; video → its latents).
+        initial = None
+        if image is not None:
+            import cv2
+
+            arr = self.load_image_input(image)
+            resized = cv2.resize(arr, (width, height), interpolation=cv2.INTER_LANCZOS4)
+            first = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+            initial = self.encode_video_latents(first[None, :, None])
+        elif video is not None:
+            frames = [self.load_image_input(np.asarray(f)) for f in video]
+            vid = jnp.asarray(
+                np.stack(frames, axis=0).astype(np.float32) / 127.5 - 1.0
+            ).transpose(3, 0, 1, 2)[None]
+            initial = self.encode_video_latents(vid)
+        num_input_frames = 0 if initial is None else initial.shape[2]
+
+        gen_frames = lat_t
+        num_blocks = gen_frames // num_frame_per_block
+        gen_frames = num_blocks * num_frame_per_block
+        total_frames = num_input_frames + gen_frames
+        s_max = total_frames * frame_seq
+
+        noise = self.get_latents(
+            (1, cfg_t.in_channels, gen_frames, lat_h, lat_w), seed=seed
+        )
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps, timesteps=timesteps)
+        # Per-step re-noise draws (deterministic from the seed).
+        rng = np.random.default_rng(0 if seed is None else seed)
+
+        k_cache, v_cache = self.transformer.init_cache(1, s_max)
+        graphdef, tf_state = nnx.split(self.transformer)
+        local_tokens = local_attn_size * frame_seq if local_attn_size > 0 else -1
+        sink_tokens = sink_size * frame_seq
+
+        blk_shape = (1, cfg_t.in_channels, num_frame_per_block, lat_h, lat_w)
+        key_d = ("wan_causal_denoise", blk_shape, context.shape[1], s_max,
+                 local_tokens, sink_tokens)
+        denoise_step = self._jit_cache.get(key_d)
+        if denoise_step is None:
+
+            @jax.jit
+            def denoise_step(state, x, kc, vc, cache_pos, t_frames, ctx,
+                             rope_cos, rope_sin, sigma, sigma_next, fresh_noise):
+                m = nnx.merge(graphdef, state)
+                flow, _ = m.forward_causal(
+                    x.astype(m.dtype), t_frames, ctx, kc, vc, cache_pos,
+                    rope_cos, rope_sin, local_tokens=local_tokens,
+                    sink_tokens=sink_tokens,
+                )
+                x0 = x.astype(jnp.float32) - sigma * flow.astype(jnp.float32)
+                return (1.0 - sigma_next) * x0 + sigma_next * fresh_noise
+
+            self._jit_cache[key_d] = denoise_step
+
+        def _commit_key(n_frames):
+            return ("wan_causal_commit",
+                    (1, cfg_t.in_channels, n_frames, lat_h, lat_w),
+                    context.shape[1], s_max, local_tokens, sink_tokens)
+
+        def get_commit(n_frames):
+            key_c = _commit_key(n_frames)
+            commit = self._jit_cache.get(key_c)
+            if commit is None:
+
+                @functools.partial(jax.jit, donate_argnums=(2, 3))
+                def commit(state, x, kc, vc, cache_pos, t_frames, ctx, rope_cos, rope_sin):
+                    m = nnx.merge(graphdef, state)
+                    _, (kc2, vc2) = m.forward_causal(
+                        x.astype(m.dtype), t_frames, ctx, kc, vc, cache_pos,
+                        rope_cos, rope_sin, local_tokens=local_tokens,
+                        sink_tokens=sink_tokens,
+                    )
+                    return kc2, vc2
+
+                self._jit_cache[key_c] = commit
+            return commit
+
+        output = np.zeros((1, cfg_t.in_channels, total_frames, lat_h, lat_w), np.float32)
+        start = 0
+        if initial is not None:
+            output[:, :, :num_input_frames] = np.asarray(initial, np.float32)
+            # Pre-fill the cache with the conditioning latents at t=0,
+            # one latent frame at a time (matches reference frame packing).
+            commit1 = get_commit(num_input_frames)
+            rope = self.transformer.causal_rope_tables(0, num_input_frames, h_tok, w_tok)
+            t0 = jnp.zeros((1, num_input_frames), jnp.float32)
+            k_cache, v_cache = commit1(
+                tf_state, initial.astype(jnp.float32), k_cache, v_cache,
+                jnp.int32(0), t0, context, *rope,
+            )
+            start = num_input_frames
+        safe_emit_progress(progress_callback, 0.2, "Cache pre-filled; generating")
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.2, 0.9)
+        commit_blk = get_commit(num_frame_per_block)
+        total_steps = num_blocks * len(ts)
+        done = 0
+        for b_idx in range(num_blocks):
+            lo = b_idx * num_frame_per_block
+            x_blk = noise[:, :, lo : lo + num_frame_per_block].astype(jnp.float32)
+            start_frame = start + lo
+            rope = self.transformer.causal_rope_tables(
+                start_frame, num_frame_per_block, h_tok, w_tok
+            )
+            cache_pos = jnp.int32(start_frame * frame_seq)
+            for i, t in enumerate(ts):
+                t_frames = jnp.full((1, num_frame_per_block), float(t), jnp.float32)
+                sigma = float(t) / 1000.0
+                sigma_next = float(ts[i + 1]) / 1000.0 if i + 1 < len(ts) else 0.0
+                fresh = jnp.asarray(
+                    rng.standard_normal(blk_shape).astype(np.float32)
+                ) if i + 1 < len(ts) else jnp.zeros(blk_shape, jnp.float32)
+                x_blk = denoise_step(
+                    tf_state, x_blk, k_cache, v_cache, cache_pos, t_frames,
+                    context, *rope, jnp.float32(sigma), jnp.float32(sigma_next), fresh,
+                )
+                done += 1
+                if denoise_cb is not None:
+                    denoise_cb(done / total_steps, f"Causal step {done}/{total_steps}")
+            output[:, :, start_frame : start_frame + num_frame_per_block] = np.asarray(x_blk)
+            # Refresh the cache with the finished block at context_noise.
+            t_ctx = jnp.full((1, num_frame_per_block), float(context_noise), jnp.float32)
+            k_cache, v_cache = commit_blk(
+                tf_state, x_blk, k_cache, v_cache, cache_pos, t_ctx, context, *rope,
+            )
+            if render_on_step and render_on_step_callback is not None:
+                try:
+                    render_on_step_callback(
+                        self.decode_latents(jnp.asarray(
+                            output[:, :, : start_frame + num_frame_per_block]
+                        )), b_idx,
+                    )
+                except Exception:
+                    logger.exception("preview callback failed")
+
+        safe_emit_progress(progress_callback, 0.9, "Causal generation complete")
+        lat = jnp.asarray(output)
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return lat
+        frames = self.decode_latents(lat)
+        safe_emit_progress(progress_callback, 1.0, "Completed causal pipeline")
+        return frames

@@ -23,6 +23,7 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -317,3 +318,133 @@ transformer_registry.add(
     "skyreels.base", WanTransformer3DModel,
     aliases=("skyreels", "SkyReelsTransformer3DModel"),
 )
+
+
+# -- causal / autoregressive variant ---------------------------------------------------
+
+
+@transformer_registry.register("wan.causal", aliases=("wan_causal", "WanCausalTransformer3DModel"))
+class WanCausalTransformer3DModel(WanTransformer3DModel):
+    """Block-causal Wan DiT for autoregressive long-video generation.
+
+    Behavioral counterpart of the reference's CausVid/Self-Forcing variant
+    (``src/transformer/wan/causal/model.py``; engine ``src/engine/wan/causal.py``):
+    each latent-frame block attends to a KV cache of previously committed
+    blocks plus itself, with optional local attention windows and sink tokens.
+
+    TPU-first design: the reference mutates per-layer python dict caches; here
+    the cache is a fixed-size functional pytree ``(k, v)`` of shape
+    [L, B, S_max, H, D] updated with ``lax.dynamic_update_slice`` and masked by
+    a traced valid-length — one compiled program serves every block position
+    (RoPE tables for the block's absolute positions are passed in as inputs).
+    Cross-attention k/v are recomputed per call (XLA makes them negligible next
+    to self-attention; the reference caches them as a CPU-side optimization).
+    """
+
+    def init_cache(self, batch: int, max_tokens: int):
+        l = len(self.blocks)
+        h, dh = self.cfg.num_attention_heads, self.cfg.attention_head_dim
+        shape = (l, batch, max_tokens, h, dh)
+        return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
+
+    def forward_causal(
+        self,
+        x: jnp.ndarray,                # [B, C, T_blk, H, W] current block latents
+        t: jnp.ndarray,                # [B, T_blk] per-frame timesteps (0..1000)
+        context: jnp.ndarray,          # [B, L, text_dim]
+        k_cache: jnp.ndarray,          # [L, B, S_max, H, D]
+        v_cache: jnp.ndarray,
+        cache_pos,                     # traced int32 — committed tokens in cache
+        rope_cos: jnp.ndarray,         # tables for THIS block's absolute positions
+        rope_sin: jnp.ndarray,
+        local_tokens: int = -1,        # attend to at most this many recent tokens
+        sink_tokens: int = 0,          # plus always the first `sink` tokens
+    ):
+        """→ (flow_pred [B,C,T_blk,H,W], (k_cache', v_cache') with this block
+        written at cache_pos)."""
+        cfg = self.cfg
+        b, c, tt, hh, ww = x.shape
+        pt, ph, pw = cfg.patch_size
+
+        t_freq = timestep_embedding(
+            t.reshape(-1).astype(jnp.float32), cfg.freq_dim, flip_sin_to_cos=True
+        )
+        temb = self.time_embedder_linear_2(
+            nnx.silu(self.time_embedder_linear_1(t_freq.astype(self.dtype)))
+        )
+        temb6 = self.time_proj(nnx.silu(temb)).astype(jnp.float32).reshape(-1, 6, cfg.dim)
+        f_lat = t.shape[1]
+        hw = (hh // ph) * (ww // pw)
+        temb = jnp.repeat(temb.reshape(b, f_lat, cfg.dim), hw, axis=1)
+        temb6 = jnp.repeat(temb6.reshape(b, f_lat, 6, cfg.dim), hw, axis=1)
+
+        ctx = self.text_embedder_linear_2(
+            nnx.gelu(self.text_embedder_linear_1(context.astype(self.dtype)), approximate=True)
+        )
+        tokens = self.patch_embedding(self.patchify(x).astype(self.dtype))
+
+        n_new = tokens.shape[1]
+        s_max = k_cache.shape[2]
+        pos = jnp.arange(s_max)
+        end = cache_pos + n_new
+        valid = pos < end
+        if local_tokens > 0:
+            window = valid & (pos >= end - local_tokens)
+            if sink_tokens > 0:
+                window = window | (valid & (pos < sink_tokens))
+            valid = window
+        mask = jnp.broadcast_to(valid[None], (b, s_max))
+
+        new_k, new_v = [], []
+        for i, blk in enumerate(self.blocks):
+            mods = (blk.scale_shift_table.value[:, :, None]
+                    + temb6.swapaxes(1, 2)).astype(tokens.dtype)
+            shift_msa, scale_msa, gate_msa = mods[:, 0], mods[:, 1], mods[:, 2]
+            c_shift, c_scale, c_gate = mods[:, 3], mods[:, 4], mods[:, 5]
+
+            norm_x = layer_norm(tokens, eps=blk.eps) * (1 + scale_msa) + shift_msa
+            attn = blk.attn1
+            q = attn._heads(attn.norm_q(attn.to_q(norm_x)))
+            k_new = attn._heads(attn.norm_k(attn.to_k(norm_x)))
+            v_new = attn._heads(attn.to_v(norm_x))
+            q = apply_rope(q, rope_cos, rope_sin)
+            k_new = apply_rope(k_new, rope_cos, rope_sin)
+            k_all = jax.lax.dynamic_update_slice(
+                k_cache[i], k_new.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_cache[i], v_new.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+            )
+            out = attention_op(q, k_all, v_all, mask=mask).reshape(b, n_new, -1)
+            tokens = tokens + attn.to_out(out) * gate_msa
+            new_k.append(k_all)
+            new_v.append(v_all)
+
+            if blk.norm2_weight is not None:
+                norm_x = layer_norm(tokens, blk.norm2_weight.value,
+                                    blk.norm2_bias.value, blk.eps)
+            else:
+                norm_x = tokens
+            tokens = tokens + blk.attn2(norm_x, context=ctx)
+
+            norm_x = layer_norm(tokens, eps=blk.eps) * (1 + c_scale) + c_shift
+            tokens = tokens + blk.ffn(norm_x) * c_gate
+
+        table = self.scale_shift_table.value[:, :, None] \
+            + temb.astype(jnp.float32)[:, None, :, :]
+        shift = table[:, 0].astype(tokens.dtype)
+        scale = table[:, 1].astype(tokens.dtype)
+        tokens = layer_norm(tokens, eps=cfg.eps) * (1 + scale) + shift
+        out = self.unpatchify(self.proj_out(tokens), tt, hh, ww)
+        return out, (jnp.stack(new_k), jnp.stack(new_v))
+
+    def causal_rope_tables(self, start_frame: int, n_frames: int, h_tok: int, w_tok: int):
+        """RoPE tables for a block starting at absolute latent frame
+        ``start_frame`` (host-side numpy; passed into the jitted step)."""
+        ids = np.stack(
+            np.meshgrid(np.arange(start_frame, start_frame + n_frames),
+                        np.arange(h_tok), np.arange(w_tok), indexing="ij"),
+            axis=-1,
+        ).reshape(1, -1, 3)
+        cos, sin = precompute_axial_freqs(ids, self.cfg.rope_axes_dims, theta=10000.0)
+        return cos[:, :, None, :], sin[:, :, None, :]

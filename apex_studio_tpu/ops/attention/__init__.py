@@ -105,6 +105,56 @@ def pallas_flash_attention(q, k, v, bias=None, scale=None, is_causal=False):
     )
 
 
+@attention_registry.register("ring")
+def ring_attention_backend(q, k, v, bias=None, scale=None, is_causal=False):
+    """Sequence-parallel exact attention over the process mesh's ``sp`` axis
+    (parallel/ring_attention.py). Long-video engines pick this up automatically
+    when the engine mesh has sp > 1 — the TPU-native replacement for the
+    reference's single-device chunked attention (functions.py:138)."""
+    from apex_studio_tpu.parallel.mesh import get_mesh
+    from apex_studio_tpu.parallel.ring_attention import ring_attention
+
+    mesh = get_mesh()
+    sp = int(mesh.shape.get("sp", 1)) if mesh is not None else 1
+    if (
+        mesh is None
+        or sp <= 1
+        or bias is not None
+        or is_causal
+        or q.shape[1] != k.shape[1]
+        or q.shape[1] % sp
+    ):
+        return xla_attention(q, k, v, bias=bias, scale=scale, is_causal=is_causal)
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, "sp", None, None)
+    fn = _jax.shard_map(
+        functools.partial(ring_attention, axis_name="sp", scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
+def _sp_mesh_active(q, k, bias, is_causal) -> bool:
+    try:
+        from apex_studio_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        sp = int(mesh.shape.get("sp", 1)) if mesh is not None else 1
+        return (
+            sp > 1
+            and bias is None
+            and not is_causal
+            and q.shape[1] == k.shape[1]
+            and q.shape[1] % sp == 0
+        )
+    except Exception:
+        return False
+
+
 _backend_override: Optional[str] = None
 
 
@@ -131,6 +181,10 @@ def attention(
     """Unified attention entry point. q/k/v: [B, S, H, D]; returns [B, Sq, H, D]."""
     bias = _prep_bias(bias, mask)
     name = backend or _default_backend()
+    # Sequence parallelism: when the engine mesh carries an sp axis, the
+    # sequence is sharded across chips and attention goes around the ring.
+    if backend is None and _backend_override is None and _sp_mesh_active(q, k, bias, is_causal):
+        name = "ring"
     if name == "pallas_flash":
         # The Pallas kernel only supports [B,1|H,1,Sk]-broadcastable bias
         # (key-padding); route richer biases through XLA.

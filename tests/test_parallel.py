@@ -215,3 +215,61 @@ class TestTPFluxAndWan:
         with jax.sharding.set_mesh(mesh):
             out = fwd(state, x, t, ctx)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_hyv15_tp_matches_single_device(self, devices8):
+        """HYV15 — the v5e-8 headline model — must be TP-exact (VERDICT r1 #8)."""
+        from flax import nnx
+
+        from apex_studio_tpu.models.transformers.hunyuanvideo15 import (
+            HYV15Config,
+            HunyuanVideo15Transformer3DModel,
+        )
+
+        cfg = HYV15Config(
+            in_channels=9, out_channels=4, num_attention_heads=4,
+            attention_head_dim=12, num_layers=1, num_refiner_layers=1,
+            mlp_ratio=2.0, text_embed_dim=32, text_embed_2_dim=16,
+            image_embed_dim=16, rope_axes_dim=(4, 4, 4),
+        )
+        model = HunyuanVideo15Transformer3DModel(cfg, dtype=jnp.float32,
+                                                 param_dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 9, 2, 4, 4))
+        t = jnp.full((1,), 500.0)
+        text = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+        mask = jnp.ones((1, 8), jnp.int32)
+        ref = model(x, t, text, mask)
+
+        mesh = create_mesh(dp=1, sp=1, tp=4, devices=jax.devices()[:4])
+        graphdef, state = _tp_shard_state(HunyuanVideo15Transformer3DModel, cfg, model, mesh)
+
+        @jax.jit
+        def fwd(state, x, t, text, mask):
+            return nnx.merge(graphdef, state)(x, t, text, mask)
+
+        with jax.sharding.set_mesh(mesh):
+            out = fwd(state, x, t, text, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_attention_dispatch_routes_ring_when_sp_mesh_active():
+    """ops.attention auto-routes through ring attention when the process mesh
+    has sp > 1 — the wan long-video engines consume the sp axis through this
+    path (SURVEY §5 long-context)."""
+    import numpy as np
+
+    from apex_studio_tpu.ops.attention import attention, naive_attention
+    from apex_studio_tpu.parallel.mesh import create_mesh, get_mesh, set_mesh
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 16, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 16, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 16, 2, 8)), jnp.float32)
+    ref = naive_attention(q, k, v)
+
+    prev = get_mesh()
+    set_mesh(create_mesh(dp=1, sp=8, tp=1))
+    try:
+        out = attention(q, k, v)
+    finally:
+        set_mesh(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
