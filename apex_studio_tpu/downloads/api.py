@@ -140,6 +140,8 @@ def download_component(
 
 def download_lora(source: str, root: Path, progress_cb: ProgressCb = None) -> Path:
     root.mkdir(parents=True, exist_ok=True)
+    if source.startswith("urn:air:") or "civitai.com" in source:
+        source = resolve_civitai_url(source)
     name = source.rstrip("/").split("/")[-1].split("?")[0] or "lora.safetensors"
     if not name.endswith(".safetensors"):
         name += ".safetensors"
@@ -147,3 +149,42 @@ def download_lora(source: str, root: Path, progress_cb: ProgressCb = None) -> Pa
     if dest.exists():
         return dest
     return download_file(source, dest, progress_cb=progress_cb)
+
+
+def resolve_civitai_url(source: str) -> str:
+    """Civitai AIR URNs and model-page URLs → direct download URLs
+    (reference lora/manager.py:156 resolves these before fetching).
+
+    Forms handled:
+      urn:air:<ecosystem>:<type>:civitai:<modelId>@<versionId>
+      https://civitai.com/models/<id>?modelVersionId=<vid>
+      https://civitai.com/api/download/models/<vid> (passthrough)
+    A Civitai API token from APEX_CIVITAI_TOKEN (or the config store key
+    ``civitai_token``) rides along as a query parameter.
+    """
+    import re
+
+    url = source
+    m = re.match(r"^urn:air:[^:]+:[^:]+:civitai:(\d+)@(\d+)$", source.strip())
+    if m:
+        url = f"https://civitai.com/api/download/models/{m.group(2)}"
+    elif "civitai.com/models/" in source:
+        vm = re.search(r"[?&]modelVersionId=(\d+)", source)
+        if vm:
+            url = f"https://civitai.com/api/download/models/{vm.group(1)}"
+        else:
+            raise ValueError(
+                "civitai model-page URL without modelVersionId — pick a version"
+            )
+    token = os.environ.get("APEX_CIVITAI_TOKEN")
+    if not token:
+        try:
+            from apex_studio_tpu.utils.config_store import get_config_value
+
+            token = get_config_value("civitai_token")
+        except Exception:  # noqa: BLE001
+            token = None
+    if token and "civitai.com" in url:
+        sep = "&" if "?" in url else "?"
+        url = f"{url}{sep}token={token}"
+    return url

@@ -25,7 +25,7 @@ import sys
 import time
 import uuid
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 from aiohttp import WSMsgType, web
 
@@ -157,7 +157,102 @@ def make_manifest_handlers(resolver: ManifestResolver):
             return error(404, f"Manifest not found: {manifest_id}")
         return json_response(_enrich_manifest(resolver, info))
 
-    return list_all, list_by_model, list_by_type, get_types, get_categories, get_one
+    # -- LoRA CRUD on manifest YAMLs (reference api/manifest.py:776-1199) -------
+
+    def _load_doc(manifest_id: str):
+        import yaml
+
+        info = resolver.get(manifest_id)
+        if info is None:
+            return None, None
+        path = Path(info.path)
+        return path, (yaml.safe_load(path.read_text()) or {})
+
+    def _save_doc(path: Path, doc: Dict[str, Any]) -> None:
+        import yaml
+
+        path.write_text(yaml.safe_dump(doc, sort_keys=False))
+        resolver.refresh()
+
+    def _normalize_lora(entry: Any) -> Dict[str, Any]:
+        return {"source": entry} if isinstance(entry, str) else dict(entry)
+
+    async def lora_add(req: web.Request) -> web.Response:
+        body = await req.json()
+        mid = body.get("manifest_id")
+        path, doc = _load_doc(mid or "")
+        if doc is None:
+            return error(404, f"Manifest not found: {mid}")
+        entry = {
+            k: body[k]
+            for k in ("source", "path", "url", "scale", "name", "label", "verified")
+            if body.get(k) is not None
+        }
+        if not any(k in entry for k in ("source", "path", "url")):
+            return error(400, "LoRA entry requires source, path or url")
+        spec = doc.setdefault("spec", {})
+        loras = spec.setdefault("loras", [])
+        loras.append(entry)
+        _save_doc(path, doc)
+        return json_response({"manifest_id": mid, "loras": loras})
+
+    async def lora_scale(req: web.Request) -> web.Response:
+        body = await req.json()
+        mid, idx = body.get("manifest_id"), int(body.get("lora_index", -1))
+        try:
+            scale = float(body.get("scale"))
+        except (TypeError, ValueError):
+            return error(400, "scale must be a number")
+        scale = max(0.0, min(1.0, scale))  # clamp like the reference (:1013)
+        path, doc = _load_doc(mid or "")
+        if doc is None:
+            return error(404, f"Manifest not found: {mid}")
+        loras = (doc.get("spec") or {}).get("loras") or []
+        if not (0 <= idx < len(loras)):
+            return error(400, f"lora_index out of range: {idx}")
+        entry = _normalize_lora(loras[idx])
+        entry["scale"] = scale
+        loras[idx] = entry
+        doc["spec"]["loras"] = loras
+        _save_doc(path, doc)
+        return json_response({"manifest_id": mid, "lora_index": idx, "scale": scale})
+
+    async def lora_name(req: web.Request) -> web.Response:
+        body = await req.json()
+        mid, idx = body.get("manifest_id"), int(body.get("lora_index", -1))
+        name = str(body.get("name") or "").strip()
+        if not name:
+            return error(400, "name is required")
+        path, doc = _load_doc(mid or "")
+        if doc is None:
+            return error(404, f"Manifest not found: {mid}")
+        loras = (doc.get("spec") or {}).get("loras") or []
+        if not (0 <= idx < len(loras)):
+            return error(400, f"lora_index out of range: {idx}")
+        entry = _normalize_lora(loras[idx])
+        entry["name"] = name
+        entry["label"] = name
+        loras[idx] = entry
+        doc["spec"]["loras"] = loras
+        _save_doc(path, doc)
+        return json_response({"manifest_id": mid, "lora_index": idx, "name": name})
+
+    async def lora_delete(req: web.Request) -> web.Response:
+        body = await req.json()
+        mid, idx = body.get("manifest_id"), int(body.get("lora_index", -1))
+        path, doc = _load_doc(mid or "")
+        if doc is None:
+            return error(404, f"Manifest not found: {mid}")
+        loras = (doc.get("spec") or {}).get("loras") or []
+        if not (0 <= idx < len(loras)):
+            return error(400, f"lora_index out of range: {idx}")
+        removed = loras.pop(idx)
+        doc["spec"]["loras"] = loras
+        _save_doc(path, doc)
+        return json_response({"manifest_id": mid, "removed": removed, "loras": loras})
+
+    return (list_all, list_by_model, list_by_type, get_types, get_categories,
+            get_one, lora_add, lora_scale, lora_name, lora_delete)
 
 
 def make_engine_handlers(store: JobStore, executor: JobExecutor, resolver: ManifestResolver):
@@ -206,13 +301,18 @@ def make_engine_handlers(store: JobStore, executor: JobExecutor, resolver: Manif
         job = store.get(req.match_info["job_id"])
         if job is None:
             return error(404, "job not found")
-        pub = job.public()
+        out_type = (job.result or {}).get("type") if isinstance(job.result, dict) else None
+        if out_type is None and job.result_path:
+            # Non-dict results still report a faithful type from the artifact.
+            suffix = Path(job.result_path).suffix.lower()
+            out_type = {".png": "image", ".jpg": "image", ".mp4": "video",
+                        ".npy": "latents"}.get(suffix)
         return json_response(
             {
                 "job_id": job.job_id,
                 "status": job.status,
                 "result_path": job.result_path,
-                "type": (job.result or {}).get("type") if isinstance(job.result, dict) else None,
+                "type": out_type,
                 "error": job.error,
             }
         )
@@ -400,11 +500,38 @@ async def config_set(req: web.Request) -> web.Response:
     return json_response({"key": key, "value": value})
 
 
+def _allowed_file_roots() -> List[Path]:
+    """File serving is confined to managed roots (reference api/files.py:84
+    serves only registered directories — never arbitrary absolute paths)."""
+    from apex_studio_tpu.utils.defaults import get_results_path, home_dir
+
+    roots = [get_results_path(), home_dir() / "ingest"]
+    extra = os.environ.get("APEX_EXTRA_FILE_ROOTS", "")
+    roots += [Path(p) for p in extra.split(os.pathsep) if p]
+    return roots
+
+
+def _confine(path: str) -> Optional[Path]:
+    try:
+        p = Path(path).resolve()
+    except OSError:
+        return None
+    for root in _allowed_file_roots():
+        try:
+            if p.is_relative_to(root.resolve()):
+                return p
+        except OSError:
+            continue
+    return None
+
+
 async def files_get(req: web.Request) -> web.Response:
     path = req.query.get("path")
     if not path:
         return error(400, "path query param required")
-    p = Path(path)
+    p = _confine(path)
+    if p is None:
+        return error(403, "path outside managed roots")
     if not p.exists():
         return error(404, f"not found: {path}")
     if p.is_dir():
@@ -414,7 +541,58 @@ async def files_get(req: web.Request) -> web.Response:
 
 async def files_exists(req: web.Request) -> web.Response:
     path = req.query.get("path", "")
-    return json_response({"path": path, "exists": Path(path).exists()})
+    p = _confine(path)
+    return json_response({"path": path, "exists": bool(p is not None and p.exists())})
+
+
+async def files_ingest(req: web.Request) -> web.Response:
+    """Copy an arbitrary local file into managed storage and return the
+    managed path (reference api/files.py:179) — the only sanctioned way to
+    bring external files into the served tree."""
+    import shutil
+    import uuid as _uuid
+
+    from apex_studio_tpu.utils.defaults import home_dir
+
+    body = await req.json()
+    src = Path(str(body.get("path") or ""))
+    if not src.is_file():
+        return error(404, f"not found: {src}")
+    dest_dir = home_dir() / "ingest" / _uuid.uuid4().hex[:8]
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    dest = dest_dir / src.name
+    shutil.copy2(src, dest)
+    return json_response({"path": str(dest)})
+
+
+def _start_parent_watchdog() -> None:
+    """Exit when the spawning (Electron) parent dies so the server never
+    lingers holding the chip (reference api/main.py:39). Enabled by
+    APEX_PARENT_PID; on POSIX also auto-detects re-parenting to init."""
+    import threading
+
+    pid_env = os.environ.get("APEX_PARENT_PID")
+    if not pid_env:
+        return
+    try:
+        parent = int(pid_env)
+    except ValueError:
+        return
+
+    def watch():
+        import time as _t
+
+        while True:
+            try:
+                os.kill(parent, 0)
+            except OSError:
+                logging.getLogger("apex.server").warning(
+                    "parent pid %s gone — shutting down", parent
+                )
+                os._exit(0)
+            _t.sleep(2.0)
+
+    threading.Thread(target=watch, daemon=True, name="apex-parent-watchdog").start()
 
 
 # --------------------------------------------------------------------------------
@@ -435,9 +613,8 @@ def create_app(
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["store"], app["executor"], app["resolver"] = store, executor, resolver
 
-    list_all, list_by_model, list_by_type, get_types, get_categories, get_one = (
-        make_manifest_handlers(resolver)
-    )
+    (list_all, list_by_model, list_by_type, get_types, get_categories, get_one,
+     lora_add, lora_scale, lora_name, lora_delete) = make_manifest_handlers(resolver)
     run, status, result, cancel = make_engine_handlers(store, executor, resolver)
     jobs_status, jobs_cancel, ray_jobs, ray_job, ray_cancel, ray_cancel_all = (
         make_job_handlers(store)
@@ -458,6 +635,10 @@ def create_app(
             web.get("/manifest/list/type/{model_type}", list_by_type),
             web.get("/manifest/types", get_types),
             web.get("/manifest/categories", get_categories),
+            web.post("/manifest/lora", lora_add),
+            web.post("/manifest/lora/scale", lora_scale),
+            web.post("/manifest/lora/name", lora_name),
+            web.delete("/manifest/lora", lora_delete),
             web.get("/manifest/{manifest_id}", get_one),
             web.get("/jobs/status/{job_id}", jobs_status),
             web.post("/jobs/cancel/{job_id}", jobs_cancel),
@@ -471,6 +652,7 @@ def create_app(
             web.post("/config/{key}", config_set),
             web.get("/files", files_get),
             web.get("/files/exists", files_exists),
+            web.post("/files/ingest", files_ingest),
         ]
     )
     from apex_studio_tpu.server.mask_routes import add_mask_routes
@@ -488,6 +670,7 @@ def create_app(
 
     async def on_startup(app: web.Application) -> None:
         ws_manager.bind_loop(asyncio.get_running_loop())
+        _start_parent_watchdog()
         READY["ok"] = True
 
     async def on_cleanup(app: web.Application) -> None:

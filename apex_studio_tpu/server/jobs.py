@@ -133,6 +133,19 @@ class JobExecutor:
                 job.status = "error"
                 job.error = f"{type(e).__name__}: {e}"
                 job.meta["traceback"] = traceback.format_exc()
+                # Device allocator failures must not poison later jobs: purge
+                # warm engines so their HBM is released (the reference kills
+                # and recreates the Ray actor, ray_tasks.py:309).
+                msg = f"{type(e).__name__}: {e}"
+                if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower() \
+                        or "OutOfMemory" in type(e).__name__:
+                    try:
+                        from apex_studio_tpu.server.warm_pool import warm_pool
+
+                        warm_pool.discard()
+                        job.meta["warm_pool_purged"] = True
+                    except Exception:  # noqa: BLE001
+                        pass
             finally:
                 job.finished_at = time.time()
 

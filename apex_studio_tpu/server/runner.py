@@ -5,6 +5,7 @@ reference ray_tasks.py:2677): manifest → warm engine → run → outputs + pre
 from __future__ import annotations
 
 import logging
+import os
 import time
 import uuid
 from pathlib import Path
@@ -151,6 +152,13 @@ def run_engine_job(
             out_type = "video"
             fps = float(kwargs.get("fps", 16.0))
             result_path = save_video(result, out_dir / "output.mp4", fps=fps)
+            # Editor-optimize (+faststart, dense keyframes) and mux audio from
+            # the source inputs when present (reference ray_tasks.py:410,2947).
+            from apex_studio_tpu.utils.media import editor_optimize_mp4
+
+            audio_src = inputs.get("audio") or inputs.get("video")
+            if os.environ.get("APEX_DISABLE_MP4_OPTIMIZE", "0") not in ("1", "true"):
+                editor_optimize_mp4(result_path, audio_source=audio_src, fps=fps)
     elif result is not None:
         result_path = out_dir / "latents.npy"
         np.save(result_path, np.asarray(result))

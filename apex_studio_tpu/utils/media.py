@@ -40,3 +40,45 @@ def save_video(frames: Sequence[np.ndarray], path: Path, fps: float = 16.0) -> P
 
         imageio.mimsave(str(path), list(frames), fps=fps)
         return path
+
+
+def editor_optimize_mp4(
+    path: Path,
+    audio_source: Path | str | None = None,
+    fps: float = 16.0,
+) -> Path:
+    """Editor-optimize an mp4 in place: +faststart (moov up front so the
+    editor can scrub before full download) and dense keyframes, muxing audio
+    from ``audio_source`` when given — counterpart of the reference's output
+    post-steps (``api/ray_tasks.py:410`` re-encode, ``:2947`` audio mux).
+
+    No-op (with a log) when the ffmpeg binary is unavailable.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        logger.info("ffmpeg not available; skipping mp4 editor-optimize")
+        return path
+    path = Path(path)
+    tmp = Path(tempfile.mkstemp(suffix=".mp4", dir=str(path.parent))[1])
+    cmd = [ffmpeg, "-y", "-i", str(path)]
+    if audio_source is not None and Path(str(audio_source)).exists():
+        cmd += ["-i", str(audio_source), "-map", "0:v:0", "-map", "1:a:0?",
+                "-c:a", "aac", "-shortest"]
+    cmd += [
+        "-c:v", "libx264", "-preset", "veryfast", "-crf", "18",
+        "-pix_fmt", "yuv420p",
+        "-g", str(max(int(round(fps)), 1)),  # a keyframe every second
+        "-movflags", "+faststart",
+        str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
+        tmp.replace(path)
+    except Exception:
+        logger.exception("mp4 editor-optimize failed; keeping original encode")
+        tmp.unlink(missing_ok=True)
+    return path
