@@ -90,11 +90,17 @@ class FlowUniPCMultistepScheduler(SchedulerBase):
         self._this_order = self.solver_order
 
     def set_timesteps(self, num_inference_steps: int, shift: Optional[float] = None, **_: object) -> None:
+        """Reference grid (src/scheduler/unipc.py:159-212): sigmas from
+        linspace(1−1/T, 0, n+1)[:-1], shifted, with integer timesteps —
+        asserted bit-compatible by tests/test_parity_schedulers.py."""
         self.num_inference_steps = num_inference_steps
-        grid = np.linspace(1.0, 1.0 / self.num_train_timesteps, num_inference_steps, dtype=np.float64)
+        sigma_max = 1.0 - 1.0 / self.num_train_timesteps
+        grid = np.linspace(sigma_max, 0.0, num_inference_steps + 1, dtype=np.float64)[:-1]
         grid = shift_sigmas(grid, shift if shift is not None else self.shift)
         self.sigmas = np.concatenate([grid, [0.0]])
-        self.timesteps = (grid * self.num_train_timesteps).astype(np.float32)
+        self.timesteps = (
+            (grid * self.num_train_timesteps).astype(np.int64).astype(np.float32)
+        )
         self._reset_state()
 
     # -- core math ---------------------------------------------------------------
