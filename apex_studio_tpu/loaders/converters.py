@@ -472,6 +472,54 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    # Official SAM2 checkpoint layout (sam2 package) → mask/sam2.py modules.
+    "sam2",
+    KeyConverter(
+        renames=[
+            (r"^image_encoder\.trunk\.", "trunk."),
+            (r"^image_encoder\.neck\.convs\.(\d+)\.conv\.", r"neck.convs.\1."),
+            (r"^sam_prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix$",
+             "prompt_encoder.pe_gaussian"),
+            (r"^sam_prompt_encoder\.point_embeddings\.(\d+)\.weight$",
+             r"prompt_encoder.point_embeddings.\1"),
+            (r"^sam_prompt_encoder\.not_a_point_embed\.weight$",
+             "prompt_encoder.not_a_point_embed"),
+            (r"^sam_prompt_encoder\.no_mask_embed\.weight$", "prompt_encoder.no_mask_embed"),
+            (r"^sam_mask_decoder\.transformer\.layers\.", "mask_decoder.layers."),
+            (r"^sam_mask_decoder\.transformer\.final_attn_token_to_image\.",
+             "mask_decoder.final_attn_token_to_image."),
+            (r"^sam_mask_decoder\.transformer\.norm_final_attn\.",
+             "mask_decoder.norm_final_attn."),
+            (r"^sam_mask_decoder\.iou_token\.weight$", "mask_decoder.iou_token"),
+            (r"^sam_mask_decoder\.mask_tokens\.weight$", "mask_decoder.mask_tokens"),
+            (r"^sam_mask_decoder\.obj_score_token\.weight$", "mask_decoder.obj_score_token"),
+            (r"^sam_mask_decoder\.output_upscaling\.0\.", "mask_decoder.upscale1."),
+            (r"^sam_mask_decoder\.output_upscaling\.1\.", "mask_decoder.upscale_norm."),
+            (r"^sam_mask_decoder\.output_upscaling\.3\.", "mask_decoder.upscale2."),
+            (r"^sam_mask_decoder\.", "mask_decoder."),
+            (r"^sam_mask_decoder_extra\.", "mask_decoder."),
+            (r"\.attn\.qkv\.", ".qkv."),
+            (r"\.attn\.proj\.", ".proj_attn."),
+            (r"\.mlp\.layers\.0\.", ".mlp_lin1."),
+            (r"\.mlp\.layers\.1\.", ".mlp_lin2."),
+            (r"\.mlp\.lin1\.", ".mlp_lin1."),
+            (r"\.mlp\.lin2\.", ".mlp_lin2."),
+            (r"(q_proj|k_proj|v_proj|out_proj|qkv|proj_attn|proj|mlp_lin1|mlp_lin2)\.weight$",
+             r"\1.kernel"),
+            (r"(layers\.\d+)\.weight$", r"\1.kernel"),  # MLP heads
+            (r"^conv_s0\.weight$", "conv_s0.kernel"),
+            (r"^conv_s1\.weight$", "conv_s1.kernel"),
+            (r"(neck\.convs\.\d+)\.weight$", r"\1.kernel"),
+            (r"(patch_embed)\.proj\.weight$", r"\1.kernel"),
+            (r"(patch_embed)\.proj\.bias$", r"\1.bias"),
+            (r"(upscale1|upscale2)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"memory_", r"mask_downsample", r"maskmem", r"^obj_ptr", r"no_obj",
+              r"temporal", r"^image_encoder\.neck\.position_encoding"),
+    ),
+)
+
+converter_registry.add(
     "llama",
     KeyConverter(
         renames=[

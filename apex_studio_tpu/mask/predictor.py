@@ -1,0 +1,162 @@
+"""SAM2 predictor wrapper — checkpoint loading, prompt normalization, and the
+process-wide singleton the /mask routes use.
+
+The reference selects a SAM2/SAM3 variant via config and downloads published
+checkpoints (``src/mask/mask.py:57,66``). Here the checkpoint directory comes
+from ``APEX_SAM2_PATH`` (or config key ``mask_model_path``); when absent the
+mask API transparently falls back to the classical segmenter in
+mask/segment.py — same wire format either way.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("apex.mask.sam2")
+
+_lock = threading.Lock()
+_predictor: Optional["SAM2Predictor"] = None
+_checked = False
+
+
+class SAM2Predictor:
+    def __init__(self, model, img_size: int = 1024):
+        self.model = model
+        self.img_size = img_size
+        self._jit = None
+
+    @classmethod
+    def from_checkpoint(cls, path: Path) -> "SAM2Predictor":
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from apex_studio_tpu.loaders.converters import convert_keys
+        from apex_studio_tpu.loaders.safetensors_io import (
+            load_safetensors,
+            load_sharded_safetensors,
+        )
+        from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+        from apex_studio_tpu.mask.sam2 import SAM2Config, SAM2ImageModel
+
+        path = Path(path)
+        cfg_file = path / "config.json" if path.is_dir() else path.parent / "config.json"
+        cfg = SAM2Config.from_dict(json.loads(cfg_file.read_text())) if cfg_file.exists() \
+            else SAM2Config()
+        model = SAM2ImageModel(cfg, rngs=nnx.Rngs(0))
+        sd = None
+        if path.is_dir():
+            if any(path.glob("*.safetensors")):
+                sd = load_sharded_safetensors(path)
+        elif path.suffix == ".safetensors":
+            sd = load_safetensors(path)
+        if sd:
+            mapped = convert_keys("sam2", sd)
+            apply_state_dict(model, mapped, strict=False)
+        return cls(model, img_size=cfg.img_size)
+
+    def _predict_fn(self, n_points: int):
+        import jax
+        from flax import nnx
+
+        if self._jit is None:
+            self._jit = {}
+        fn = self._jit.get(n_points)
+        if fn is None:
+            graphdef, _ = nnx.split(self.model)
+
+            @jax.jit
+            def fn(state, img, pts, labels):
+                m = nnx.merge(graphdef, state)
+                return m.predict(img, pts, labels)
+
+            self._jit[n_points] = fn
+        return fn
+
+    def predict(
+        self,
+        image: np.ndarray,                      # HWC uint8 RGB
+        points: Sequence[Dict[str, float]],
+        point_labels: Optional[Sequence[int]] = None,
+        box: Optional[Dict[str, float]] = None,
+    ) -> np.ndarray:
+        """→ binary mask HxW uint8 (best of the multimask outputs by IoU)."""
+        import cv2
+        import jax.numpy as jnp
+        from flax import nnx
+
+        h, w = image.shape[:2]
+        side = self.img_size
+        resized = cv2.resize(image, (side, side), interpolation=cv2.INTER_LINEAR)
+        img = jnp.asarray(resized.astype(np.float32) / 255.0)[None]
+
+        pts, labels = [], []
+        for i, p in enumerate(points or []):
+            pts.append([p["x"] / w, p["y"] / h])
+            lab = 1 if point_labels is None else int(point_labels[i])
+            labels.append(lab)
+        if box is not None:
+            pts.append([box["x1"] / w, box["y1"] / h])
+            labels.append(2)
+            pts.append([box["x2"] / w, box["y2"] / h])
+            labels.append(3)
+        if not pts:
+            raise ValueError("SAM2 predict requires points or a box")
+        # Pad to a small bucket to bound recompiles.
+        bucket = max(4, int(np.ceil(len(pts) / 4) * 4))
+        while len(pts) < bucket:
+            pts.append([0.0, 0.0])
+            labels.append(-1)
+
+        fn = self._predict_fn(bucket)
+        _, state = nnx.split(self.model)
+        masks, iou, _obj = fn(
+            state, img,
+            jnp.asarray(np.asarray(pts, np.float32))[None],
+            jnp.asarray(np.asarray(labels, np.int32))[None],
+        )
+        masks = np.asarray(masks)[0]  # [M, side/4, side/4]
+        iou = np.asarray(iou)[0]
+        best = int(np.argmax(iou[1:]) + 1) if masks.shape[0] > 1 else 0
+        logit = masks[best]
+        full = cv2.resize(logit, (w, h), interpolation=cv2.INTER_LINEAR)
+        return (full > 0).astype(np.uint8)
+
+
+def get_sam2_predictor() -> Optional[SAM2Predictor]:
+    """Process-wide SAM2 predictor, or None when no checkpoint is configured."""
+    global _predictor, _checked
+    with _lock:
+        if _checked:
+            return _predictor
+        _checked = True
+        path = os.environ.get("APEX_SAM2_PATH")
+        if not path:
+            try:
+                from apex_studio_tpu.utils.config_store import get_config_value
+
+                path = get_config_value("mask_model_path")
+            except Exception:  # noqa: BLE001
+                path = None
+        if not path or not Path(path).exists():
+            return None
+        try:
+            _predictor = SAM2Predictor.from_checkpoint(Path(path))
+            logger.info("SAM2 predictor loaded from %s", path)
+        except Exception:  # noqa: BLE001
+            logger.exception("failed to load SAM2 checkpoint; classical fallback stays")
+            _predictor = None
+        return _predictor
+
+
+def reset_sam2_predictor() -> None:
+    global _predictor, _checked
+    with _lock:
+        _predictor = None
+        _checked = False

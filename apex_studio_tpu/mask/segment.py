@@ -80,7 +80,20 @@ def mask_from_points(
     box: Optional[Dict[str, float]] = None,
     tool: str = "touch",
 ) -> np.ndarray:
-    """HWC uint8 RGB image + prompt → binary mask HxW uint8."""
+    """HWC uint8 RGB image + prompt → binary mask HxW uint8.
+
+    Uses the SAM2 predictor when a checkpoint is configured (APEX_SAM2_PATH /
+    config ``mask_model_path``; mask/predictor.py) and falls back to the
+    classical GrabCut segmenter otherwise — identical output format."""
+    if tool != "lasso":
+        try:
+            from apex_studio_tpu.mask.predictor import get_sam2_predictor
+
+            predictor = get_sam2_predictor()
+            if predictor is not None and (points or box is not None):
+                return predictor.predict(image, points, point_labels, box)
+        except Exception:
+            logger.exception("SAM2 predict failed; using classical segmenter")
     import cv2
 
     pts = np.array([[p["x"], p["y"]] for p in points], np.float32) if points else np.zeros((0, 2))

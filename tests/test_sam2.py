@@ -1,0 +1,144 @@
+"""SAM2 promptable segmentation (JAX) — architecture + integration tests on
+tiny random configs (checkpoints cannot be fetched in this environment; real
+checkpoint loading goes through the "sam2" converter)."""
+
+import numpy as np
+import pytest
+
+TINY = dict(
+    embed_dim=8,
+    num_heads=1,
+    stages=(1, 1, 2, 1),
+    window_specs=(4, 4, 4, 4),
+    global_att_blocks=(2,),
+    img_size=64,
+    d_model=32,
+    decoder_depth=2,
+    decoder_heads=2,
+    decoder_mlp_dim=64,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    from flax import nnx
+
+    from apex_studio_tpu.mask.sam2 import SAM2Config, SAM2ImageModel
+
+    return SAM2ImageModel(SAM2Config(**TINY), rngs=nnx.Rngs(0))
+
+
+class TestSAM2Architecture:
+    def test_encoder_pyramid_shapes(self, model):
+        import jax.numpy as jnp
+
+        img = jnp.zeros((1, 64, 64, 3))
+        s16, hi_s8, hi_s4 = model.encode_image(img)
+        assert s16.shape == (1, 4, 4, 32)       # stride 16
+        assert hi_s8.shape == (1, 8, 8, 8)      # stride 8, d/4
+        assert hi_s4.shape == (1, 16, 16, 4)    # stride 4, d/8
+
+    def test_predict_shapes_and_multimask(self, model):
+        import jax.numpy as jnp
+
+        img = jnp.zeros((1, 64, 64, 3))
+        pts = jnp.asarray([[[0.5, 0.5], [0.2, 0.2], [0.0, 0.0], [0.0, 0.0]]])
+        labels = jnp.asarray([[1, 0, -1, -1]], jnp.int32)
+        masks, iou, obj = model.predict(img, pts, labels)
+        assert masks.shape == (1, 4, 16, 16)  # 3 multimask + 1
+        assert iou.shape == (1, 4) and obj.shape == (1, 1)
+        assert np.isfinite(np.asarray(masks)).all()
+
+    def test_prompts_change_output(self, model):
+        import jax.numpy as jnp
+
+        img = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)
+        p1 = jnp.asarray([[[0.2, 0.2], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]])
+        p2 = jnp.asarray([[[0.8, 0.8], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]])
+        labels = jnp.asarray([[1, -1, -1, -1]], jnp.int32)
+        m1, _, _ = model.predict(img, p1, labels)
+        m2, _, _ = model.predict(img, p2, labels)
+        assert not np.allclose(np.asarray(m1), np.asarray(m2))
+
+    def test_padding_labels_are_inert(self, model):
+        import jax.numpy as jnp
+
+        img = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)), jnp.float32)
+        base = jnp.asarray([[[0.5, 0.5], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]])
+        labels = jnp.asarray([[1, -1, -1, -1]], jnp.int32)
+        # Same prompt with different garbage coords under pad labels.
+        alt = jnp.asarray([[[0.5, 0.5], [0.9, 0.1], [0.3, 0.7], [0.6, 0.2]]])
+        m1, _, _ = model.predict(img, base, labels)
+        m2, _, _ = model.predict(img, alt, labels)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+class TestSAM2PredictorIntegration:
+    def test_predictor_from_checkpoint_dir_random_init(self, tmp_path):
+        """Config-only checkpoint dir → random-init model, full predict path."""
+        import json
+
+        (tmp_path / "config.json").write_text(json.dumps(TINY))
+        from apex_studio_tpu.mask.predictor import SAM2Predictor
+
+        pred = SAM2Predictor.from_checkpoint(tmp_path)
+        image = np.zeros((48, 72, 3), np.uint8)
+        image[10:30, 20:50] = 200
+        mask = pred.predict(image, [{"x": 30, "y": 20}], [1])
+        assert mask.shape == (48, 72) and mask.dtype == np.uint8
+
+    def test_mask_from_points_uses_sam_when_configured(self, tmp_path, monkeypatch):
+        import json
+
+        (tmp_path / "config.json").write_text(json.dumps(TINY))
+        monkeypatch.setenv("APEX_SAM2_PATH", str(tmp_path))
+        from apex_studio_tpu.mask import predictor as pred_mod
+        from apex_studio_tpu.mask.segment import mask_from_points
+
+        pred_mod.reset_sam2_predictor()
+        try:
+            calls = {}
+            orig = pred_mod.SAM2Predictor.predict
+
+            def spy(self, *a, **k):
+                calls["hit"] = True
+                return orig(self, *a, **k)
+
+            monkeypatch.setattr(pred_mod.SAM2Predictor, "predict", spy)
+            image = np.zeros((32, 32, 3), np.uint8)
+            mask = mask_from_points(image, [{"x": 16, "y": 16}], [1])
+            assert calls.get("hit") is True
+            assert mask.shape == (32, 32)
+        finally:
+            pred_mod.reset_sam2_predictor()
+
+    def test_fallback_without_checkpoint(self, monkeypatch):
+        from apex_studio_tpu.mask import predictor as pred_mod
+
+        monkeypatch.delenv("APEX_SAM2_PATH", raising=False)
+        pred_mod.reset_sam2_predictor()
+        assert pred_mod.get_sam2_predictor() is None
+        pred_mod.reset_sam2_predictor()
+
+
+def test_sam2_converter_maps_official_keys():
+    from apex_studio_tpu.loaders.converters import convert_keys
+
+    sd = {
+        "image_encoder.trunk.blocks.0.attn.qkv.weight": np.zeros((24, 8), np.float32),
+        "image_encoder.neck.convs.0.conv.weight": np.zeros((32, 8, 1, 1), np.float32),
+        "sam_prompt_encoder.point_embeddings.1.weight": np.zeros((1, 32), np.float32),
+        "sam_mask_decoder.transformer.layers.0.self_attn.q_proj.weight":
+            np.zeros((32, 32), np.float32),
+        "sam_mask_decoder.iou_token.weight": np.zeros((1, 32), np.float32),
+        "sam_mask_decoder.output_upscaling.0.weight": np.zeros((32, 8, 2, 2), np.float32),
+        "memory_encoder.something.weight": np.zeros((1,), np.float32),
+    }
+    out = convert_keys("sam2", sd)
+    assert "trunk.blocks.0.qkv.kernel" in out
+    assert "neck.convs.0.kernel" in out
+    assert "prompt_encoder.point_embeddings.1" in out
+    assert "mask_decoder.layers.0.self_attn.q_proj.kernel" in out
+    assert "mask_decoder.iou_token" in out
+    assert "mask_decoder.upscale1.kernel" in out
+    assert not any(k.startswith("memory_") for k in out)
