@@ -113,6 +113,31 @@ def _deq_q4_0(raw: np.ndarray, n_blocks: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _deq_q4_1(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    blocks = raw.reshape(n_blocks, 20)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    q = blocks[:, 4:]
+    lo = (q & 0x0F).astype(np.float32)
+    hi = (q >> 4).astype(np.float32)
+    out = np.concatenate([lo, hi], axis=1) * d + m
+    return out.reshape(-1)
+
+
+def _deq_q5_1(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    blocks = raw.reshape(n_blocks, 24)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qh = blocks[:, 4:8].copy().view(np.uint32).reshape(n_blocks, 1)
+    qs = blocks[:, 8:]
+    shifts = np.arange(32, dtype=np.uint32)
+    hbits = ((qh >> shifts) & 1).astype(np.uint8)  # (n, 32)
+    lo = (qs & 0x0F) | (hbits[:, :16] << 4)
+    hi = (qs >> 4) | (hbits[:, 16:] << 4)
+    out = np.concatenate([lo, hi], axis=1).astype(np.float32) * d + m
+    return out.reshape(-1)
+
+
 def _deq_q5_0(raw: np.ndarray, n_blocks: int) -> np.ndarray:
     blocks = raw.reshape(n_blocks, 22)
     d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
@@ -250,7 +275,9 @@ def _deq_q3_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
 _DEQUANT = {
     "Q8_0": _deq_q8_0,
     "Q4_0": _deq_q4_0,
+    "Q4_1": _deq_q4_1,
     "Q5_0": _deq_q5_0,
+    "Q5_1": _deq_q5_1,
     "Q4_K": _deq_q4_k,
     "Q5_K": _deq_q5_k,
     "Q6_K": _deq_q6_k,
