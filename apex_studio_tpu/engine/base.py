@@ -254,7 +254,48 @@ class BaseEngine:
         family = (spec.get("base") or "").split(".")[0]
         model = self._instantiate_family(transformer_registry, spec, family)
         self._apply_loras(model, family)
+        self._apply_memory_fallback(model, spec)
         return model
+
+    def _apply_memory_fallback(self, model, spec: Dict[str, Any]) -> None:
+        """Oversized-model fallback for a single chip (reference: group/budget
+        offloading, src/memory_management/group_offloading.py:851).
+
+        Modes (env APEX_MEMORY_FALLBACK > manifest spec/defaults key
+        ``memory_fallback``): ``off``, ``int8`` (force int8 residency),
+        ``auto`` (int8 residency only when params won't fit the chip's free
+        HBM and the mesh has nothing to shard over). Block streaming for the
+        truly oversized case is ``parallel/host_offload.HostOffloadedBlocks``,
+        opted into per family.
+        """
+        import os
+
+        mode = (
+            os.environ.get("APEX_MEMORY_FALLBACK")
+            or spec.get("memory_fallback")
+            or self.config.get("memory_fallback")
+            or "auto"
+        )
+        if mode in ("off", "none", "0"):
+            return
+        try:
+            from apex_studio_tpu.parallel.host_offload import should_stream
+            from apex_studio_tpu.quantize.residency import apply_int8_residency
+
+            if mode == "int8":
+                n = apply_int8_residency(model)
+                logger.info("int8 residency forced: %d kernels quantized", n)
+                return
+            mesh_devs = self.mesh.devices.size if self.mesh is not None else 1
+            if mesh_devs <= 1 and should_stream(model):
+                n = apply_int8_residency(model)
+                logger.warning(
+                    "model exceeds free HBM on a single chip; int8 residency "
+                    "applied to %d kernels (set APEX_MEMORY_FALLBACK=off to "
+                    "disable)", n,
+                )
+        except Exception as e:  # fallback must never break a load that'd fit
+            logger.warning("memory fallback skipped: %s", e)
 
     def _apply_loras(self, model, converter_family: str) -> None:
         """Merge manifest + request-selected LoRAs into the transformer
