@@ -1,0 +1,74 @@
+"""Checkpoint resolution for model-backed preprocessors.
+
+Counterpart of the reference's ``custom_hf_download`` (src/preprocess/util.py)
+used by every learned detector: look for the checkpoint in the preprocessor
+models dir, otherwise fetch it from its published HF repo into that dir, then
+load it as a flat numpy state dict (.safetensors native, .pth via torch-cpu).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger("apex.preprocess.weights")
+
+_EXTS = (".safetensors", ".pth", ".pt", ".bin")
+
+
+def _load_any(path: Path) -> Dict[str, np.ndarray]:
+    if path.suffix == ".safetensors":
+        from apex_studio_tpu.loaders.safetensors_io import load_safetensors
+
+        return dict(load_safetensors(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def find_local(stem: str, root: Optional[Path] = None) -> Optional[Path]:
+    from apex_studio_tpu.utils.defaults import get_preprocessor_models_path
+
+    root = root or get_preprocessor_models_path()
+    for ext in _EXTS:
+        p = root / f"{stem}{ext}"
+        if p.exists():
+            return p
+    return None
+
+
+def load_preprocessor_weights(
+    stem: str,
+    hf_repo: Optional[str] = None,
+    hf_filename: Optional[str] = None,
+    root: Optional[Path] = None,
+) -> Dict[str, np.ndarray]:
+    """Resolve + load weights for a detector. Raises FileNotFoundError with
+    a fetch hint when the checkpoint is absent and can't be downloaded."""
+    from apex_studio_tpu.utils.defaults import get_preprocessor_models_path
+
+    root = root or get_preprocessor_models_path()
+    local = find_local(stem, root)
+    if local is None and hf_repo:
+        from apex_studio_tpu.downloads.api import download_file, hf_url
+
+        fname = hf_filename or f"{stem}.safetensors"
+        dest = root / fname
+        try:
+            download_file(hf_url(f"{hf_repo}/{fname}"), dest)
+            local = dest
+        except Exception as e:
+            logger.warning("preprocessor weight download failed: %s", e)
+    if local is None:
+        raise FileNotFoundError(
+            f"no checkpoint '{stem}.*' under {root}"
+            + (f" and download from {hf_repo} failed" if hf_repo else
+               "; place the published checkpoint there")
+        )
+    return _load_any(local)

@@ -126,11 +126,22 @@ def add_processing_routes(app: web.Application, store: JobStore, executor: JobEx
 
     async def preprocessor_list(_req: web.Request) -> web.Response:
         from apex_studio_tpu.preprocess.base import preprocessor_registry
+        from apex_studio_tpu.preprocess.manifests import load_preprocessor_manifests
 
+        manifests = load_preprocessor_manifests()
         out = []
         for name in preprocessor_registry.names():
             cls = preprocessor_registry.get(name)
-            out.append({"name": name, "params": getattr(cls, "params_schema", {})})
+            entry = {"name": name, "params": getattr(cls, "params_schema", {})}
+            m = manifests.get(name)
+            if m:  # editor display metadata (reference manifest/preprocessor/*.yml)
+                entry.update({
+                    "display_name": m.get("display_name", name),
+                    "category": m.get("category", ""),
+                    "description": m.get("description", ""),
+                    "parameters": m.get("parameters", []),
+                })
+            out.append(entry)
         return web.json_response(out)
 
     async def frame_interpolate(req: web.Request) -> web.Response:

@@ -10,7 +10,22 @@ from apex_studio_tpu.manifest.resolver import ManifestResolver
 
 BUNDLED = Path(__file__).resolve().parent.parent / "manifests"
 
-ALL_MANIFESTS = sorted(BUNDLED.rglob("*.yml"))
+# preprocessor manifests have their own schema (display metadata, no engine)
+ALL_MANIFESTS = sorted(p for p in BUNDLED.rglob("*.yml")
+                       if p.parent.name != "preprocessor")
+
+
+def test_preprocessor_manifests_match_registry():
+    import yaml
+
+    import apex_studio_tpu.preprocess  # noqa: F401 (registrations)
+    from apex_studio_tpu.preprocess.base import preprocessor_registry
+
+    for path in sorted((BUNDLED / "preprocessor").glob("*.yml")):
+        doc = yaml.safe_load(path.read_text())
+        assert doc["kind"] == "preprocessor"
+        assert doc["name"] in preprocessor_registry.names(), path.name
+        assert doc["display_name"] and doc["category"] and doc["description"]
 
 
 @pytest.mark.parametrize("path", ALL_MANIFESTS, ids=lambda p: p.stem)
