@@ -67,6 +67,19 @@ class FrameInterpolationPostprocessor(BasePostprocessor):
         frames = list(frames)
         if len(frames) < 2 or multiplier < 2:
             return frames
+        # Prefer the learned interpolator when its checkpoint is installed
+        # (reference behavior: rife.py is the only backend; here flow-warp
+        # remains the zero-download fallback).
+        try:
+            from apex_studio_tpu.preprocess.weights import find_local
+
+            if find_local("rife_v4") is not None:
+                from apex_studio_tpu.postprocess.rife import RIFEPostprocessor
+
+                return RIFEPostprocessor()(
+                    frames, progress_callback=progress_callback, multiplier=multiplier)
+        except Exception:  # fall back to flow warping on any model issue
+            pass
         out: List[np.ndarray] = []
         n_pairs = len(frames) - 1
         for i in range(n_pairs):
