@@ -28,6 +28,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.cogvideox",
     "apex_studio_tpu.engine.mochi",
     "apex_studio_tpu.engine.lucy",
+    "apex_studio_tpu.engine.magi",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

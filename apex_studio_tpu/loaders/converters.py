@@ -800,3 +800,82 @@ converter_registry.add(
         drop=(r"^encoder\.",),
     ),
 )
+
+
+class _MagiConverter(KeyConverter):
+    """MAGI-1 DiT (ref src/transformer/magi/base/model.py:53). Besides renames,
+    zero-centered FusedLayerNorm gammas (module.py:388) get +1.0 so they load
+    into plain LayerNorm weights."""
+
+    _ZC_GAMMA = re.compile(
+        r"(self_norm_q|self_norm_k|cross_norm_q|cross_norm_k|norm2|norm3|norm_out)"
+        r"\.norm\.weight$")
+
+    def __init__(self):
+        super().__init__(
+            renames=[
+                (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+                (r"^timestep_embedding\.mlp\.0\.", "t_mlp1."),
+                (r"^timestep_embedding\.mlp\.2\.", "t_mlp2."),
+                (r"^caption_embedding\.y_proj_xattn\.0\.", "y_proj_xattn."),
+                (r"^caption_embedding\.y_proj_adaln\.0\.", "y_proj_adaln."),
+                (r"^caption_embedding\.null_caption_embedding$",
+                 "null_caption_embedding"),
+                (r"^rope\.bands$", "rope.bands"),
+                (r"\.adaln\.proj\.0\.", ".adaln_proj."),
+                (r"\.attn1\.to_q\.", ".self_q."),
+                (r"\.attn1\.to_k\.", ".self_k."),
+                (r"\.attn1\.to_v\.", ".self_v."),
+                (r"\.attn1\.norm_q\.", ".self_norm_q.norm."),
+                (r"\.attn1\.norm_k\.", ".self_norm_k.norm."),
+                (r"\.attn2\.to_q\.", ".cross_q."),
+                (r"\.attn2\.to_kv\.", ".cross_kv."),
+                (r"\.attn2\.cross_q_norm\.", ".cross_norm_q.norm."),
+                (r"\.attn2\.cross_k_norm\.", ".cross_norm_k.norm."),
+                (r"\.norm2\.", ".norm2.norm."),
+                (r"\.norm3\.", ".norm3.norm."),
+                (r"\.ffn\.norm\.", ".ffn_norm."),
+                (r"\.ffn\.proj1\.", ".ffn_proj1."),
+                (r"\.ffn\.proj2\.", ".ffn_proj2."),
+                (r"^norm_out\.", "norm_out.norm."),
+                (r"^proj_out\.linear\.", "proj_out."),
+                (r"(self_q|self_k|self_v|cross_q|cross_kv|proj|ffn_proj1|"
+                 r"ffn_proj2|proj_out|t_mlp1|t_mlp2|y_proj_xattn|y_proj_adaln|"
+                 r"adaln_proj)\.weight$", r"\1.kernel"),
+            ],
+        )
+
+    def convert(self, sd):
+        out = {}
+        for k, v in sd.items():
+            nk = self.convert_key(k)
+            if nk is None:
+                continue
+            if self._ZC_GAMMA.search(nk):
+                v = np.asarray(v, np.float32) + 1.0
+            out[nk] = v
+        return out
+
+
+converter_registry.add("magi", _MagiConverter())
+
+converter_registry.add(
+    "magi_vae",
+    KeyConverter(
+        renames=[
+            (r"^(encoder|decoder)\.cls_token$", r"\1.core.cls_token"),
+            (r"^(encoder|decoder)\.pos_embed$", r"\1.core.pos_embed"),
+            (r"^(encoder|decoder)\.blocks\.", r"\1.core.blocks."),
+            (r"^(encoder|decoder)\.norm\.", r"\1.core.norm."),
+            (r"^encoder\.patch_embed\.proj\.weight$", "encoder.patch_embed.kernel"),
+            (r"^encoder\.patch_embed\.proj\.bias$", "encoder.patch_embed.bias"),
+            (r"\.attn\.qkv\.weight$", ".attn.qkv.kernel"),
+            (r"\.attn\.proj\.weight$", ".attn.proj.kernel"),
+            (r"\.mlp\.fc(\d)\.weight$", r".fc\1.kernel"),
+            (r"\.mlp\.fc(\d)\.bias$", r".fc\1.bias"),
+            (r"(last_layer|proj_in|final_proj)\.weight$", r"\1.kernel"),
+            (r"^(encoder|decoder)\.final_norm\.", r"\1.final_norm."),
+        ],
+        drop=(r"quant", r"loss\."),
+    ),
+)

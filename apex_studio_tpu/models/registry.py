@@ -42,6 +42,8 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.vaes.hunyuanvideo_vae",
         "apex_studio_tpu.models.text_encoders.llama",
         "apex_studio_tpu.models.transformers.flux2",
+        "apex_studio_tpu.models.transformers.magi",
+        "apex_studio_tpu.models.vaes.magi_vae",
     ):
         try:
             importlib.import_module(mod)

@@ -187,8 +187,10 @@ def attention(
         name = "ring"
     if name == "pallas_flash":
         # The Pallas kernel only supports [B,1|H,1,Sk]-broadcastable bias
-        # (key-padding); route richer biases through XLA.
-        if bias is not None and bias.ndim == 4 and bias.shape[1] != 1:
+        # (key-padding); route richer biases (per-head or per-query, e.g. the
+        # magi chunk-causal mask) through XLA.
+        if bias is not None and bias.ndim == 4 and (
+                bias.shape[1] != 1 or bias.shape[2] != 1):
             name = "xla"
         if not _pallas_available():
             name = "xla"
