@@ -1,0 +1,227 @@
+"""LTX-2 engines — joint audio-video generation (ti2v).
+
+Counterpart of the reference's ``src/engine/ltx2/ti2v.py`` (LTX2TI2VEngine):
+text → video+audio latents denoised jointly by the dual-stream DiT, with
+optional image conditioning injected into the video latent grid at frame 0
+(latent replacement + per-token timesteps holding conditioned tokens clean —
+ti2v.py:106 prepare_latents_image_conditioning).
+
+The audio stream always flows through the transformer (the block couples the
+modalities); the audio VAE/vocoder decode stage is not yet ported, so audio
+latents are returned via ``return_audio_latents`` and the run result is the
+video frames. Distilled checkpoints run the same engine with fewer steps
+(the reference's ltx2 `-distilled` manifests only change defaults).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from apex_studio_tpu.engine.base import BaseEngine
+from apex_studio_tpu.engine.registry import register_engine
+from apex_studio_tpu.utils.progress import make_mapped_progress, safe_emit_progress
+
+logger = logging.getLogger("apex.engine.ltx2")
+
+
+def _patchify_tokens(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, T, H, W] → [B, T·H·W, C] (patch 1, token order t-major)."""
+    b, c = x.shape[:2]
+    return x.reshape(b, c, -1).transpose(0, 2, 1)
+
+
+def _unpatchify_tokens(tok: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+    b, _, c = tok.shape
+    return tok.transpose(0, 2, 1).reshape(b, c, t, h, w)
+
+
+@register_engine("ltx2", "ti2v")
+class LTX2TI2VEngine(BaseEngine):
+    def _encode_prompt(self, prompt: str, max_length: int = 256):
+        hidden, mask = self.text_encoder.encode(
+            [prompt], max_sequence_length=max_length, use_chat_template=False
+        )
+        return jnp.asarray(hidden, jnp.float32), jnp.asarray(mask)
+
+    def _vae_encode(self, media: np.ndarray) -> jnp.ndarray:
+        key = ("ltx2_vae_encode", tuple(media.shape))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            graphdef, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def fn(state, x):
+                return nnx.merge(graphdef, state).encode(x)
+
+            self._jit_cache[key] = fn
+        _, state = nnx.split(self.vae)
+        return fn(state, jnp.asarray(media, jnp.float32))
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        image: Optional[Any] = None,
+        height: int = 512,
+        width: int = 768,
+        duration: Optional[float] = None,
+        num_frames: Optional[int] = None,
+        fps: float = 25.0,
+        num_inference_steps: int = 40,
+        guidance_scale: float = 4.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        image_strength: float = 1.0,
+        return_latents: bool = False,
+        return_audio_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting LTX-2 ti2v pipeline")
+        for ctype in ("text_encoder", "vae", "transformer", "scheduler"):
+            if getattr(self, ctype if ctype != "vae" else "vae", None) is None:
+                self.load_component_by_type(ctype)
+        safe_emit_progress(progress_callback, 0.05, "Components ready")
+
+        s_scale = self.vae.spatial_compression_ratio
+        t_scale = self.vae.temporal_compression_ratio
+        height -= height % s_scale
+        width -= width % s_scale
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        cfg_t = self.transformer.cfg
+        # audio latent frames spanning the clip's duration
+        alps = (cfg_t.audio_sampling_rate / cfg_t.audio_hop_length
+                / cfg_t.audio_scale_factor)
+        audio_f = max(1, int(math.ceil(num_frames / fps * alps)))
+
+        ctx_pos, mask_pos = self._encode_prompt(prompt or "")
+        if negative_prompt:
+            ctx_neg, mask_neg = self._encode_prompt(negative_prompt)
+        else:
+            ctx_neg, mask_neg = jnp.zeros_like(ctx_pos), jnp.zeros_like(mask_pos)
+        safe_emit_progress(progress_callback, 0.15, "Prompts ready")
+
+        lats = self.get_latents((1, cfg_t.in_channels, lat_f, lat_h, lat_w), seed=seed)
+        a_lats = self.get_latents(
+            (1, cfg_t.audio_in_channels, audio_f),
+            seed=None if seed is None else seed + 1)
+        a_tokens = a_lats.transpose(0, 2, 1)  # [1, Sa, C]
+
+        self.scheduler.set_timesteps(
+            num_inference_steps,
+            samples_shape=(1, cfg_t.in_channels, lat_f, lat_h, lat_w),
+            timesteps=timesteps,
+        )
+        ts = np.asarray(self.scheduler.timesteps, np.float64)
+
+        # image conditioning: replace frame-0 latents, hold them clean
+        cond_mask = None
+        if image is not None:
+            arr = self.load_image_input(image)
+            import cv2
+
+            arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+            media = (arr.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+            z = self._vae_encode(media[None, :, None])  # [1, C, 1, h, w]
+            s = float(image_strength)
+            blended = (1 - s) * lats[:, :, :1] + s * z.astype(jnp.float32)
+            lats = lats.at[:, :, :1].set(blended)
+            grid = jnp.zeros((1, lat_f, lat_h, lat_w), jnp.float32)
+            cond_mask = _patchify_tokens(grid.at[:, :1].set(s)[:, None])[..., 0]
+        init_lats = lats
+        safe_emit_progress(progress_callback, 0.25, "Latents initialized")
+
+        tokens = _patchify_tokens(lats)
+        n_tok = tokens.shape[1]
+        do_cfg = guidance_scale > 1.0
+        nb = 2 if do_cfg else 1
+        ctx_b = (jnp.concatenate([ctx_neg, ctx_pos], 0) if do_cfg else ctx_pos)
+        mask_b = (jnp.concatenate([mask_neg, mask_pos], 0) if do_cfg else mask_pos)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("ltx2_step", n_tok, audio_f, int(ctx_b.shape[1]), nb)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            import functools
+
+            # vshape/fps are static: the rope coordinate grids are host
+            # numpy constants folded into the compiled program
+            @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
+            def fwd(state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_):
+                m = nnx.merge(graphdef, state)
+                return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
+                         t_audio=t_a, ctx_mask=cmask)
+
+            self._jit_cache[key] = fwd
+        model_dtype = self.transformer.dtype
+        denoise_cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        vshape = (lat_f, lat_h, lat_w)
+
+        for i, t in enumerate(ts):
+            t_f = float(t)
+            if cond_mask is not None:
+                t_tok = jnp.minimum(jnp.full_like(cond_mask, t_f), 1.0 - cond_mask)
+            else:
+                t_tok = jnp.full((1, n_tok), t_f, jnp.float32)
+            t_tok_b = jnp.tile(t_tok, (nb, 1))
+            t_a_b = jnp.full((nb,), t_f, jnp.float32)
+            tok_b = jnp.tile(tokens.astype(model_dtype), (nb, 1, 1))
+            atok_b = jnp.tile(a_tokens.astype(model_dtype), (nb, 1, 1))
+            v_out, a_out = fwd(tf_state, tok_b, atok_b, t_tok_b, t_a_b,
+                               ctx_b.astype(model_dtype), mask_b, vshape,
+                               float(fps))
+            if do_cfg:
+                v = v_out[:1] + guidance_scale * (v_out[1:2] - v_out[:1])
+                a = a_out[:1] + guidance_scale * (a_out[1:2] - a_out[:1])
+            else:
+                v, a = v_out, a_out
+            dt = float((ts[i + 1] if i + 1 < len(ts) else 0.0) - t_f)
+            tokens = tokens + dt * v.astype(jnp.float32)
+            a_tokens = a_tokens + dt * a.astype(jnp.float32)
+            if cond_mask is not None:
+                # conditioned tokens stay at their clean values
+                hard = (cond_mask > 1.0 - 1e-6)[..., None]
+                tokens = jnp.where(hard, _patchify_tokens(init_lats), tokens)
+            safe_emit_progress(denoise_cb, (i + 1) / len(ts),
+                               f"denoise step {i + 1}/{len(ts)}")
+
+        lats = _unpatchify_tokens(tokens, lat_f, lat_h, lat_w)
+        audio_lats = a_tokens.transpose(0, 2, 1)
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return (lats, audio_lats) if return_audio_latents else lats
+
+        key = ("ltx2_vae_decode", tuple(lats.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef_v, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef_v, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        video = dec(vae_state, lats.astype(jnp.float32))
+        b, c, t, h, w = video.shape
+        frames = self.tensor_to_frames(
+            jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w))
+        safe_emit_progress(progress_callback, 1.0, "Completed LTX-2 pipeline")
+        if return_audio_latents:
+            return frames, audio_lats
+        return frames

@@ -29,6 +29,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.mochi",
     "apex_studio_tpu.engine.lucy",
     "apex_studio_tpu.engine.magi",
+    "apex_studio_tpu.engine.ltx2",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

@@ -879,3 +879,60 @@ converter_registry.add(
         drop=(r"quant", r"loss\."),
     ),
 )
+
+
+converter_registry.add(
+    "ltx2",
+    KeyConverter(
+        renames=[
+            (r"^transformer_blocks\.", "blocks."),
+            (r"^caption_projection\.linear_(\d)\.", r"caption_projection_\1."),
+            (r"^audio_caption_projection\.linear_(\d)\.", r"audio_caption_projection_\1."),
+            (r"\.emb\.timestep_embedder\.linear_(\d)\.", r".emb_\1."),
+            (r"\.ff\.net\.0\.proj\.", ".ff.fc1."),
+            (r"\.ff\.net\.2\.", ".ff.fc2."),
+            (r"\.audio_ff\.net\.0\.proj\.", ".audio_ff.fc1."),
+            (r"\.audio_ff\.net\.2\.", ".audio_ff.fc2."),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(to_q|to_k|to_v|to_out|fc1|fc2|proj_in|audio_proj_in|proj_out|"
+             r"audio_proj_out|caption_projection_\d|audio_caption_projection_\d|"
+             r"emb_\d|linear)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^audio_vae\.", r"^vocoder\."),
+    ),
+)
+
+converter_registry.add(
+    "ltx2_vae",
+    KeyConverter(
+        renames=[
+            (r"\.mid_block\.resnets\.", ".mid_resnets."),
+            (r"\.down_blocks\.(\d+)\.resnets\.", r".down_blocks.\1.0."),
+            (r"\.down_blocks\.(\d+)\.downsamplers\.0\.", r".down_blocks.\1.1."),
+            (r"\.up_blocks\.(\d+)\.upsamplers\.0\.", r".up_blocks.\1.0."),
+            (r"\.up_blocks\.(\d+)\.resnets\.", r".up_blocks.\1.1."),
+            (r"\.conv\.weight$", ".kernel"),
+            (r"\.conv\.bias$", ".bias"),
+            (r"\.conv_shortcut\.weight$", ".conv_shortcut.kernel"),
+        ],
+        drop=(r"^latents_mean$", r"^latents_std$", r"per_channel_statistics"),
+    ),
+)
+
+converter_registry.add(
+    "gemma3",
+    KeyConverter(
+        renames=[
+            (r"^language_model\.model\.", ""),
+            (r"^language_model\.", ""),
+            (r"^model\.", ""),
+            (r"^embed_tokens\.weight$", "embed_tokens"),
+            (r"\.mlp\.(gate_proj|up_proj|down_proj)\.", r".\1."),
+            (r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)\.weight$",
+             r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^vision_tower\.", r"^multi_modal_projector\.", r"^lm_head\.",
+              r"rotary_emb"),
+    ),
+)
