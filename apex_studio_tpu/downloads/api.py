@@ -81,6 +81,52 @@ def validate_file(path: Path) -> None:
         raise ValueError(f"{path}: invalid GGUF magic")
 
 
+def resolve_source_url(source: str) -> str:
+    """Normalize every supported source scheme to a fetchable https URL
+    (reference download_mixin.py: GCS :525, S3 :699, Azure :809, GDrive
+    :1583, plus Civitai via resolve_civitai_url).
+
+    - ``gs://bucket/key``       → GCS public JSON-API media URL
+    - ``s3://bucket/key``       → virtual-hosted S3 URL (region from
+                                   APEX_S3_REGION / AWS_REGION when set)
+    - ``az://account/ctr/key``  → Azure Blob URL (SAS from APEX_AZURE_SAS)
+    - Google Drive share links  → uc?export=download&id=… direct form
+    - Civitai URNs/pages        → API download URL
+    - ``org/repo/path``         → HF resolve URL
+    - http(s)                   → passthrough
+    """
+    import re
+
+    s = source.strip()
+    if s.startswith("gs://"):
+        bucket, _, key = s[len("gs://"):].partition("/")
+        from urllib.parse import quote
+
+        return (f"https://storage.googleapis.com/storage/v1/b/{bucket}/o/"
+                f"{quote(key, safe='')}?alt=media")
+    if s.startswith("s3://"):
+        bucket, _, key = s[len("s3://"):].partition("/")
+        region = os.environ.get("APEX_S3_REGION") or os.environ.get("AWS_REGION")
+        host = (f"{bucket}.s3.{region}.amazonaws.com" if region
+                else f"{bucket}.s3.amazonaws.com")
+        return f"https://{host}/{key}"
+    if s.startswith("az://"):
+        account, _, rest = s[len("az://"):].partition("/")
+        sas = os.environ.get("APEX_AZURE_SAS", "")
+        sep = ("?" + sas.lstrip("?")) if sas else ""
+        return f"https://{account}.blob.core.windows.net/{rest}{sep}"
+    m = re.search(r"drive\.google\.com/(?:file/d/([\w-]+)|open\?id=([\w-]+)"
+                  r"|uc\?(?:export=download&)?id=([\w-]+))", s)
+    if m:
+        file_id = next(g for g in m.groups() if g)
+        return f"https://drive.google.com/uc?export=download&id={file_id}&confirm=t"
+    if s.startswith("urn:air:") or "civitai.com" in s:
+        return resolve_civitai_url(s)
+    if s.startswith(("http://", "https://")):
+        return s
+    return hf_url(s)
+
+
 def download_file(
     url_or_repo_path: str,
     dest: Path,
@@ -90,11 +136,7 @@ def download_file(
 ) -> Path:
     dest = Path(dest)
     dest.parent.mkdir(parents=True, exist_ok=True)
-    url = (
-        url_or_repo_path
-        if url_or_repo_path.startswith(("http://", "https://"))
-        else hf_url(url_or_repo_path)
-    )
+    url = resolve_source_url(url_or_repo_path)
     headers = _auth_headers()
     from apex_studio_tpu.downloads import native
 

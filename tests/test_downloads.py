@@ -118,3 +118,56 @@ class TestDownloadAPI:
         base, payload = file_server
         dest = download_file(base + "/blob.bin", tmp_path / "fb.bin")
         assert dest.read_bytes() == payload
+
+
+class TestSourceResolution:
+    """URL normalization for every supported source scheme (reference
+    download_mixin.py GCS :525, S3 :699, Azure :809, GDrive :1583)."""
+
+    def test_gcs(self):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        url = resolve_source_url("gs://my-bucket/models/a b/weights.safetensors")
+        assert url == ("https://storage.googleapis.com/storage/v1/b/my-bucket/o/"
+                       "models%2Fa%20b%2Fweights.safetensors?alt=media")
+
+    def test_s3_default_and_region(self, monkeypatch):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        monkeypatch.delenv("APEX_S3_REGION", raising=False)
+        monkeypatch.delenv("AWS_REGION", raising=False)
+        assert resolve_source_url("s3://bkt/k/f.bin") == \
+            "https://bkt.s3.amazonaws.com/k/f.bin"
+        monkeypatch.setenv("APEX_S3_REGION", "eu-west-1")
+        assert resolve_source_url("s3://bkt/k/f.bin") == \
+            "https://bkt.s3.eu-west-1.amazonaws.com/k/f.bin"
+
+    def test_azure_with_sas(self, monkeypatch):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        monkeypatch.setenv("APEX_AZURE_SAS", "?sv=2024&sig=x")
+        assert resolve_source_url("az://acct/container/blob.safetensors") == \
+            "https://acct.blob.core.windows.net/container/blob.safetensors?sv=2024&sig=x"
+
+    def test_gdrive_forms(self):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        want = "https://drive.google.com/uc?export=download&id=ABC_12-3&confirm=t"
+        assert resolve_source_url(
+            "https://drive.google.com/file/d/ABC_12-3/view?usp=sharing") == want
+        assert resolve_source_url(
+            "https://drive.google.com/open?id=ABC_12-3") == want
+
+    def test_civitai_urn(self):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        url = resolve_source_url("urn:air:sdxl:lora:civitai:1234@5678")
+        assert url.startswith("https://civitai.com/api/download/models/5678")
+
+    def test_hf_and_passthrough(self):
+        from apex_studio_tpu.downloads.api import resolve_source_url
+
+        assert resolve_source_url("org/repo/sub/file.safetensors") == \
+            "https://huggingface.co/org/repo/resolve/main/sub/file.safetensors"
+        assert resolve_source_url("https://example.com/x.bin") == \
+            "https://example.com/x.bin"
