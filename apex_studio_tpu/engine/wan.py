@@ -1100,3 +1100,176 @@ class WanCausalEngine(WanShared, _WanVaeEncodeMixin):
         frames = self.decode_latents(lat)
         safe_emit_progress(progress_callback, 1.0, "Completed causal pipeline")
         return frames
+
+
+@register_engine("wan", "vace")
+class WanVaceEngine(WanShared, _WanVaeEncodeMixin):
+    """VACE all-in-one video editing (reference engine/wan/vace.py): a control
+    video (optionally masked) and reference images condition generation
+    through the transformer's VACE branch.
+
+    Conditioning layout (vace.py:282-367): the control latents are
+    [inactive | reactive] VAE encodings of the (un)masked video regions plus
+    a space-to-depth (8×8 → 64ch) copy of the pixel mask; each reference
+    image is VAE-encoded, zero-padded channel-wise, and prepended in time —
+    the generated latents include those frames and drop them before decode.
+    """
+
+    def _space_to_depth_mask(self, mask_f: np.ndarray, lat_f: int, lat_h: int,
+                             lat_w: int) -> jnp.ndarray:
+        """mask frames (F, H, W) in {0,1} → (64, lat_f, lat_h, lat_w)."""
+        f, h, w = mask_f.shape
+        s = self.vae_scale_factor_spatial
+        m = mask_f.reshape(f, lat_h, s, lat_w, s)
+        m = m.transpose(2, 4, 0, 1, 3).reshape(s * s, f, lat_h, lat_w)
+        return jax.image.resize(jnp.asarray(m, jnp.float32),
+                                (s * s, lat_f, lat_h, lat_w), "nearest")
+
+    @property
+    def vae_scale_factor_spatial(self) -> int:
+        return self.vae.cfg.spatial_scale if self.vae is not None else 8
+
+    @property
+    def vae_scale_factor_temporal(self) -> int:
+        return self.vae.cfg.temporal_scale if self.vae is not None else 4
+
+    def _load_frames(self, media: Any, num_frames: int, height: int, width: int):
+        import cv2
+
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        frames = load_frames(media) if isinstance(media, str) else list(media)
+        frames = [cv2.resize(np.asarray(fr), (width, height),
+                             interpolation=cv2.INTER_AREA) for fr in frames]
+        while len(frames) < num_frames:
+            frames.append(frames[-1])
+        return frames[:num_frames]
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        video: Optional[Any] = None,
+        mask: Optional[Any] = None,
+        reference_images: Optional[Any] = None,
+        conditioning_scale: Any = 1.0,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        num_frames: Optional[int] = None,
+        fps: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting VACE pipeline")
+        self.load_components(return_latents)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        tsc, ssc = self.vae_scale_factor_temporal, self.vae_scale_factor_spatial
+        num_frames = max(1, num_frames - (num_frames - 1) % tsc)
+        lat_f = (num_frames - 1) // tsc + 1
+        lat_h, lat_w = height // ssc, width // ssc
+
+        context = self.encode_prompt(prompt or "")
+        neg_context = self.encode_prompt(negative_prompt or "")
+        safe_emit_progress(progress_callback, 0.15, "Prompts encoded")
+
+        # -- control video + mask --------------------------------------------------
+        if video is not None:
+            frames = self._load_frames(video, num_frames, height, width)
+            vid = jnp.asarray(np.stack(frames), jnp.float32)
+            vid = vid.transpose(3, 0, 1, 2)[None] / 127.5 - 1.0
+        else:
+            vid = jnp.zeros((1, 3, num_frames, height, width), jnp.float32)
+        if mask is not None:
+            mframes = self._load_frames(mask, num_frames, height, width)
+            m = np.stack([np.asarray(fr).mean(axis=-1) for fr in mframes])
+            mask_f = (m > 127.5).astype(np.float32)  # (F, H, W)
+        else:
+            mask_f = np.ones((num_frames, height, width), np.float32)
+        mgrid = jnp.asarray(mask_f, jnp.float32)[None, None]  # [1,1,F,H,W]
+        if video is not None and mask is not None:
+            vid = vid * (1 - mgrid)  # masked pixels → mid-gray (0 in [-1,1])
+        inactive = self.encode_video_latents(vid * (1 - mgrid))
+        reactive = self.encode_video_latents(vid * mgrid)
+        control = jnp.concatenate([inactive, reactive], axis=1)  # [1,32,f,h,w]
+        safe_emit_progress(progress_callback, 0.3, "Control video encoded")
+
+        # -- reference images ------------------------------------------------------
+        refs = reference_images
+        if refs is not None and not isinstance(refs, (list, tuple)):
+            refs = [refs]
+        refs = refs or []
+        n_ref = len(refs)
+        for ref in reversed(refs):
+            import cv2
+
+            arr = self.load_image_input(ref)
+            arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+            px = (jnp.asarray(arr, jnp.float32).transpose(2, 0, 1)[None, :, None]
+                  / 127.5 - 1.0)
+            rz = self.encode_video_latents(px)  # [1,16,1,h,w]
+            rz = jnp.concatenate([rz, jnp.zeros_like(rz)], axis=1)
+            control = jnp.concatenate([rz, control], axis=2)
+
+        m64 = self._space_to_depth_mask(mask_f, lat_f, lat_h, lat_w)[None]
+        if n_ref:
+            m64 = jnp.concatenate(
+                [jnp.zeros((1, m64.shape[1], n_ref, lat_h, lat_w), m64.dtype), m64],
+                axis=2)
+        control = jnp.concatenate([control, m64], axis=1)  # [1,96,f+refs,h,w]
+
+        n_vace = len(self.transformer.cfg.vace_layers)
+        if isinstance(conditioning_scale, (int, float)):
+            scales = jnp.full((n_vace,), float(conditioning_scale), jnp.float32)
+        else:
+            scales = jnp.asarray(conditioning_scale, jnp.float32)
+
+        x = self.get_latents(
+            (1, self.transformer.cfg.in_channels, lat_f + n_ref, lat_h, lat_w),
+            seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                   timesteps=timesteps)
+        safe_emit_progress(progress_callback, 0.4, "Latents ready; denoising")
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        do_cfg = guidance_scale > 1.0
+        key = ("wan_vace_step", tuple(x.shape), context.shape[1],
+               neg_context.shape[1], do_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, t, ctx, nctx, ctl, sc):
+                m = nnx.merge(graphdef, state)
+                pos = m(x, t, ctx, control=ctl, control_scale=sc)
+                if not do_cfg:
+                    return pos
+                neg = m(x, t, nctx, control=ctl, control_scale=sc)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        dt = self.transformer.dtype
+        cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        for i, t in enumerate(np.asarray(ts, np.float64)):
+            t_b = jnp.full((1,), float(t), jnp.float32)
+            v = fwd(tf_state, x.astype(dt), t_b, context.astype(dt),
+                    neg_context.astype(dt), control.astype(dt), scales)
+            x = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x = x[0] if isinstance(x, tuple) else x
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x[:, :, n_ref:])
+        safe_emit_progress(progress_callback, 1.0, "VACE pipeline complete")
+        return frames

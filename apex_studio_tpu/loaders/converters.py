@@ -221,7 +221,8 @@ converter_registry.add(
             (r"\.ffn\.net\.0\.proj\.", ".ffn.fc1."),
             (r"\.ffn\.net\.2\.", ".ffn.fc2."),
             (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
-            (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|time_proj|fc1|fc2|img_ff1|img_ff2|proj_out|time_embedder_linear_\d|text_embedder_linear_\d)\.weight$", r"\1.kernel"),
+            (r"^vace_patch_embedding\.weight$", "vace_patch_embedding.kernel"),
+            (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|time_proj|fc1|fc2|img_ff1|img_ff2|proj_in|proj_out|time_embedder_linear_\d|text_embedder_linear_\d)\.weight$", r"\1.kernel"),
         ],
         drop=(r"^rope\.", r"\.freqs"),
     ),

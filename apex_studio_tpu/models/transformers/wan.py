@@ -57,6 +57,10 @@ class WanConfig:
     rope_max_seq_len: int = 1024
     pos_embed_seq_len: Optional[int] = None
 
+    # VACE (reference transformer/wan/vace/model.py:269)
+    vace_layers: Tuple[int, ...] = ()
+    vace_in_channels: int = 96
+
     @property
     def dim(self) -> int:
         return self.num_attention_heads * self.attention_head_dim
@@ -246,14 +250,9 @@ class WanTransformer3DModel(nnx.Module):
 
     # -- forward ---------------------------------------------------------------------
 
-    def __call__(
-        self,
-        x: jnp.ndarray,                 # [B, C, T, H, W] latents
-        t: jnp.ndarray,                 # [B] or [B, T_lat] timesteps (0..1000)
-        context: jnp.ndarray,           # [B, L, text_dim] UMT5 features
-        context_image: Optional[jnp.ndarray] = None,  # [B, Li, image_dim] CLIP
-        fps_index: Optional[jnp.ndarray] = None,      # [B] int 0|1 (skyreels)
-    ) -> jnp.ndarray:
+    def _prepare_cond(self, x, t, context, context_image, fps_index):
+        """Shared conditioning prep: (tokens, temb, temb6, ctx, ctx_img,
+        rope_cos, rope_sin, per_frame)."""
         cfg = self.cfg
         b, c, tt, hh, ww = x.shape
         pt, ph, pw = cfg.patch_size
@@ -294,10 +293,10 @@ class WanTransformer3DModel(nnx.Module):
 
         tokens = self.patch_embedding(self.patchify(x).astype(self.dtype))
         rope_cos, rope_sin = self.rope_tables(tt // pt, hh // ph, ww // pw)
+        return tokens, temb, temb6, ctx, ctx_img, rope_cos, rope_sin, per_frame
 
-        for blk in self.blocks:
-            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin, context_image=ctx_img)
-
+    def _finalize(self, tokens, temb, per_frame, tt, hh, ww):
+        cfg = self.cfg
         # Final modulated norm: table order is (shift, scale).
         if per_frame:
             table = self.scale_shift_table.value[:, :, None] \
@@ -309,6 +308,21 @@ class WanTransformer3DModel(nnx.Module):
             shift, scale = table[:, 0:1].astype(tokens.dtype), table[:, 1:2].astype(tokens.dtype)
         tokens = layer_norm(tokens, eps=cfg.eps) * (1 + scale) + shift
         return self.unpatchify(self.proj_out(tokens), tt, hh, ww)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # [B, C, T, H, W] latents
+        t: jnp.ndarray,                 # [B] or [B, T_lat] timesteps (0..1000)
+        context: jnp.ndarray,           # [B, L, text_dim] UMT5 features
+        context_image: Optional[jnp.ndarray] = None,  # [B, Li, image_dim] CLIP
+        fps_index: Optional[jnp.ndarray] = None,      # [B] int 0|1 (skyreels)
+    ) -> jnp.ndarray:
+        b, c, tt, hh, ww = x.shape
+        tokens, temb, temb6, ctx, ctx_img, rope_cos, rope_sin, per_frame = \
+            self._prepare_cond(x, t, context, context_image, fps_index)
+        for blk in self.blocks:
+            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin, context_image=ctx_img)
+        return self._finalize(tokens, temb, per_frame, tt, hh, ww)
 
 
 # SkyReels V2 is this architecture with inject_sample_info=True and
@@ -448,3 +462,88 @@ class WanCausalTransformer3DModel(WanTransformer3DModel):
         ).reshape(1, -1, 3)
         cos, sin = precompute_axial_freqs(ids, self.cfg.rope_axes_dims, theta=10000.0)
         return cos[:, :, None, :], sin[:, :, None, :]
+
+
+# -- VACE variant -----------------------------------------------------------------------
+
+
+class WanVACEBlock(WanTransformerBlock):
+    """A Wan block running on the control stream, with an input projection on
+    the first block (adds the video tokens) and a per-block output projection
+    producing the hint (reference vace/model.py:80)."""
+
+    def __init__(self, cfg: WanConfig, first: bool, *, dtype, param_dtype,
+                 rngs: nnx.Rngs):
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.proj_in = Linear(cfg.dim, cfg.dim, **kw) if first else None
+        self.proj_out = Linear(cfg.dim, cfg.dim, **kw)
+
+    def run_control(self, hidden, context, control, temb6, rope_cos, rope_sin):
+        if self.proj_in is not None:
+            control = self.proj_in(control) + hidden
+        control = super().__call__(control, context, temb6, rope_cos, rope_sin)
+        return self.proj_out(control), control
+
+
+@transformer_registry.register(
+    "wan.vace", aliases=("wan_vace", "WanVACETransformer3DModel"))
+class WanVACETransformer3DModel(WanTransformer3DModel):
+    """Wan + VACE control branch: the 96-channel conditioning video
+    (inactive/reactive latents + space-to-depth mask) flows through a stack of
+    control blocks whose per-block hints are added into the main stream at the
+    configured layers (reference vace/model.py:605 forward)."""
+
+    def __init__(self, cfg: WanConfig, *, dtype=jnp.bfloat16,
+                 param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        if not cfg.vace_layers:
+            cfg = dataclasses.replace(cfg, vace_layers=tuple(
+                range(0, cfg.num_layers, max(1, cfg.num_layers // 8))))
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        patch_dim = cfg.vace_in_channels * int(np.prod(cfg.patch_size))
+        self.vace_patch_embedding = Linear(patch_dim, cfg.dim, **kw)
+        self.vace_blocks = nnx.List([
+            WanVACEBlock(cfg, first=(i == 0), dtype=dtype,
+                         param_dtype=param_dtype, rngs=rngs)
+            for i in range(len(cfg.vace_layers))
+        ])
+
+    def patchify_control(self, control: jnp.ndarray) -> jnp.ndarray:
+        pt, ph, pw = self.cfg.patch_size
+        b, c, t, h, w = control.shape
+        x = control.reshape(b, c, t // pt, pt, h // ph, ph, w // pw, pw)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        return x.reshape(b, (t // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+    def __call__(self, x, t, context, control=None, control_scale=None,
+                 context_image=None, fps_index=None):
+        b, c, tt, hh, ww = x.shape
+        tokens, temb, temb6, ctx, ctx_img, rope_cos, rope_sin, per_frame = \
+            self._prepare_cond(x, t, context, context_image, fps_index)
+        if control is not None:
+            ctl = self.vace_patch_embedding(
+                self.patchify_control(control).astype(self.dtype))
+            if ctl.shape[1] < tokens.shape[1]:  # pad to the main sequence
+                pad = jnp.zeros(
+                    (b, tokens.shape[1] - ctl.shape[1], ctl.shape[-1]), ctl.dtype)
+                ctl = jnp.concatenate([ctl, pad], axis=1)
+            n_vace = len(self.vace_blocks)
+            if control_scale is None:
+                control_scale = jnp.ones((n_vace,), jnp.float32)
+            hints = []
+            for vb in self.vace_blocks:
+                hint, ctl = vb.run_control(tokens, ctx, ctl, temb6,
+                                           rope_cos, rope_sin)
+                hints.append(hint)
+            hint_by_layer = dict(zip(self.cfg.vace_layers, range(n_vace)))
+        else:
+            hint_by_layer = {}
+        for i, blk in enumerate(self.blocks):
+            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin,
+                         context_image=ctx_img)
+            if i in hint_by_layer:
+                j = hint_by_layer[i]
+                tokens = tokens + hints[j] * control_scale[j].astype(tokens.dtype)
+        return self._finalize(tokens, temb, per_frame, tt, hh, ww)

@@ -675,6 +675,7 @@ def create_app(
 
     async def on_cleanup(app: web.Application) -> None:
         app["executor"].shutdown()
+        ws_manager.unbind_loop(asyncio.get_running_loop())
 
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)

@@ -44,9 +44,24 @@ class WebSocketManager:
         self._latest: Dict[str, Dict[str, Any]] = {}
         self._queues: Dict[str, Set[asyncio.Queue]] = {}
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._prev_loops: list = []
 
     def bind_loop(self, loop: asyncio.AbstractEventLoop) -> None:
+        # Multiple apps can share this process-wide singleton (tests, embedded
+        # servers); keep a stack so unbinding restores the previous live loop.
+        if self._loop is not None and not self._loop.is_closed() \
+                and self._loop is not loop:
+            self._prev_loops.append(self._loop)
         self._loop = loop
+
+    def unbind_loop(self, loop: asyncio.AbstractEventLoop) -> None:
+        if self._loop is loop:
+            while self._prev_loops:
+                prev = self._prev_loops.pop()
+                if not prev.is_closed():
+                    self._loop = prev
+                    return
+            self._loop = None
 
     # -- producer side (called from worker threads) ---------------------------------
 
@@ -73,8 +88,13 @@ class WebSocketManager:
         latest["metadata"] = merged_meta
         self._latest[job_id] = latest
 
-        if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._enqueue, job_id, update)
+        # A stale binding (closed loop from a torn-down embedded app) must
+        # never take down job submission — drop the push, keep `_latest`.
+        if self._loop is not None and not self._loop.is_closed():
+            try:
+                self._loop.call_soon_threadsafe(self._enqueue, job_id, update)
+            except RuntimeError:  # closed between the check and the call
+                pass
 
     def _enqueue(self, job_id: str, update: Dict[str, Any]) -> None:
         for q in self._queues.get(job_id, ()):  # one queue per subscriber
