@@ -1273,3 +1273,115 @@ class WanVaceEngine(WanShared, _WanVaeEncodeMixin):
         frames = self.decode_latents(x[:, :, n_ref:])
         safe_emit_progress(progress_callback, 1.0, "VACE pipeline complete")
         return frames
+
+
+@register_engine("wan", "apex_framepack")
+class WanApexFramepackEngine(WanShared):
+    """Long-video generation by sections with compressed context
+    (reference engine/wan/apex_framepack.py): the anchor frames are denoised
+    first, then windows fill back-to-front, each conditioned on the packed
+    past/future context (SURVEY §5 long-context; the sp/ring-attention axis
+    picks this up automatically when the mesh carries sp > 1)."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Any = 16,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting framepack pipeline")
+        self.load_components(return_latents)
+        if num_frames is None:
+            num_frames = int(round(float(duration) * fps)) + 1
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        neg_context = self.encode_prompt(negative_prompt or "")
+        safe_emit_progress(progress_callback, 0.1, "Prompts encoded")
+
+        cfg_t = self.transformer.cfg
+        x = self.get_latents((1, cfg_t.in_channels, lat_f, lat_h, lat_w), seed=seed)
+        schedule = self.transformer.framepack_schedule
+        denoised = np.zeros(lat_f, bool)
+        n_sections = schedule.num_sections(lat_f)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        do_cfg = guidance_scale > 1.0
+        dt = self.transformer.dtype
+        section = 0
+        cb = make_mapped_progress(progress_callback, 0.15, 0.9)
+        while not denoised.all():
+            past, future, target = schedule.get_inference_inputs(lat_f, denoised)
+            lc = []
+            if past is not None:
+                lc.append((x[:, :, past].astype(dt), past, 1))
+            if future is not None:
+                for fidx, factor in schedule.split_future(future):
+                    lc.append((x[:, :, fidx].astype(dt), fidx, factor))
+            x_t = self.get_latents(
+                (1, cfg_t.in_channels, len(target), lat_h, lat_w),
+                seed=None if seed is None else seed + 1 + section)
+
+            ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                       timesteps=timesteps)
+            # context layout key → one compiled step program per layout
+            lkey = tuple((tuple(l.shape), int(f)) for l, _, f in lc)
+            key = ("wan_fp_step", tuple(x_t.shape), context.shape[1], lkey, do_cfg)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+                tgt_idx = tuple(int(i) for i in target)
+                idx_list = tuple(tuple(int(i) for i in i_) for _, i_, _ in lc)
+                factors = tuple(int(f) for _, _, f in lc)
+
+                @jax.jit
+                def fwd(state, xt, t, ctx, nctx, *lats,
+                        _ti=tgt_idx, _il=idx_list, _fs=factors):
+                    m = nnx.merge(graphdef, state)
+                    ctx_list = [(l, np.asarray(i), f)
+                                for l, i, f in zip(lats, _il, _fs)]
+                    pos = m(xt, t, ctx, latent_context=ctx_list,
+                            indices=np.asarray(_ti))
+                    if not do_cfg:
+                        return pos
+                    neg = m(xt, t, nctx, latent_context=ctx_list,
+                            indices=np.asarray(_ti))
+                    return neg + guidance_scale * (pos - neg)
+
+                self._jit_cache[key] = fwd
+            lat_args = [l for l, _, _ in lc]
+            for i, t in enumerate(np.asarray(ts, np.float64)):
+                t_b = jnp.full((1,), float(t), jnp.float32)
+                v = fwd(tf_state, x_t.astype(dt), t_b, context.astype(dt),
+                        neg_context.astype(dt), *lat_args)
+                out = self.scheduler.step(v.astype(jnp.float32), float(t), x_t)
+                x_t = out[0] if isinstance(out, tuple) else out
+            x = x.at[:, :, np.asarray(target)].set(x_t.astype(x.dtype))
+            denoised[np.asarray(target)] = True
+            section += 1
+            safe_emit_progress(cb, min(1.0, section / max(1, n_sections)),
+                               f"section {section}/{n_sections}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Framepack pipeline complete")
+        return frames
