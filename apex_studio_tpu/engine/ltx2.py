@@ -221,7 +221,51 @@ class LTX2TI2VEngine(BaseEngine):
         b, c, t, h, w = video.shape
         frames = self.tensor_to_frames(
             jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w))
-        safe_emit_progress(progress_callback, 1.0, "Completed LTX-2 pipeline")
         if return_audio_latents:
+            safe_emit_progress(progress_callback, 1.0, "Completed LTX-2 pipeline")
             return frames, audio_lats
+        audio = self.decode_audio(audio_lats)
+        safe_emit_progress(progress_callback, 1.0, "Completed LTX-2 pipeline")
+        if audio is not None:
+            waveform, sr = audio
+            return frames, waveform, sr
         return frames
+
+    def decode_audio(self, audio_lats: jnp.ndarray):
+        """Audio latents (B, z·M', Sa) → (waveform (C, N), sample_rate), or
+        None when the manifest ships no audio VAE/vocoder (reference always
+        has both: manifest ltx2-*.yml audio_vae + ltx2.vocoder helper)."""
+        spec = self.component_specs.get("audio_vae")
+        voc_spec = self.component_specs.get("vocoder")
+        if spec is None or voc_spec is None:
+            return None
+        from apex_studio_tpu.models.registry import helper_registry, vae_registry
+
+        if "audio_vae" not in self.helpers:
+            self.helpers["audio_vae"] = self._instantiate_family(
+                vae_registry, spec, "ltx2_audio_vae")
+        if "vocoder" not in self.helpers:
+            self.helpers["vocoder"] = self._instantiate_family(
+                helper_registry, voc_spec, "ltx2_vocoder")
+        audio_vae = self.helpers["audio_vae"]
+        vocoder = self.helpers["vocoder"]
+        z = audio_vae.unpatchify(
+            audio_lats.transpose(0, 2, 1),
+            audio_vae.cfg.latent_channels,
+            audio_vae.cfg.mel_bins // audio_vae.cfg.temporal_compression_ratio)
+        key = ("ltx2_audio_decode", tuple(z.shape))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            gd_v, _ = nnx.split(audio_vae)
+            gd_voc, _ = nnx.split(vocoder)
+
+            @jax.jit
+            def fn(sv, svoc, z):
+                mel = nnx.merge(gd_v, sv).decode(z)
+                return nnx.merge(gd_voc, svoc)(mel)
+
+            self._jit_cache[key] = fn
+        _, sv = nnx.split(audio_vae)
+        _, svoc = nnx.split(vocoder)
+        wav = np.asarray(fn(sv, svoc, z.astype(jnp.float32)))[0]
+        return wav, int(vocoder.cfg.output_sampling_rate)

@@ -937,3 +937,35 @@ converter_registry.add(
               r"rotary_emb"),
     ),
 )
+
+
+converter_registry.add(
+    "ltx2_audio_vae",
+    KeyConverter(
+        renames=[
+            (r"\.down\.(\d+)\.block\.(\d+)\.", r".down.\1.0.\2."),
+            (r"\.down\.(\d+)\.downsample\.", r".down.\1.1."),
+            (r"\.up\.(\d+)\.block\.(\d+)\.", r".up.\1.0.\2."),
+            (r"\.up\.(\d+)\.upsample\.", r".up.\1.1."),
+            (r"\.mid\.block_1\.", ".mid_1."),
+            (r"\.mid\.block_2\.", ".mid_2."),
+            (r"\.conv\.weight$", ".kernel"),
+            (r"\.conv\.bias$", ".bias"),
+            (r"\.weight$", ".kernel"),  # plain Conv2d downsamplers
+        ],
+        drop=(r"^latents_mean$", r"^latents_std$", r"norm_out"),
+    ),
+)
+
+converter_registry.add(
+    "ltx2_vocoder",
+    KeyConverter(
+        renames=[
+            # ConvTranspose1d weights are handled by the (k, in, out) '.w'
+            # param (pre-flipped layout inferred by ndim in state_mapping).
+            (r"^upsamplers\.(\d+)\.weight$", r"upsamplers.\1.w"),
+            (r"^upsamplers\.(\d+)\.bias$", r"upsamplers.\1.bias"),
+            (r"(conv_in|conv_out|convs1\.\d+|convs2\.\d+)\.weight$", r"\1.kernel"),
+        ],
+    ),
+)

@@ -46,6 +46,8 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.ltx2",
         "apex_studio_tpu.models.transformers.wan_framepack",
         "apex_studio_tpu.models.vaes.ltx2_vae",
+        "apex_studio_tpu.models.vaes.ltx2_audio_vae",
+        "apex_studio_tpu.models.ltx2_vocoder",
         "apex_studio_tpu.models.text_encoders.gemma3",
         "apex_studio_tpu.models.vaes.magi_vae",
     ):

@@ -145,6 +145,15 @@ def run_engine_job(
     # Persist outputs.
     result_path: Optional[Path] = None
     out_type = "image"
+    generated_audio = None
+    if (isinstance(result, tuple) and len(result) == 3
+            and isinstance(result[0], list)):
+        # (frames, waveform, sample_rate) — audio-video engines (ltx2)
+        frames_out, waveform, sr = result
+        from apex_studio_tpu.utils.media import save_wav
+
+        generated_audio = save_wav(waveform, out_dir / "audio.wav", sr)
+        result = frames_out
     if isinstance(result, list) and result and isinstance(result[0], np.ndarray):
         if len(result) == 1:
             result_path = save_image(result[0], out_dir / "output.png")
@@ -156,7 +165,8 @@ def run_engine_job(
             # the source inputs when present (reference ray_tasks.py:410,2947).
             from apex_studio_tpu.utils.media import editor_optimize_mp4
 
-            audio_src = inputs.get("audio") or inputs.get("video")
+            audio_src = (str(generated_audio) if generated_audio
+                         else inputs.get("audio") or inputs.get("video"))
             if os.environ.get("APEX_DISABLE_MP4_OPTIMIZE", "0") not in ("1", "true"):
                 editor_optimize_mp4(result_path, audio_source=audio_src, fps=fps)
     elif result is not None:

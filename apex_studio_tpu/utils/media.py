@@ -82,3 +82,23 @@ def editor_optimize_mp4(
         logger.exception("mp4 editor-optimize failed; keeping original encode")
         tmp.unlink(missing_ok=True)
     return path
+
+
+def save_wav(waveform, path, sample_rate: int = 24000):
+    """(C, N) float waveform in [-1, 1] → 16-bit PCM wav (stdlib only)."""
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(waveform, np.float32)
+    if arr.ndim == 1:
+        arr = arr[None]
+    pcm = np.clip(arr, -1.0, 1.0).T  # (N, C)
+    pcm = (pcm * 32767.0).astype("<i2")
+    path = Path(path)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(pcm.tobytes())
+    return path

@@ -182,3 +182,76 @@ class TestLTX2Engine:
         a = np.asarray(engine.run(**common))
         b = np.asarray(engine.run(**common))
         np.testing.assert_array_equal(a, b)
+
+
+class TestLTX2Audio:
+    def test_audio_vae_roundtrip_and_patchify(self):
+        from apex_studio_tpu.models.vaes.ltx2_audio_vae import (
+            AutoencoderKLLTX2Audio, LTX2AudioVAEConfig)
+
+        cfg = LTX2AudioVAEConfig(base_channels=8, ch_mult=(1, 2, 4),
+                                 num_res_blocks=1, latent_channels=4,
+                                 mel_bins=16)
+        vae = AutoencoderKLLTX2Audio(cfg, rngs=nnx.Rngs(0))
+        mel = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 12, 16)),
+                          jnp.float32)
+        z = vae.encode(mel)
+        assert z.shape == (1, 4, 3, 4)
+        out = vae.decode(z)
+        # causal sizing: 4·T' − 3 mel frames
+        assert out.shape == (1, 2, 9, 16)
+        tok = vae.patchify(z)
+        assert tok.shape == (1, 3, 16)
+        back = vae.unpatchify(tok, 4, 4)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(z))
+
+    def test_vocoder_upsampling(self):
+        from apex_studio_tpu.models.ltx2_vocoder import (
+            LTX2Vocoder, LTX2VocoderConfig)
+
+        cfg = LTX2VocoderConfig(in_channels=8, hidden_channels=16,
+                                out_channels=2, upsample_kernel_sizes=(4, 4),
+                                upsample_factors=(2, 2),
+                                resnet_kernel_sizes=(3,),
+                                resnet_dilations=((1, 3),))
+        voc = LTX2Vocoder(cfg, rngs=nnx.Rngs(0))
+        mel = jnp.asarray(np.random.default_rng(1).normal(size=(1, 2, 6, 4)),
+                          jnp.float32)
+        wav = voc(mel)
+        assert wav.shape == (1, 2, 24)  # ×4 total upsample
+        assert float(jnp.abs(wav).max()) <= 1.0  # tanh bounded
+
+    def test_engine_decodes_audio_when_components_present(self, tmp_path_factory):
+        import copy
+
+        m = copy.deepcopy(LTX2_TINY)
+        m["metadata"]["id"] = "ltx2-tiny-audio-test"
+        # align DiT audio stream with the audio VAE token dim: z 4 × mel' 4 = 16
+        tf = next(c for c in m["spec"]["components"] if c["type"] == "transformer")
+        tf["config"]["audio_in_channels"] = 16
+        tf["config"]["audio_out_channels"] = 16
+        m["spec"]["components"] += [
+            {"type": "vae", "name": "audio_vae", "base": "ltx2audio",
+             "config": {"base_channels": 8, "ch_mult": [1, 2, 4],
+                        "num_res_blocks": 1, "latent_channels": 4,
+                        "mel_bins": 16}},
+            {"type": "helper", "name": "vocoder", "base": "ltx2.vocoder",
+             "config": {"in_channels": 32, "hidden_channels": 16,
+                        "out_channels": 2, "upsample_kernel_sizes": [4, 4],
+                        "upsample_factors": [2, 2],
+                        "resnet_kernel_sizes": [3],
+                        "resnet_dilations": [[1, 3]]}},
+        ]
+        path = tmp_path_factory.mktemp("m") / "ltx2-audio.yml"
+        path.write_text(yaml.safe_dump(m))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="ti2v")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        out = eng.run(prompt="sound of rain", height=64, width=64, num_frames=9,
+                      num_inference_steps=2, guidance_scale=1.0, seed=0)
+        assert isinstance(out, tuple) and len(out) == 3
+        frames, wav, sr = out
+        assert len(frames) == 9
+        assert wav.ndim == 2 and wav.shape[0] == 2
+        assert sr == 24000
