@@ -1385,3 +1385,210 @@ class WanApexFramepackEngine(WanShared):
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "Framepack pipeline complete")
         return frames
+
+
+@register_engine("wan", "phantom")
+class WanPhantomEngine(WanShared, _WanVaeEncodeMixin):
+    """Subject-consistent generation (reference engine/wan/phantom.py):
+    reference-image latents ride along as appended sequence tokens."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        subject_reference_images: Optional[Any] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        num_frames: Optional[int] = None,
+        fps: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting Phantom pipeline")
+        self.load_components(return_latents)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        t_scale, s_scale = self.vae.cfg.temporal_scale, self.vae.cfg.spatial_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        neg_context = self.encode_prompt(negative_prompt or "")
+
+        refs = subject_reference_images
+        if refs is not None and not isinstance(refs, (list, tuple)):
+            refs = [refs]
+        subject_ref = None
+        if refs:
+            import cv2
+
+            lats = []
+            for ref in refs:
+                arr = self.load_image_input(ref)
+                arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+                px = (jnp.asarray(arr, jnp.float32).transpose(2, 0, 1)
+                      [None, :, None] / 127.5 - 1.0)
+                lats.append(self.encode_video_latents(px))
+            subject_ref = jnp.concatenate(lats, axis=2)
+        safe_emit_progress(progress_callback, 0.25, "Conditioning ready")
+
+        x = self.get_latents(
+            (1, self.transformer.cfg.in_channels, lat_f, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                   timesteps=timesteps)
+        graphdef, tf_state = nnx.split(self.transformer)
+        do_cfg = guidance_scale > 1.0
+        ref_shape = None if subject_ref is None else tuple(subject_ref.shape)
+        key = ("wan_phantom_step", tuple(x.shape), context.shape[1], ref_shape,
+               do_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, t, ctx, nctx, ref):
+                m = nnx.merge(graphdef, state)
+                pos = m(x, t, ctx, subject_ref=ref)
+                if not do_cfg:
+                    return pos
+                neg = m(x, t, nctx, subject_ref=ref)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        dt = self.transformer.dtype
+        cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        ref_in = None if subject_ref is None else subject_ref.astype(dt)
+        for i, t in enumerate(np.asarray(ts, np.float64)):
+            t_b = jnp.full((1,), float(t), jnp.float32)
+            v = fwd(tf_state, x.astype(dt), t_b, context.astype(dt),
+                    neg_context.astype(dt), ref_in)
+            out = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x = out[0] if isinstance(out, tuple) else out
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Phantom pipeline complete")
+        return frames
+
+
+@register_engine("wan", "fun_control")
+class WanFunControlEngine(WanPhantomEngine):
+    """Fun-Control (reference engine/wan/fun_control.py): a control video
+    (pose/depth render) is VAE-encoded and channel-concatenated with the
+    noise each step; an optional reference image rides as subject tokens."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        control_video: Optional[Any] = None,
+        video: Optional[Any] = None,
+        ref_image: Optional[Any] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        num_frames: Optional[int] = None,
+        fps: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting Fun-Control pipeline")
+        self.load_components(return_latents)
+        control_video = control_video if control_video is not None else video
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        t_scale, s_scale = self.vae.cfg.temporal_scale, self.vae.cfg.spatial_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        neg_context = self.encode_prompt(negative_prompt or "")
+
+        z_ch = self.vae.cfg.z_dim if hasattr(self.vae.cfg, "z_dim") else 16
+        if control_video is not None:
+            import cv2
+
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            frames_in = (load_frames(control_video)
+                         if isinstance(control_video, str) else list(control_video))
+            frames_in = [cv2.resize(np.asarray(fr), (width, height),
+                                    interpolation=cv2.INTER_AREA)
+                         for fr in frames_in]
+            while len(frames_in) < num_frames:
+                frames_in.append(frames_in[-1])
+            vid = jnp.asarray(np.stack(frames_in[:num_frames]), jnp.float32)
+            vid = vid.transpose(3, 0, 1, 2)[None] / 127.5 - 1.0
+            control = self.encode_video_latents(vid)
+        else:
+            control = jnp.zeros((1, z_ch, lat_f, lat_h, lat_w), jnp.float32)
+
+        subject_ref = None
+        if ref_image is not None:
+            import cv2
+
+            arr = self.load_image_input(ref_image)
+            arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+            px = (jnp.asarray(arr, jnp.float32).transpose(2, 0, 1)
+                  [None, :, None] / 127.5 - 1.0)
+            subject_ref = self.encode_video_latents(px)
+        safe_emit_progress(progress_callback, 0.25, "Control encoded")
+
+        noise_ch = self.transformer.cfg.in_channels - control.shape[1]
+        x = self.get_latents((1, noise_ch, lat_f, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                   timesteps=timesteps)
+        graphdef, tf_state = nnx.split(self.transformer)
+        do_cfg = guidance_scale > 1.0
+        ref_shape = None if subject_ref is None else tuple(subject_ref.shape)
+        key = ("wan_func_step", tuple(x.shape), context.shape[1], ref_shape,
+               do_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, ctl, t, ctx, nctx, ref):
+                m = nnx.merge(graphdef, state)
+                x_in = jnp.concatenate([x, ctl], axis=1)
+                pos = m(x_in, t, ctx, subject_ref=ref)
+                if not do_cfg:
+                    return pos
+                neg = m(x_in, t, nctx, subject_ref=ref)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        dt = self.transformer.dtype
+        cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        ref_in = None if subject_ref is None else subject_ref.astype(dt)
+        ctl_in = control.astype(dt)
+        for i, t in enumerate(np.asarray(ts, np.float64)):
+            t_b = jnp.full((1,), float(t), jnp.float32)
+            v = fwd(tf_state, x.astype(dt), ctl_in, t_b, context.astype(dt),
+                    neg_context.astype(dt), ref_in)
+            out = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x = out[0] if isinstance(out, tuple) else out
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Fun-Control pipeline complete")
+        return frames

@@ -547,3 +547,44 @@ class WanVACETransformer3DModel(WanTransformer3DModel):
                 j = hint_by_layer[i]
                 tokens = tokens + hints[j] * control_scale[j].astype(tokens.dtype)
         return self._finalize(tokens, temb, per_frame, tt, hh, ww)
+
+
+# -- Fun / Phantom variant --------------------------------------------------------------
+
+
+@transformer_registry.register(
+    "wan.fun",
+    aliases=("wan_fun", "wan.phantom", "WanFunTransformer3DModel",
+             "Wan2_2FunTransformerModel"))
+class WanFunTransformer3DModel(WanTransformer3DModel):
+    """Wan with subject-reference token appending (reference
+    transformer/wan/fun/model.py:851): VAE latents of subject reference
+    images are patch-embedded with the shared patch embedding and appended
+    to the sequence (rope extended over the extra frames), then sliced off
+    before unpatchify. Serves the fun / fun_control / phantom engines; the
+    control-video channel concat of fun_control happens engine-side."""
+
+    def __call__(self, x, t, context, subject_ref=None, context_image=None,
+                 fps_index=None):
+        if subject_ref is None:
+            return super().__call__(x, t, context,
+                                    context_image=context_image,
+                                    fps_index=fps_index)
+        b, c, tt, hh, ww = x.shape
+        n_ref_frames = subject_ref.shape[2]
+        # The concat-in-time trick: patchify([x | ref]) produces exactly
+        # [main tokens..., ref tokens...] with rope spanning T+T_ref frames.
+        # Channel counts may differ (control variants); pad the ref to match.
+        if subject_ref.shape[1] < c:
+            pad = jnp.zeros((b, c - subject_ref.shape[1], n_ref_frames, hh, ww),
+                            subject_ref.dtype)
+            subject_ref = jnp.concatenate([subject_ref, pad], axis=1)
+        xr = jnp.concatenate([x, subject_ref.astype(x.dtype)], axis=2)
+        tokens, temb, temb6, ctx, ctx_img, cos, sin, per_frame = \
+            self._prepare_cond(xr, t, context, context_image, fps_index)
+        for blk in self.blocks:
+            tokens = blk(tokens, ctx, temb6, cos, sin, context_image=ctx_img)
+        pt, ph, pw = self.cfg.patch_size
+        n_main = (tt // pt) * (hh // ph) * (ww // pw)
+        tokens = tokens[:, :n_main]
+        return self._finalize(tokens, temb, per_frame, tt, hh, ww)
