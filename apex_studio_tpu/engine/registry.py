@@ -30,6 +30,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.lucy",
     "apex_studio_tpu.engine.magi",
     "apex_studio_tpu.engine.ltx2",
+    "apex_studio_tpu.engine.kandinsky5",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
