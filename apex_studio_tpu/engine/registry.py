@@ -31,6 +31,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.magi",
     "apex_studio_tpu.engine.ltx2",
     "apex_studio_tpu.engine.kandinsky5",
+    "apex_studio_tpu.engine.cosmos2",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
