@@ -29,7 +29,7 @@ HYI3_TINY = {
                         "block_out_channels": [8, 16],
                         "layers_per_block": 1, "norm_num_groups": 4,
                         "scaling_factor": 1.0}},
-            {"type": "text_encoder", "base": "tokenizer-only", "config": {}},
+            {"type": "text_encoder", "config": {}},
             {"type": "transformer", "base": "hunyuanimage3.base",
              "config": {"vocab_size": 64, "hidden_size": 16,
                         "intermediate_size": 32, "moe_intermediate_size": 16,
