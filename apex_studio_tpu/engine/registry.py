@@ -33,6 +33,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.kandinsky5",
     "apex_studio_tpu.engine.cosmos2",
     "apex_studio_tpu.engine.hunyuanimage3",
+    "apex_studio_tpu.engine.hidream",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

@@ -48,6 +48,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.kandinsky5",
         "apex_studio_tpu.models.transformers.cosmos",
         "apex_studio_tpu.models.transformers.hunyuanimage3",
+        "apex_studio_tpu.models.transformers.hidream",
         "apex_studio_tpu.models.vaes.ltx2_vae",
         "apex_studio_tpu.models.vaes.ltx2_audio_vae",
         "apex_studio_tpu.models.ltx2_vocoder",
