@@ -1592,3 +1592,96 @@ class WanFunControlEngine(WanPhantomEngine):
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "Fun-Control pipeline complete")
         return frames
+
+
+@register_engine("wan", "svi")
+class WanSVIEngine(WanI2VEngine):
+    """Stable Video Infinity: arbitrary-length video as chained i2v segments
+    (reference engine/wan/svi.py). Each segment is a full i2v run anchored on
+    the last ``num_motion_frame`` frames of the previous segment; segments
+    overlap by ``num_overlap_frames`` pixels blended with a linear ramp, and
+    each segment can carry its own prompt (multi-prompt storyboarding)."""
+
+    def run(
+        self,
+        image: Any = None,
+        prompt: Optional[Any] = None,
+        prompts: Optional[List[str]] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Any = 10.0,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_frames_per_segment: int = 81,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        num_overlap_frames: int = 4,
+        num_motion_frame: int = 4,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **kwargs: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting SVI pipeline")
+        if num_frames is None:
+            num_frames = int(round(float(duration) * fps)) + 1
+        seg_prompts = list(prompts) if prompts else [prompt or ""]
+        # frames gained per extra segment shrink by the blended overlap
+        step = max(1, num_frames_per_segment - num_overlap_frames)
+        n_needed = 1 + max(0, int(np.ceil(
+            (num_frames - num_frames_per_segment) / step)))
+        n_segments = max(len(seg_prompts), n_needed)
+        while len(seg_prompts) < n_segments:
+            seg_prompts.append(seg_prompts[-1])
+
+        all_frames: List[np.ndarray] = []
+        anchor = image
+        for si in range(n_segments):
+            cb = make_mapped_progress(
+                progress_callback, 0.05 + 0.9 * si / n_segments,
+                0.05 + 0.9 * (si + 1) / n_segments)
+            seg = super().run(
+                image=anchor,
+                prompt=seg_prompts[si],
+                negative_prompt=negative_prompt,
+                height=height, width=width,
+                num_frames=num_frames_per_segment,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                seed=None if seed is None else seed + si,
+                progress_callback=cb,
+                **kwargs,
+            )
+            if si == 0:
+                all_frames.extend(seg)
+            else:
+                # linear cross-fade over the overlap region
+                k = min(num_overlap_frames, len(all_frames), len(seg))
+                for j in range(k):
+                    w_new = (j + 1) / (k + 1)
+                    mixed = ((1 - w_new) * all_frames[-k + j].astype(np.float32)
+                             + w_new * seg[j].astype(np.float32))
+                    all_frames[-k + j] = np.clip(mixed + 0.5, 0,
+                                                 255).astype(np.uint8)
+                all_frames.extend(seg[k:])
+            # next anchor: the last motion frame of this segment
+            anchor = seg[-max(1, num_motion_frame)]
+        safe_emit_progress(progress_callback, 1.0, "SVI pipeline complete")
+        return all_frames[:num_frames]
+
+
+@register_engine("wan", "holocine")
+class WanHolocineEngine(WanSVIEngine):
+    """Multi-shot scene generation (reference engine/wan/holocine.py): each
+    shot is its own prompt; shots cut (no overlap blend) but stay anchored on
+    the previous shot's closing frame for continuity."""
+
+    def run(self, shots: Optional[List[str]] = None, prompt: Optional[str] = None,
+            num_overlap_frames: int = 0, **kwargs: Any):
+        prompts = shots or ([p.strip() for p in (prompt or "").split("|")
+                             if p.strip()] or [prompt or ""])
+        return super().run(prompt=None, prompts=prompts,
+                           num_overlap_frames=max(0, num_overlap_frames),
+                           **kwargs)
