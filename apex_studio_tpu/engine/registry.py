@@ -34,6 +34,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.cosmos2",
     "apex_studio_tpu.engine.hunyuanimage3",
     "apex_studio_tpu.engine.hidream",
+    "apex_studio_tpu.engine.seedvr",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
