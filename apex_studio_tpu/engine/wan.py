@@ -1685,3 +1685,108 @@ class WanHolocineEngine(WanSVIEngine):
         return super().run(prompt=None, prompts=prompts,
                            num_overlap_frames=max(0, num_overlap_frames),
                            **kwargs)
+
+
+@register_engine("wan", "recam")
+class WanRecamEngine(WanShared, _WanVaeEncodeMixin):
+    """ReCamMaster: re-render a source video from a new camera trajectory
+    (reference engine/wan/recam.py): noise and source latents concatenate in
+    time; per-frame relative camera poses condition every block."""
+
+    def run(
+        self,
+        video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        camera: Any = "orbit",
+        camera_extrinsics: Any = None,
+        cam_type: Any = 1,
+        height: int = 480,
+        width: int = 832,
+        num_frames: Optional[int] = None,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting ReCam pipeline")
+        self.load_components(return_latents)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        t_scale, s_scale = self.vae.cfg.temporal_scale, self.vae.cfg.spatial_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        neg_context = self.encode_prompt(negative_prompt or "")
+
+        import cv2
+
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        frames_in = (load_frames(video) if isinstance(video, str)
+                     else list(video))
+        frames_in = [cv2.resize(np.asarray(fr), (width, height),
+                                interpolation=cv2.INTER_AREA)
+                     for fr in frames_in]
+        while len(frames_in) < num_frames:
+            frames_in.append(frames_in[-1])
+        vid = jnp.asarray(np.stack(frames_in[:num_frames]), jnp.float32)
+        vid = vid.transpose(3, 0, 1, 2)[None] / 127.5 - 1.0
+        source = self.encode_video_latents(vid)
+
+        from apex_studio_tpu.models.camera import WanRecamCameraEmbedder
+
+        embedder = WanRecamCameraEmbedder(cam_type=cam_type,
+                                          temporal_scale=t_scale)
+        cam_spec = camera_extrinsics if camera_extrinsics is not None else camera
+        cam = jnp.asarray(embedder(cam_spec, num_frames, cam_type))
+        safe_emit_progress(progress_callback, 0.3, "Camera + source encoded")
+
+        x = self.get_latents(
+            (1, self.transformer.cfg.in_channels, lat_f, lat_h, lat_w),
+            seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                   timesteps=timesteps)
+        graphdef, tf_state = nnx.split(self.transformer)
+        do_cfg = guidance_scale > 1.0
+        key = ("wan_recam_step", tuple(x.shape), context.shape[1], do_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, src, cam, t, ctx, nctx):
+                m = nnx.merge(graphdef, state)
+                x_in = jnp.concatenate([x, src], axis=2).astype(m.dtype)
+                pos = m(x_in, t, ctx, cam_emb=cam)
+                if not do_cfg:
+                    return pos
+                neg = m(x_in, t, nctx, cam_emb=cam)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        dt = self.transformer.dtype
+        cb = make_mapped_progress(progress_callback, 0.35, 0.9)
+        src_in = source.astype(dt)
+        for i, t in enumerate(np.asarray(ts, np.float64)):
+            t_b = jnp.full((1,), float(t), jnp.float32)
+            v = fwd(tf_state, x.astype(dt), src_in, cam, t_b,
+                    context.astype(dt), neg_context.astype(dt))
+            v = v[:, :, :lat_f]  # only the target half advances
+            out = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            x = out[0] if isinstance(out, tuple) else out
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "ReCam pipeline complete")
+        return frames

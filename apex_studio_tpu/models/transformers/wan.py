@@ -588,3 +588,63 @@ class WanFunTransformer3DModel(WanTransformer3DModel):
         n_main = (tt // pt) * (hh // ph) * (ww // pw)
         tokens = tokens[:, :n_main]
         return self._finalize(tokens, temb, per_frame, tt, hh, ww)
+
+
+# -- ReCamMaster variant ----------------------------------------------------------------
+
+
+class WanRecamBlock(WanTransformerBlock):
+    """Wan block with a zero-init camera-pose encoder whose embedding is
+    added to the tokens before attention (reference transformer/wan/recam/
+    model.py:207-225)."""
+
+    def __init__(self, cfg: WanConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.cam_encoder = Linear(12, cfg.dim, use_bias=True, dtype=dtype,
+                                  param_dtype=param_dtype, rngs=rngs)
+        self.cam_encoder.kernel.value = jnp.zeros_like(
+            self.cam_encoder.kernel.value)
+
+    def __call__(self, x, context, temb6, rope_cos, rope_sin,
+                 context_image=None, cam_tokens=None):
+        if cam_tokens is not None:
+            x = x + cam_tokens.astype(x.dtype)
+        return super().__call__(x, context, temb6, rope_cos, rope_sin,
+                                context_image=context_image)
+
+
+@transformer_registry.register(
+    "wan.recam", aliases=("wan_recam", "WanRecamTransformer3DModel"))
+class WanRecamTransformer3DModel(WanTransformer3DModel):
+    """ReCamMaster: the target clip and the source clip are concatenated in
+    TIME; per-block camera encodings (relative 3×4 extrinsics, 12 values per
+    latent frame) are broadcast over the spatial grid and added each layer
+    (reference engine/wan/recam.py:314 latent concat, model.py:222)."""
+
+    def __init__(self, cfg: WanConfig, *, dtype=jnp.bfloat16,
+                 param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.blocks = nnx.List([
+            WanRecamBlock(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+            for _ in range(cfg.num_layers)
+        ])
+
+    def __call__(self, x, t, context, cam_emb=None, context_image=None,
+                 fps_index=None):
+        b, c, tt, hh, ww = x.shape
+        pt, ph, pw = self.cfg.patch_size
+        tokens, temb, temb6, ctx, ctx_img, cos, sin, per_frame = \
+            self._prepare_cond(x, t, context, context_image, fps_index)
+        for blk in self.blocks:
+            cam_tokens = None
+            if cam_emb is not None:
+                ce = blk.cam_encoder(cam_emb.astype(blk.cam_encoder.dtype))
+                f_lat = ce.shape[1]
+                reps = (tt // pt) // f_lat
+                ce = jnp.repeat(ce, reps, axis=1)  # target+source halves
+                hw = (hh // ph) * (ww // pw)
+                cam_tokens = jnp.repeat(ce, hw, axis=1)
+            tokens = blk(tokens, ctx, temb6, cos, sin, context_image=ctx_img,
+                         cam_tokens=cam_tokens)
+        return self._finalize(tokens, temb, per_frame, tt, hh, ww)
