@@ -1790,3 +1790,35 @@ class WanRecamEngine(WanShared, _WanVaeEncodeMixin):
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "ReCam pipeline complete")
         return frames
+
+
+@register_engine("wan", "ati")
+class WanATIEngine(WanI2VEngine):
+    """ATI ("Any Trajectory Instruction"): standard Wan i2v conditioning, but
+    sparse point tracks are painted into the conditioning latent before
+    denoising (reference engine/wan/ati.py patch_motion + helpers/wan/ati.py
+    process_tracks)."""
+
+    def build_condition(self, image: np.ndarray, num_frames: int, height: int, width: int):
+        cond = super().build_condition(image, num_frames, height, width)
+        traj = getattr(self, "_pending_trajectory", None)
+        if traj is None:
+            return cond
+        from apex_studio_tpu.models.trajectory import patch_motion, prepare_tracks
+
+        tracks = prepare_tracks(traj, width, height,
+                                quant_multi=self._trajectory_quant_multi)
+        z_dim = self.vae.cfg.z_dim
+        painted = patch_motion(
+            jnp.asarray(tracks), cond[0],
+            vae_divide=(cond.shape[1] - z_dim, z_dim),
+            frames_per_latent=self.vae.cfg.temporal_scale)
+        return painted[None].astype(cond.dtype)
+
+    def run(self, trajectory: Any = None, quant_multi: int = 8, **kwargs: Any):
+        self._pending_trajectory = trajectory
+        self._trajectory_quant_multi = quant_multi
+        try:
+            return super().run(**kwargs)
+        finally:
+            self._pending_trajectory = None
