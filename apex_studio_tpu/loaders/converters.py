@@ -969,3 +969,60 @@ converter_registry.add(
         ],
     ),
 )
+
+converter_registry.add(
+    "hunyuanimage",
+    KeyConverter(
+        # HunyuanImage 2.1 DiT (reference src/transformer/hunyuanimage/base/
+        # model.py:584) — HunyuanVideo layout with time_guidance_embed,
+        # optional meanflow timestep_embedder_r and a ByT5 projection.
+        renames=[
+            (r"^x_embedder\.proj\.weight$", "x_embedder.kernel"),
+            (r"^x_embedder\.proj\.bias$", "x_embedder.bias"),
+            (r"^time_guidance_embed\.timestep_embedder\.linear_(\d)\.", r"time_linear_\1."),
+            (r"^time_guidance_embed\.timestep_embedder_r\.linear_(\d)\.", r"time_r_linear_\1."),
+            (r"^time_guidance_embed\.guidance_embedder\.linear_(\d)\.", r"guidance_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.timestep_embedder\.linear_(\d)\.",
+             r"context_embedder.timestep_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.text_embedder\.linear_(\d)\.",
+             r"context_embedder.text_linear_\1."),
+            (r"^context_embedder\.token_refiner\.refiner_blocks\.",
+             "context_embedder.refiner_blocks."),
+            (r"(refiner_blocks\.\d+)\.attn\.to_out\.0\.", r"\1.to_out."),
+            (r"(refiner_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.0\.proj\.", r"\1.ff_in."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.2\.", r"\1.ff_out."),
+            (r"(refiner_blocks\.\d+)\.norm_out\.linear\.", r"\1.ada_linear."),
+            (r"^context_embedder_2\.norm\.", "byt5_norm."),
+            (r"^context_embedder_2\.linear_(\d)\.", r"byt5_linear_\1."),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"\.norm\.linear\.", ".norm_linear."),  # single-block adaLN
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|ff_in|ff_out|ada_linear|proj_in|proj_mlp|proj_out|norm1_linear|norm1_context_linear|norm_linear|norm_out_linear|time_linear_\d|time_r_linear_\d|timestep_linear_\d|text_linear_\d|guidance_linear_\d|byt5_linear_\d)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
+    "hunyuanimage_vae",
+    KeyConverter(
+        # 32x image VAE (reference src/vae/hunyuanimage/model.py:481).
+        renames=[
+            (r"\.attentions\.0\.norm\.", ".attentions.0.group_norm."),
+            (r"\.attentions\.0\.proj\.", ".attentions.0.to_out."),
+            (r"(conv|conv1|conv2|conv_shortcut|conv_in|conv_out)\.weight$",
+             r"\1.kernel"),
+            (r"(to_q|to_k|to_v|to_out)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(),
+    ),
+)

@@ -55,6 +55,8 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.ltx2_vocoder",
         "apex_studio_tpu.models.text_encoders.gemma3",
         "apex_studio_tpu.models.vaes.magi_vae",
+        "apex_studio_tpu.models.transformers.hunyuanimage",
+        "apex_studio_tpu.models.vaes.hunyuanimage_vae",
     ):
         try:
             importlib.import_module(mod)
