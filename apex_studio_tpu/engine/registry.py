@@ -36,6 +36,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.hidream",
     "apex_studio_tpu.engine.seedvr",
     "apex_studio_tpu.engine.hunyuanimage",
+    "apex_studio_tpu.engine.ovis",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}
