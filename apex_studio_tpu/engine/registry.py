@@ -37,6 +37,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.seedvr",
     "apex_studio_tpu.engine.hunyuanimage",
     "apex_studio_tpu.engine.ovis",
+    "apex_studio_tpu.engine.fibo",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

@@ -1049,3 +1049,27 @@ converter_registry.add(
         drop=(r"^pos_embed\.",),
     ),
 )
+
+converter_registry.add(
+    "fibo",
+    KeyConverter(
+        # Bria FIBO MMDiT (reference src/transformer/fibo/base/model.py:401).
+        renames=[
+            (r"^time_embed\.timestep_embedder\.linear_(\d)\.", r"time_linear_\1."),
+            (r"^caption_projection\.(\d+)\.linear\.", r"caption_projection.\1."),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"\.norm\.linear\.", ".norm_linear."),  # single-block adaLN
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|proj_mlp|proj_out|x_embedder|context_embedder|norm1_linear|norm1_context_linear|norm_linear|norm_out_linear|time_linear_\d)\.weight$",
+             r"\1.kernel"),
+            (r"(caption_projection\.\d+)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed\.",),
+    ),
+)
