@@ -38,6 +38,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.hunyuanimage",
     "apex_studio_tpu.engine.ovis",
     "apex_studio_tpu.engine.fibo",
+    "apex_studio_tpu.engine.longcat",
 )
 
 engine_registry: Dict[Tuple[str, str], Type] = {}

@@ -1073,3 +1073,31 @@ converter_registry.add(
         drop=(r"^pos_embed\.",),
     ),
 )
+
+converter_registry.add(
+    "longcat",
+    KeyConverter(
+        # LongCat-Video DiT (reference src/transformer/longcat/base/model.py:171).
+        renames=[
+            (r"^x_embedder\.proj\.weight$", "x_embedder.kernel"),
+            (r"^x_embedder\.proj\.bias$", "x_embedder.bias"),
+            (r"^t_embedder\.mlp\.0\.", "t_linear_1."),
+            (r"^t_embedder\.mlp\.2\.", "t_linear_2."),
+            (r"^y_embedder\.y_proj\.0\.", "y_linear_1."),
+            (r"^y_embedder\.y_proj\.2\.", "y_linear_2."),
+            (r"\.adaLN_modulation\.1\.", ".adaLN_linear."),
+            (r"\.cross_attn\.q_linear\.", ".q_linear."),
+            (r"\.cross_attn\.kv_linear\.", ".kv_linear."),
+            (r"\.cross_attn\.proj\.", ".cross_proj."),
+            (r"\.cross_attn\.q_norm\.", ".cross_q_norm."),
+            (r"\.cross_attn\.k_norm\.", ".cross_k_norm."),
+            (r"\.attn\.", "."),
+            (r"\.ffn\.w(\d)\.", r".ffn_w\1."),
+            (r"^final_layer\.adaLN_modulation\.1\.", "final_adaLN_linear."),
+            (r"^final_layer\.linear\.", "final_linear."),
+            (r"(qkv|proj|cross_proj|q_linear|kv_linear|ffn_w\d|adaLN_linear|final_adaLN_linear|final_linear|t_linear_\d|y_linear_\d)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^rope",),
+    ),
+)
