@@ -1101,3 +1101,38 @@ converter_registry.add(
         drop=(r"^rope",),
     ),
 )
+
+converter_registry.add(
+    "wav2vec2",
+    KeyConverter(
+        # HF Wav2Vec2Model (consumed by the audio-driven Wan engines;
+        # reference src/helpers/wan/multitalk.py:30).
+        renames=[
+            (r"^wav2vec2\.", ""),  # Wav2Vec2ForCTC nesting
+            (r"^feature_extractor\.conv_layers\.(\d+)\.conv\.weight$",
+             r"conv_layers.\1.conv.kernel"),
+            (r"^feature_extractor\.conv_layers\.(\d+)\.conv\.bias$",
+             r"conv_layers.\1.conv.bias"),
+            (r"^feature_extractor\.conv_layers\.(\d+)\.layer_norm\.",
+             r"conv_layers.\1.layer_norm."),
+            (r"^feature_projection\.layer_norm\.", "fp_layer_norm."),
+            (r"^feature_projection\.projection\.weight$", "fp_projection.kernel"),
+            (r"^feature_projection\.projection\.bias$", "fp_projection.bias"),
+            (r"^encoder\.pos_conv_embed\.conv\.parametrizations\.weight\.original0$",
+             "pos_conv_g"),
+            (r"^encoder\.pos_conv_embed\.conv\.parametrizations\.weight\.original1$",
+             "pos_conv_v"),
+            (r"^encoder\.pos_conv_embed\.conv\.weight_g$", "pos_conv_g"),
+            (r"^encoder\.pos_conv_embed\.conv\.weight_v$", "pos_conv_v"),
+            (r"^encoder\.pos_conv_embed\.conv\.bias$", "pos_conv_bias"),
+            (r"^encoder\.layer_norm\.", "enc_layer_norm."),
+            (r"^encoder\.layers\.(\d+)\.attention\.", r"layers.\1."),
+            (r"^encoder\.layers\.(\d+)\.feed_forward\.", r"layers.\1."),
+            (r"^encoder\.layers\.(\d+)\.", r"layers.\1."),
+            (r"(q_proj|k_proj|v_proj|out_proj|intermediate_dense|output_dense)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^masked_spec_embed$", r"^quantizer\.", r"^project_q\.",
+              r"^project_hid\.", r"adapter"),
+    ),
+)

@@ -60,6 +60,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.ovis",
         "apex_studio_tpu.models.transformers.fibo",
         "apex_studio_tpu.models.transformers.longcat",
+        "apex_studio_tpu.models.audio.wav2vec2",
     ):
         try:
             importlib.import_module(mod)
