@@ -1822,3 +1822,213 @@ class WanATIEngine(WanI2VEngine):
             return super().run(**kwargs)
         finally:
             self._pending_trajectory = None
+
+
+@register_engine("wan", "s2v")
+class WanS2VEngine(WanShared, _WanVaeEncodeMixin):
+    """Speech-to-video (reference engine/wan/s2v.py): chunk-autoregressive
+    generation driven by Wav2Vec2 features — each 80-frame chunk denoises
+    fresh latents conditioned on the reference image (RoPE t=30), a rolling
+    73-frame motion buffer (negative RoPE times), per-frame injected audio
+    tokens, and optionally a VAE-encoded pose video; CFG zeroes the audio."""
+
+    motion_frames = 73
+    drop_first_motion = True
+
+    def encode_audio(self, audio: Any, sampling_rate: int, num_frames: int,
+                     fps: int = 16):
+        """→ ([1, L, C_a, total_frames] per-video-frame features, num_chunks)
+        (s2v.py:199)."""
+        from apex_studio_tpu.models.audio.wav2vec2 import interpolate_linear
+        from apex_studio_tpu.utils.media import load_audio
+
+        wav = load_audio(audio, sampling_rate)
+        # Wav2Vec2FeatureExtractor: zero-mean / unit-variance normalization
+        wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+        encoder = self.load_helper("audio_encoder")
+        graphdef, state = nnx.split(encoder)
+        key = ("s2v_w2v", wav.shape)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(s, w):
+                m = nnx.merge(graphdef, s)
+                return jnp.concatenate(m(w), axis=0)  # [L+1, T, D]
+
+            self._jit_cache[key] = fwd
+        feat = fwd(state, jnp.asarray(wav)[None])
+        video_rate = 30
+        out_len = int(feat.shape[1] / 50.0 * video_rate)  # 50 Hz → 30 fps
+        feat = np.asarray(interpolate_linear(feat, max(out_len, 1)))
+        n_layers, audio_frame_num, audio_dim = feat.shape
+
+        scale = video_rate / fps
+        num_repeat = int(audio_frame_num / (num_frames * scale)) + 1
+        bucket = num_repeat * num_frames
+        stride = int(video_rate / fps)
+        duration = bucket / fps
+        total = int(np.ceil(duration * video_rate))
+        times = np.linspace(0.0, duration, bucket, endpoint=False)
+        idx = np.clip(np.round(times * video_rate).astype(int), 0, total - 1)
+        rows = np.zeros((bucket, n_layers, audio_dim), np.float32)
+        valid = idx < audio_frame_num
+        rows[valid] = feat[:, np.clip(idx[valid], 0, audio_frame_num - 1)
+                           ].transpose(1, 0, 2)
+        return jnp.asarray(rows.transpose(1, 2, 0))[None], num_repeat
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        audio: Any = None,
+        image: Any = None,
+        sampling_rate: int = 16000,
+        negative_prompt: Optional[str] = None,
+        pose_video: Any = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames_per_chunk: int = 80,
+        num_inference_steps: int = 40,
+        guidance_scale: float = 4.5,
+        fps: int = 16,
+        seed: Optional[int] = None,
+        num_chunks: Optional[int] = None,
+        init_first_frame: bool = False,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting s2v pipeline")
+        self.load_components(return_latents=False)
+        if audio is None or image is None:
+            raise ValueError("s2v requires audio and a reference image")
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        num_frames_per_chunk = max(
+            t_scale, num_frames_per_chunk - num_frames_per_chunk % t_scale)
+        height -= height % (s_scale * self.transformer.cfg.patch_size[1])
+        width -= width % (s_scale * self.transformer.cfg.patch_size[2])
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = negative_prompt is not None and guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt) if use_cfg else context
+
+        audio_embeds, audio_chunks = self.encode_audio(
+            audio, sampling_rate, num_frames_per_chunk, fps)
+        num_chunks = min(num_chunks or audio_chunks, audio_chunks)
+        safe_emit_progress(progress_callback, 0.2,
+                           f"Audio encoded ({num_chunks} chunks)")
+
+        img = self.load_image_input(image)
+        img_px = _frames_to_video_tensor([img], height, width)
+        condition = self.encode_video_latents(img_px)  # [1, C, 1, h, w]
+
+        motion_frames = self.motion_frames
+        lat_motion = (motion_frames + 3) // t_scale
+        lat_per_chunk = ((num_frames_per_chunk + 3 + motion_frames) // t_scale
+                         - lat_motion)
+        lat_h, lat_w = height // s_scale, width // s_scale
+        z_dim = self.transformer.cfg.in_channels
+
+        pose_chunks = None
+        if pose_video is not None:
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            frames = (load_frames(pose_video)
+                      if isinstance(pose_video, (str, bytes)) else list(pose_video))
+            need = num_chunks * num_frames_per_chunk
+            while len(frames) < need:
+                frames = frames + frames[::-1]  # reverse-pad (s2v.py:33)
+            pose_px = _frames_to_video_tensor(frames[:need], height, width)
+            pose_chunks = []
+            for r in range(num_chunks):
+                seg = pose_px[:, :, r * num_frames_per_chunk:
+                              (r + 1) * num_frames_per_chunk]
+                seg = jnp.concatenate([seg[:, :, :1], seg], axis=2)
+                pose_chunks.append(self.encode_video_latents(seg)[:, :, 1:])
+
+        motion_px = jnp.zeros((1, 3, motion_frames, height, width), jnp.float32)
+        drop_first = self.drop_first_motion
+        if init_first_frame:
+            drop_first = False
+            motion_px = motion_px.at[:, :, -6:].set(
+                jnp.repeat(img_px, 6, axis=2))
+        motion_latents = self.encode_video_latents(motion_px)
+        last_pixels = motion_px
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        videos = []
+        cb = make_mapped_progress(progress_callback, 0.25, 0.95)
+        for r in range(num_chunks):
+            chunk_cb = make_mapped_progress(cb, r / num_chunks, (r + 1) / num_chunks)
+            x = self.get_latents((1, z_dim, lat_per_chunk, lat_h, lat_w),
+                                 seed=None if seed is None else seed + r)
+            a_slice = audio_embeds[..., r * num_frames_per_chunk:
+                                   (r + 1) * num_frames_per_chunk]
+            pose_lat = (pose_chunks[r] if pose_chunks is not None
+                        else jnp.zeros((1, z_dim, lat_per_chunk, lat_h, lat_w)))
+            drop_motion = drop_first and r == 0
+
+            key = ("s2v_step", tuple(x.shape), int(context.shape[1]),
+                   drop_motion, use_cfg)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(state, x, t, ctx, nctx, mot, aud, cond, pose):
+                    m = nnx.merge(graphdef, state)
+                    kw = dict(motion_latents=mot.astype(m.dtype),
+                              image_latents=cond.astype(m.dtype),
+                              pose_latents=pose.astype(m.dtype),
+                              motion_frames=(motion_frames, lat_motion),
+                              drop_motion_frames=drop_motion)
+                    pos = m(x.astype(m.dtype), t, ctx, audio_embeds=aud, **kw)
+                    if not use_cfg:
+                        return pos
+                    neg = m(x.astype(m.dtype), t, nctx,
+                            audio_embeds=aud * 0.0, **kw)
+                    return neg + guidance_scale * (pos - neg)
+
+                self._jit_cache[key] = fwd
+            ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+            for i, tstep in enumerate(ts):
+                t_b = jnp.full((1,), float(tstep), jnp.float32)
+                v = fwd(tf_state, x, t_b, context, neg_context, motion_latents,
+                        a_slice, condition, pose_lat)
+                (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+                safe_emit_progress(chunk_cb, 0.1 + 0.7 * (i + 1) / len(ts),
+                                   f"chunk {r + 1}/{num_chunks} "
+                                   f"step {i + 1}/{len(ts)}")
+
+            if not drop_motion:
+                decode_lat = jnp.concatenate([motion_latents, x], axis=2)
+            else:
+                decode_lat = jnp.concatenate([condition, x], axis=2)
+            graphdef_v, vstate = nnx.split(self.vae)
+            dkey = ("s2v_decode", tuple(decode_lat.shape))
+            dec = self._jit_cache.get(dkey)
+            if dec is None:
+
+                @jax.jit
+                def dec(s, z):
+                    return nnx.merge(graphdef_v, s).decode(z)
+
+                self._jit_cache[dkey] = dec
+            video = dec(vstate, decode_lat.astype(jnp.float32))
+            video = video[:, :, -num_frames_per_chunk:]
+            if drop_motion:
+                video = video[:, :, 3:]
+            n_overlap = min(motion_frames, video.shape[2])
+            last_pixels = jnp.concatenate(
+                [last_pixels[:, :, n_overlap:], video[:, :, -n_overlap:]], axis=2)
+            motion_latents = self.encode_video_latents(last_pixels)
+            videos.append(np.asarray(video))
+            safe_emit_progress(chunk_cb, 1.0, f"chunk {r + 1}/{num_chunks} done")
+
+        full = np.concatenate(videos, axis=2)
+        b, c, t, h, w = full.shape
+        frames = self.tensor_to_frames(
+            jnp.asarray(full).transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
+        safe_emit_progress(progress_callback, 1.0, "Completed s2v pipeline")
+        return frames

@@ -1136,3 +1136,47 @@ converter_registry.add(
               r"^project_hid\.", r"adapter"),
     ),
 )
+
+converter_registry.add(
+    "wan_s2v",
+    KeyConverter(
+        # Wan 2.2 S2V (reference src/transformer/wan/s2v/model.py:886).
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^condition_embedder\.time_embedder\.linear_(\d)\.",
+             r"time_embedder_linear_\1."),
+            (r"^condition_embedder\.time_proj\.", "time_proj."),
+            (r"^condition_embedder\.text_embedder\.linear_(\d)\.",
+             r"text_embedder_linear_\1."),
+            (r"^condition_embedder\.causal_audio_encoder\.weights$",
+             "causal_audio_encoder.weights"),
+            (r"^condition_embedder\.causal_audio_encoder\.encoder\.",
+             "causal_audio_encoder.encoder."),
+            (r"^condition_embedder\.pose_embedder\.weight$", "pose_embedder.kernel"),
+            (r"^condition_embedder\.pose_embedder\.bias$", "pose_embedder.bias"),
+            (r"(conv1_local|conv1_global|conv2|conv3)\.conv\.weight$", r"\1.kernel_w"),
+            (r"(conv1_local|conv1_global|conv2|conv3)\.conv\.bias$", r"\1.bias"),
+            (r"^trainable_condition_mask\.weight$", "trainable_condition_mask"),
+            (r"^audio_injector\.injector\.(\d+)\.", r"injector.\1.attn."),
+            (r"^audio_injector\.injector_adain_layers\.(\d+)\.linear\.",
+             r"injector.\1.adain_linear."),
+            (r"^audio_injector\.injector_pre_norm_feat\.\d+\.", "DROPME."),
+            (r"^audio_injector\.injector_pre_norm_vec\.\d+\.", "DROPME."),
+            (r"^blocks\.(\d+)\.attn1\.", r"blocks.\1.attn1."),
+            (r"^blocks\.(\d+)\.attn2\.", r"blocks.\1.attn2."),
+            (r"\.attn(\d)\.norm_q\.", r".attn\1.norm_q."),
+            (r"\.attn(\d)\.to_out\.0\.", r".attn\1.to_out."),
+            (r"^blocks\.(\d+)\.norm2\.weight$", r"blocks.\1.norm2_weight"),
+            (r"^blocks\.(\d+)\.norm2\.bias$", r"blocks.\1.norm2_bias"),
+            (r"^blocks\.(\d+)\.ffn\.net\.0\.proj\.", r"blocks.\1.ffn.fc1."),
+            (r"^blocks\.(\d+)\.ffn\.net\.2\.", r"blocks.\1.ffn.fc2."),
+            (r"^norm_out\.", "DROPME."),  # affine-free
+            (r"^scale_shift_table$", "norm_out_scale_shift"),
+            (r"^frame_packer\.proj(_2x|_4x)?\.weight$", r"frame_packer.proj\1.kernel"),
+            (r"^frame_packer\.proj(_2x|_4x)?\.bias$", r"frame_packer.proj\1.bias"),
+            (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|fc1|fc2|final_linear|adain_linear|time_embedder_linear_\d|text_embedder_linear_\d|time_proj|proj_out)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"DROPME", r"^rope\.", r"frame_packer\.rope"),
+    ),
+)

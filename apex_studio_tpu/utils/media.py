@@ -102,3 +102,37 @@ def save_wav(waveform, path, sample_rate: int = 24000):
         w.setframerate(int(sample_rate))
         w.writeframes(pcm.tobytes())
     return path
+
+
+def load_audio(source, sampling_rate: int = 16000) -> "np.ndarray":
+    """Load mono audio as float32 [-1, 1] at ``sampling_rate``.
+
+    Accepts a 1-D array (passthrough, assumed already at the target rate), or
+    a .wav path/bytes (stdlib ``wave``; 16/32-bit PCM), resampled with linear
+    interpolation. Counterpart of the reference's ``_load_audio``
+    (engine/base_engine.py) without the librosa dependency.
+    """
+    import io as _io
+    import wave as _wave
+
+    if isinstance(source, np.ndarray):
+        return np.asarray(source, np.float32).reshape(-1)
+    if isinstance(source, (list, tuple)):
+        return np.asarray(source, np.float32).reshape(-1)
+    fh = _io.BytesIO(source) if isinstance(source, bytes) else str(source)
+    with _wave.open(fh, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    arr /= float(np.iinfo(dtype).max)
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    if rate != sampling_rate and arr.size:
+        t_out = np.linspace(0.0, arr.size - 1.0,
+                            int(round(arr.size * sampling_rate / rate)))
+        arr = np.interp(t_out, np.arange(arr.size), arr).astype(np.float32)
+    return arr
