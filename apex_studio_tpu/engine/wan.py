@@ -2032,3 +2032,267 @@ class WanS2VEngine(WanShared, _WanVaeEncodeMixin):
             jnp.asarray(full).transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
         safe_emit_progress(progress_callback, 1.0, "Completed s2v pipeline")
         return frames
+
+
+def match_and_blend_colors(video: np.ndarray, reference: np.ndarray,
+                           strength: float) -> np.ndarray:
+    """Per-channel mean/std color match of [B,3,T,H,W] video to a reference
+    frame, blended by ``strength`` (reference utils/models/wan
+    match_and_blend_colors)."""
+    if strength <= 0.0:
+        return video
+    v_mean = video.mean(axis=(0, 2, 3, 4), keepdims=True)
+    v_std = video.std(axis=(0, 2, 3, 4), keepdims=True) + 1e-6
+    r_mean = reference.mean(axis=(0, 2, 3, 4), keepdims=True)
+    r_std = reference.std(axis=(0, 2, 3, 4), keepdims=True) + 1e-6
+    matched = (video - v_mean) / v_std * r_std + r_mean
+    out = video * (1.0 - strength) + matched * strength
+    return np.clip(out, -1.0, 1.0)
+
+
+@register_engine("wan", "multitalk")
+class WanMultiTalkEngine(WanShared, _WanVaeEncodeMixin):
+    """Multi-person audio-driven i2v (reference engine/wan/multitalk.py):
+    clip-autoregressive generation where each 81-frame clip carries i2v-style
+    mask+latent conditioning on the first frame (or the previous clip's
+    motion frames, re-noised to the current timestep every step), per-frame
+    windowed wav2vec audio tokens, speaker reference masks for L-RoPE
+    routing, and 3-branch text+audio CFG."""
+
+    def encode_person_audio(self, audio: Any, sampling_rate: int, fps: int):
+        """→ [F_pix, blocks, C] per-pixel-frame stacked wav2vec layers."""
+        from apex_studio_tpu.utils.media import load_audio
+
+        wav = load_audio(audio, sampling_rate)
+        wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+        video_length = max(int(len(wav) / sampling_rate * fps), 1)
+        encoder = self.load_helper("audio_encoder")
+        graphdef, state = nnx.split(encoder)
+        key = ("mt_w2v", wav.shape, video_length)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(s, w):
+                m = nnx.merge(graphdef, s)
+                states = m(w, seq_len=video_length)
+                return jnp.stack(states[1:], axis=0)  # [blocks, F, C]
+
+            self._jit_cache[key] = fwd
+        emb = fwd(state, jnp.asarray(wav)[None])[:, 0]
+        return jnp.transpose(emb, (1, 0, 2))  # [F, blocks, C]
+
+    @staticmethod
+    def human_masks(human_num: int, height: int, width: int,
+                    face_scale: float = 0.05) -> np.ndarray:
+        """Default speaker layout masks (helpers/wan/multitalk.py:373):
+        one speaker → full frame; two → left/right halves + background."""
+        if human_num == 1:
+            m = np.ones((height, width), np.float32)
+            return np.stack([m, np.ones_like(m), np.ones_like(m)])
+        x0, x1 = int(height * face_scale), int(height * (1 - face_scale))
+        half = width // 2
+        m1 = np.zeros((height, width), np.float32)
+        m1[x0:x1, int(half * face_scale):int(half * (1 - face_scale))] = 1
+        m2 = np.zeros((height, width), np.float32)
+        m2[x0:x1, int(half * face_scale) + half:int(half * (1 - face_scale)) + half] = 1
+        bg = ((m1 + m2) == 0).astype(np.float32)
+        return np.stack([m1, m2, bg])
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        image: Any = None,
+        audio: Any = None,
+        person_1_audio: Any = None,
+        person_2_audio: Any = None,
+        audio_type: str = "para",
+        negative_prompt: Optional[str] = None,
+        sampling_rate: int = 16000,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        max_num_frames: int = 1000,
+        motion_frames: int = 25,
+        num_inference_steps: int = 40,
+        guidance_scale: float = 5.0,
+        audio_guidance_scale: float = 4.0,
+        fps: int = 25,
+        seed: Optional[int] = None,
+        face_scale: float = 0.05,
+        color_correction_strength: float = 1.0,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting multitalk pipeline")
+        self.load_components(return_latents=False)
+        if image is None:
+            raise ValueError("multitalk requires a conditioning image")
+        if person_1_audio is None and audio is not None:
+            person_1_audio = audio
+        speakers = [a for a in (person_1_audio, person_2_audio) if a is not None]
+        if not speakers:
+            raise ValueError("multitalk requires at least one speaker audio")
+        human_num = len(speakers)
+
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        height -= height % (s_scale * 2)
+        width -= width % (s_scale * 2)
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0 and negative_prompt is not None
+        neg_context = (self.encode_prompt(negative_prompt)
+                       if use_cfg else context)
+
+        full_audio = [np.asarray(self.encode_person_audio(a, sampling_rate, fps))
+                      for a in speakers]
+        if human_num == 2 and audio_type == "add":
+            # both speakers hear the summed track (multitalk.py audio_type)
+            summed = full_audio[0][:min(len(full_audio[0]), len(full_audio[1]))] \
+                + full_audio[1][:min(len(full_audio[0]), len(full_audio[1]))]
+            full_audio = [summed, summed]
+        total_frames = min(max_num_frames, min(len(a) for a in full_audio))
+        safe_emit_progress(progress_callback, 0.15, "Audio encoded")
+
+        img = self.load_image_input(image)
+        has_image_branch = self.transformer.cfg.image_dim is not None
+        clip_feats = None
+        if has_image_branch:
+            clip_feats = WanI2VEngine.encode_image_clip(self, img)
+        cond_px = _frames_to_video_tensor([img], height, width)
+        ref_px = np.asarray(cond_px)
+
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        masks_px = self.human_masks(human_num, height, width, face_scale)
+        import cv2
+
+        token_masks = np.stack([
+            cv2.resize(m, (lat_w // 2, lat_h // 2),
+                       interpolation=cv2.INTER_NEAREST) for m in masks_px])
+        ref_masks = jnp.asarray((token_masks > 0).reshape(len(token_masks), -1)
+                                .astype(np.float32))
+
+        window = self.transformer.cfg.audio_window
+        offsets = np.arange(window) - window // 2
+        z_dim = self.vae.cfg.z_dim
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        all_frames: List[np.ndarray] = []
+        audio_start = 0
+        clip_len = num_frames
+        cur_motion = 1
+        cond_source = cond_px
+        clip_idx = 0
+        cb = make_mapped_progress(progress_callback, 0.2, 0.95)
+        while True:
+            clip_idx += 1
+            # windowed audio per speaker for this clip
+            centers = np.arange(audio_start, audio_start + clip_len)
+            idx = np.clip(centers[:, None] + offsets[None, :], 0,
+                          total_frames - 1)
+            audio_embs = jnp.asarray(
+                np.stack([a[idx] for a in full_audio]))  # [H, F, W, blocks, C]
+
+            # i2v conditioning: motion pixels + zeros, mask on motion span
+            pad = jnp.zeros((1, 3, num_frames - cond_source.shape[2],
+                             height, width))
+            video_cond = jnp.concatenate([cond_source, pad], axis=2)
+            latent_cond = self.encode_video_latents(video_cond)
+            mask = np.zeros((1, 1, num_frames, lat_h, lat_w), np.float32)
+            mask[:, :, :cur_motion] = 1.0
+            first_rep = np.repeat(mask[:, :, :1], t_scale, axis=2)
+            mask = np.concatenate([first_rep, mask[:, :, 1:]], axis=2)
+            mask = mask.reshape(1, lat_t, t_scale, lat_h, lat_w
+                                ).transpose(0, 2, 1, 3, 4)
+            condition = jnp.concatenate([jnp.asarray(mask), latent_cond], axis=1)
+            cur_motion_lat = 1 + (cur_motion - 1) // t_scale
+            motion_lat = latent_cond[:, :, :cur_motion_lat]
+
+            x = self.get_latents((1, z_dim, lat_t, lat_h, lat_w),
+                                 seed=None if seed is None else seed + clip_idx)
+            ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+
+            key = ("mt_step", tuple(x.shape), int(context.shape[1]),
+                   human_num, use_cfg)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(state, x_in, t, ctx, nctx, clip_f, aud, masks_):
+                    m = nnx.merge(graphdef, state)
+                    xd = x_in.astype(m.dtype)
+                    pos = m(xd, t, ctx, clip_f, aud, ref_target_masks=masks_)
+                    if use_cfg:
+                        drop_text = m(xd, t, nctx, clip_f, aud,
+                                      ref_target_masks=masks_)
+                        uncond = m(xd, t, nctx, clip_f, aud * 0.0,
+                                   ref_target_masks=masks_)
+                        return (uncond
+                                + guidance_scale * (pos - drop_text)
+                                + audio_guidance_scale * (drop_text - uncond))
+                    drop_audio = m(xd, t, ctx, clip_f, aud * 0.0,
+                                   ref_target_masks=masks_)
+                    return drop_audio + audio_guidance_scale * (pos - drop_audio)
+
+                self._jit_cache[key] = fwd
+            clip_cb = make_mapped_progress(
+                cb, min(audio_start / max(total_frames, 1), 1.0),
+                min((audio_start + clip_len) / max(total_frames, 1), 1.0))
+            is_first = clip_idx == 1
+            rng = np.random.default_rng(0 if seed is None else seed + 7 * clip_idx)
+            motion_noise = jnp.asarray(
+                rng.standard_normal(np.asarray(motion_lat).shape), jnp.float32)
+            for i, tstep in enumerate(ts):
+                if not is_first:
+                    noised = self.scheduler.add_noise(
+                        motion_lat, motion_noise, float(tstep))
+                    x = x.at[:, :, :cur_motion_lat].set(noised)
+                x_in = jnp.concatenate([x, condition], axis=1)
+                t_b = jnp.full((1,), float(tstep), jnp.float32)
+                v = fwd(tf_state, x_in, t_b, context, neg_context, clip_feats,
+                        audio_embs, ref_masks)
+                (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+                safe_emit_progress(clip_cb, (i + 1) / len(ts),
+                                   f"clip {clip_idx} step {i + 1}/{len(ts)}")
+            if not is_first:
+                x = x.at[:, :, :cur_motion_lat].set(motion_lat)
+
+            video = np.asarray(self.decode_latents_tensor(x))
+            if color_correction_strength > 0.0:
+                video = match_and_blend_colors(video, ref_px,
+                                               color_correction_strength)
+            new = video if is_first else video[:, :, cur_motion:]
+            all_frames.append(new)
+
+            audio_start += num_frames - motion_frames if not is_first else \
+                num_frames - motion_frames
+            if audio_start + clip_len >= total_frames or \
+                    total_frames <= num_frames:
+                break
+            cur_motion = min(motion_frames, video.shape[2])
+            cond_source = jnp.asarray(video[:, :, -cur_motion:])
+
+        full = np.concatenate(all_frames, axis=2)[:, :, :total_frames]
+        b, c, t, h, w = full.shape
+        frames = self.tensor_to_frames(
+            jnp.asarray(full).transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
+        safe_emit_progress(progress_callback, 1.0, "Completed multitalk pipeline")
+        return frames
+
+    def decode_latents_tensor(self, x: jnp.ndarray) -> jnp.ndarray:
+        graphdef_v, vstate = nnx.split(self.vae)
+        key = ("mt_decode", tuple(x.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+
+            @jax.jit
+            def dec(s, z):
+                return nnx.merge(graphdef_v, s).decode(z)
+
+            self._jit_cache[key] = dec
+        return dec(vstate, x.astype(jnp.float32))

@@ -1180,3 +1180,49 @@ converter_registry.add(
         drop=(r"DROPME", r"^rope\.", r"frame_packer\.rope"),
     ),
 )
+
+converter_registry.add(
+    "wan_multitalk",
+    KeyConverter(
+        # Wan MultiTalk (reference src/transformer/wan/multitalk/model.py:982).
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^condition_embedder\.time_embedder\.linear_(\d)\.",
+             r"time_embedder_linear_\1."),
+            (r"^condition_embedder\.time_proj\.", "time_proj."),
+            (r"^condition_embedder\.text_embedder\.linear_(\d)\.",
+             r"text_embedder_linear_\1."),
+            (r"^condition_embedder\.image_embedder\.norm1\.weight$", "img_norm1"),
+            (r"^condition_embedder\.image_embedder\.norm1\.bias$", "img_norm1_bias"),
+            (r"^condition_embedder\.image_embedder\.norm2\.weight$", "img_norm2"),
+            (r"^condition_embedder\.image_embedder\.norm2\.bias$", "img_norm2_bias"),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.0\.proj\.", "img_ff1."),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.2\.", "img_ff2."),
+            (r"^audio_proj\.", "audio_proj."),
+            (r"\.attn1\.to_out\.0\.", ".to_out."),
+            (r"\.attn1\.", "."),
+            (r"\.attn2\.to_out\.0\.", ".c_to_out."),
+            (r"\.attn2\.to_q\.", ".c_to_q."),
+            (r"\.attn2\.to_k\.", ".c_to_k."),
+            (r"\.attn2\.to_v\.", ".c_to_v."),
+            (r"\.attn2\.norm_q\.", ".c_norm_q."),
+            (r"\.attn2\.norm_k\.", ".c_norm_k."),
+            (r"\.attn2\.add_k_proj\.", ".add_k_proj."),
+            (r"\.attn2\.add_v_proj\.", ".add_v_proj."),
+            (r"\.attn2\.norm_added_k\.", ".norm_added_k."),
+            (r"\.audio_attn2\.q_linear\.", ".a_q_linear."),
+            (r"\.audio_attn2\.kv_linear\.", ".a_kv_linear."),
+            (r"\.audio_attn2\.proj\.", ".a_proj."),
+            (r"\.norm2\.weight$", ".norm2_weight"),
+            (r"\.norm2\.bias$", ".norm2_bias"),
+            (r"\.norm_x\.weight$", ".norm_x_weight"),
+            (r"\.norm_x\.bias$", ".norm_x_bias"),
+            (r"\.ffn\.net\.0\.proj\.", ".ffn.fc1."),
+            (r"\.ffn\.net\.2\.", ".ffn.fc2."),
+            (r"^scale_shift_table$", "norm_out_scale_shift"),
+            (r"(to_q|to_k|to_v|to_out|c_to_q|c_to_k|c_to_v|c_to_out|add_k_proj|add_v_proj|a_q_linear|a_kv_linear|a_proj|fc1|fc2|img_ff1|img_ff2|proj1|proj1_vf|proj2|proj3|time_embedder_linear_\d|text_embedder_linear_\d|time_proj|proj_out)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^rope\.", r"audio_attn2\.(q_norm|k_norm|add_q_norm|add_k_norm)"),
+    ),
+)

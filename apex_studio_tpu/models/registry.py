@@ -62,6 +62,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.longcat",
         "apex_studio_tpu.models.audio.wav2vec2",
         "apex_studio_tpu.models.transformers.wan_s2v",
+        "apex_studio_tpu.models.transformers.wan_multitalk",
     ):
         try:
             importlib.import_module(mod)
