@@ -2296,3 +2296,221 @@ class WanMultiTalkEngine(WanShared, _WanVaeEncodeMixin):
 
             self._jit_cache[key] = dec
         return dec(vstate, x.astype(jnp.float32))
+
+
+@register_engine("wan", "animate")
+class WanAnimateEngine(WanShared, _WanVaeEncodeMixin):
+    """Character animation / replacement (reference engine/wan/animate.py):
+    each 77-frame segment denoises latents whose slot 0 is the VAE-encoded
+    reference character image; the condition channels carry [4-ch i2v mask ‖
+    16-ch latents] for the reference slot and the previous segment's tail
+    (or, in replace mode, the background video masked by the subject mask);
+    pose latents ride the patch embedding and a face video drives the
+    per-frame face adapter. Segments chain by re-conditioning on the last
+    generated frame."""
+
+    def run(
+        self,
+        image: Any = None,
+        pose_video: Any = None,
+        face_video: Any = None,
+        background_video: Any = None,
+        mask_video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 720,
+        width: int = 1280,
+        segment_frame_length: int = 77,
+        num_inference_steps: int = 20,
+        mode: str = "animate",
+        prev_segment_conditioning_frames: int = 1,
+        guidance_scale: float = 1.0,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting animate pipeline")
+        self.load_components(return_latents=False)
+        if image is None:
+            raise ValueError("animate requires a reference character image")
+        if mode == "animate" and (pose_video is None or face_video is None):
+            raise ValueError("animate mode requires pose and face videos")
+        if mode == "replace" and (background_video is None or mask_video is None):
+            raise ValueError("replace mode requires background and mask videos")
+
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        def frames_of(v):
+            if v is None:
+                return None
+            if isinstance(v, (str, bytes)) or hasattr(v, "__fspath__"):
+                return load_frames(v)
+            return [np.asarray(f) for f in v]
+
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        segment_frame_length = max(
+            1, segment_frame_length - (segment_frame_length - 1) % t_scale)
+        height -= height % (s_scale * 2)
+        width -= width % (s_scale * 2)
+
+        pose_frames = frames_of(pose_video) or []
+        face_frames = frames_of(face_video) or []
+        bg_frames = frames_of(background_video)
+        msk_frames = frames_of(mask_video)
+        cond_len = len(pose_frames) if pose_frames else len(bg_frames or [])
+        eff = segment_frame_length - prev_segment_conditioning_frames
+        pad = (-(cond_len - prev_segment_conditioning_frames)) % eff
+        total = cond_len + pad
+        num_segments = max(1, total // eff)
+
+        def reflect_pad(frames, n):
+            out, idx, flip = [], 0, False
+            while len(out) < n and frames:
+                out.append(frames[idx])
+                idx = idx - 1 if flip else idx + 1
+                if idx in (0, len(frames) - 1):
+                    flip = not flip
+            return out
+
+        pose_frames = reflect_pad(pose_frames, total) if pose_frames else None
+        face_frames = reflect_pad(face_frames, total) if face_frames else None
+        bg_frames = reflect_pad(bg_frames, total) if bg_frames else None
+        msk_frames = reflect_pad(msk_frames, total) if msk_frames else None
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0 and negative_prompt is not None
+        neg_context = self.encode_prompt(negative_prompt) if use_cfg else context
+
+        img = self.load_image_input(image)
+        has_img_branch = self.transformer.cfg.image_dim is not None
+        clip_feats = (WanI2VEngine.encode_image_clip(self, img)
+                      if has_img_branch else None)
+        ref_px = _frames_to_video_tensor([img], height, width)
+        ref_lat = self.encode_video_latents(ref_px)  # [1, 16, 1, h, w]
+        lat_h, lat_w = ref_lat.shape[-2:]
+        ref_mask = np.zeros((1, t_scale, 1, lat_h, lat_w), np.float32)
+        ref_mask[:, :, 0] = 1.0
+        ref_cond = jnp.concatenate([jnp.asarray(ref_mask), ref_lat], axis=1)
+
+        lat_t = (segment_frame_length - 1) // t_scale + 1
+        z_dim = self.vae.cfg.z_dim
+        face_size = self.transformer.cfg.motion_encoder_size
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        all_frames: List[np.ndarray] = []
+        prev_tail_px = None
+        cb = make_mapped_progress(progress_callback, 0.2, 0.95)
+        start = 0
+        for seg in range(num_segments):
+            seg_cb = make_mapped_progress(cb, seg / num_segments,
+                                          (seg + 1) / num_segments)
+            end = start + segment_frame_length
+            # previous-segment / background condition video in pixel space
+            if mode == "replace":
+                seg_bg = _frames_to_video_tensor(bg_frames[start:end], height, width)
+                cond_video = seg_bg
+                import cv2
+
+                m = np.stack([cv2.resize(
+                    cv2.cvtColor(np.asarray(f), cv2.COLOR_RGB2GRAY)
+                    if np.asarray(f).ndim == 3 else np.asarray(f),
+                    (lat_w, lat_h)) for f in msk_frames[start:end]])
+                mask_px = (m > 127).astype(np.float32)[None, None]
+            else:
+                head = (prev_tail_px if prev_tail_px is not None else
+                        jnp.zeros((1, 3, prev_segment_conditioning_frames,
+                                   height, width)))
+                zeros = jnp.zeros((1, 3, segment_frame_length - head.shape[2],
+                                   height, width))
+                cond_video = jnp.concatenate([head, zeros], axis=2)
+                mask_px = None
+            seg_lat = self.encode_video_latents(cond_video)
+            mask = np.zeros((1, 1, segment_frame_length, lat_h, lat_w), np.float32)
+            if mask_px is not None:
+                mask[:] = mask_px
+            n_mask = prev_segment_conditioning_frames if seg > 0 else 0
+            mask[:, :, :n_mask] = 1.0
+            first_rep = np.repeat(mask[:, :, :1], t_scale, axis=2)
+            mask = np.concatenate([first_rep, mask[:, :, 1:]], axis=2)
+            mask = mask.reshape(1, lat_t, t_scale, lat_h, lat_w
+                                ).transpose(0, 2, 1, 3, 4)
+            seg_cond = jnp.concatenate([jnp.asarray(mask), seg_lat], axis=1)
+            condition = jnp.concatenate([ref_cond, seg_cond], axis=2)
+
+            pose_lat = None
+            if pose_frames is not None:
+                pose_px = _frames_to_video_tensor(pose_frames[start:end],
+                                                  height, width)
+                pose_lat = self.encode_video_latents(pose_px)
+            face_px = None
+            if face_frames is not None:
+                import cv2
+
+                seg_faces = face_frames[start:end]
+                # the causal stride-4 face encoder maps 4·lat_t−3 frames to
+                # exactly lat_t motion frames (77 → 20 for the real config)
+                need = 4 * lat_t - 3
+                idx_f = np.clip(np.round(np.linspace(0, len(seg_faces) - 1,
+                                                     need)).astype(int),
+                                0, len(seg_faces) - 1)
+                faces = np.stack([cv2.resize(np.asarray(seg_faces[i]),
+                                             (face_size, face_size))
+                                  for i in idx_f])
+                face_px = jnp.asarray(
+                    faces.astype(np.float32) / 127.5 - 1.0
+                ).transpose(3, 0, 1, 2)[None]
+
+            x = self.get_latents((1, z_dim, lat_t + 1, lat_h, lat_w),
+                                 seed=None if seed is None else seed + seg)
+            key = ("animate_step", tuple(x.shape), int(context.shape[1]),
+                   face_px is not None, pose_lat is not None, use_cfg)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(state, x_in, t, ctx, nctx, clip_f, pose, face):
+                    m = nnx.merge(graphdef, state)
+                    pos = m(x_in.astype(m.dtype), t, ctx, clip_f, pose, face)
+                    if not use_cfg:
+                        return pos
+                    neg = m(x_in.astype(m.dtype), t, nctx, clip_f, pose, face)
+                    return neg + guidance_scale * (pos - neg)
+
+                self._jit_cache[key] = fwd
+            ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+            for i, tstep in enumerate(ts):
+                x_in = jnp.concatenate([x, condition], axis=1)
+                t_b = jnp.full((1,), float(tstep), jnp.float32)
+                v = fwd(tf_state, x_in, t_b, context, neg_context, clip_feats,
+                        pose_lat, face_px)
+                (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+                safe_emit_progress(seg_cb, (i + 1) / len(ts),
+                                   f"segment {seg + 1}/{num_segments} "
+                                   f"step {i + 1}/{len(ts)}")
+
+            graphdef_v, vstate = nnx.split(self.vae)
+            dkey = ("animate_decode", (1, z_dim, lat_t, lat_h, lat_w))
+            dec = self._jit_cache.get(dkey)
+            if dec is None:
+
+                @jax.jit
+                def dec(s, z):
+                    return nnx.merge(graphdef_v, s).decode(z)
+
+                self._jit_cache[dkey] = dec
+            video = dec(vstate, x[:, :, 1:].astype(jnp.float32))
+            prev_tail_px = video[:, :, -prev_segment_conditioning_frames:]
+            out = (np.asarray(video) if seg == 0
+                   else np.asarray(video[:, :, prev_segment_conditioning_frames:]))
+            all_frames.append(out)
+            start += eff
+
+        full = np.concatenate(all_frames, axis=2)[:, :, :cond_len]
+        b, c, t, h, w = full.shape
+        frames = self.tensor_to_frames(
+            jnp.asarray(full).transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
+        safe_emit_progress(progress_callback, 1.0, "Completed animate pipeline")
+        return frames

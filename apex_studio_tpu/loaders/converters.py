@@ -1226,3 +1226,54 @@ converter_registry.add(
         drop=(r"^rope\.", r"audio_attn2\.(q_norm|k_norm|add_q_norm|add_k_norm)"),
     ),
 )
+
+converter_registry.add(
+    "wan_animate",
+    KeyConverter(
+        # Wan 2.2 Animate (reference src/transformer/wan/animate/model.py:946).
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^pose_patch_embedding\.weight$", "pose_patch_embedding.kernel"),
+            (r"^pose_patch_embedding\.bias$", "pose_patch_embedding.bias"),
+            (r"^condition_embedder\.time_embedder\.linear_(\d)\.",
+             r"time_embedder_linear_\1."),
+            (r"^condition_embedder\.time_proj\.", "time_proj."),
+            (r"^condition_embedder\.text_embedder\.linear_(\d)\.",
+             r"text_embedder_linear_\1."),
+            (r"^condition_embedder\.image_embedder\.norm1\.weight$", "img_norm1"),
+            (r"^condition_embedder\.image_embedder\.norm1\.bias$", "img_norm1_bias"),
+            (r"^condition_embedder\.image_embedder\.norm2\.weight$", "img_norm2"),
+            (r"^condition_embedder\.image_embedder\.norm2\.bias$", "img_norm2_bias"),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.0\.proj\.", "img_ff1."),
+            (r"^condition_embedder\.image_embedder\.ff\.net\.2\.", "img_ff2."),
+            # motion encoder: equalized-lr weights keep raw values
+            (r"^motion_encoder\.conv_in\.weight$", "motion_encoder.conv_in.weight"),
+            (r"^motion_encoder\.conv_in\.act_fn\.bias$",
+             "motion_encoder.conv_in.act_bias"),
+            (r"(res_blocks\.\d+\.conv\d(_skip)?)\.act_fn\.bias$", r"\1.act_bias"),
+            (r"^motion_encoder\.conv_out\.weight$", "motion_encoder.conv_out.weight"),
+            (r"^motion_encoder\.motion_network\.(\d+)\.weight$",
+             r"motion_encoder.motion_network.\1.weight"),
+            (r"^motion_encoder\.motion_synthesis_weight$",
+             "motion_encoder.motion_synthesis_weight"),
+            (r"^face_encoder\.(conv1_local|conv2|conv3)\.weight$",
+             r"face_encoder.\1.kernel_w"),
+            (r"^face_encoder\.(conv1_local|conv2|conv3)\.bias$",
+             r"face_encoder.\1.bias"),
+            (r"^face_encoder\.out_proj\.weight$", "face_encoder.out_proj.kernel"),
+            (r"^face_adapter\.(\d+)\.pre_norm_q\.", "DROPME."),
+            (r"^face_adapter\.(\d+)\.pre_norm_kv\.", "DROPME."),
+            (r"\.attn1\.to_out\.0\.", ".attn1.to_out."),
+            (r"\.attn2\.to_out\.0\.", ".attn2.to_out."),
+            (r"^face_adapter\.(\d+)\.to_out\.", r"face_adapter.\1.to_out."),
+            (r"^blocks\.(\d+)\.norm2\.weight$", r"blocks.\1.norm2_weight"),
+            (r"^blocks\.(\d+)\.norm2\.bias$", r"blocks.\1.norm2_bias"),
+            (r"\.ffn\.net\.0\.proj\.", ".ffn.fc1."),
+            (r"\.ffn\.net\.2\.", ".ffn.fc2."),
+            (r"^scale_shift_table$", "norm_out_scale_shift"),
+            (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|fc1|fc2|img_ff1|img_ff2|time_embedder_linear_\d|text_embedder_linear_\d|time_proj|proj_out)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"DROPME", r"^rope\.", r"blur_kernel"),
+    ),
+)

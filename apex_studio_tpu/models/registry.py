@@ -63,6 +63,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.audio.wav2vec2",
         "apex_studio_tpu.models.transformers.wan_s2v",
         "apex_studio_tpu.models.transformers.wan_multitalk",
+        "apex_studio_tpu.models.transformers.wan_animate",
     ):
         try:
             importlib.import_module(mod)
