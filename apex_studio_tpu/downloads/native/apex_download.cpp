@@ -55,6 +55,7 @@ enum {
 };
 
 struct CurlApi {
+  CURLcode (*global_init)(long);
   CURL* (*easy_init)();
   CURLcode (*easy_setopt)(CURL*, int, ...);
   CURLcode (*easy_perform)(CURL*);
@@ -72,6 +73,7 @@ static CurlApi& curl_api() {
     if (!h) h = dlopen("libcurl-gnutls.so.4", RTLD_NOW | RTLD_GLOBAL);
     if (!h) h = dlopen("libcurl.so", RTLD_NOW | RTLD_GLOBAL);
     if (!h) return a;
+    a.global_init = (CURLcode(*)(long))dlsym(h, "curl_global_init");
     a.easy_init = (CURL * (*)()) dlsym(h, "curl_easy_init");
     a.easy_setopt = (CURLcode(*)(CURL*, int, ...))dlsym(h, "curl_easy_setopt");
     a.easy_perform = (CURLcode(*)(CURL*))dlsym(h, "curl_easy_perform");
@@ -81,6 +83,10 @@ static CurlApi& curl_api() {
     a.slist_free_all = (void (*)(void*))dlsym(h, "curl_slist_free_all");
     a.ok = a.easy_init && a.easy_setopt && a.easy_perform && a.easy_cleanup &&
            a.easy_getinfo && a.slist_append && a.slist_free_all;
+    // curl_easy_init's implicit global init is NOT thread-safe; segments run
+    // on concurrent threads, so do the one-time global init here (inside the
+    // thread-safe static initializer). 3 = CURL_GLOBAL_ALL.
+    if (a.ok && a.global_init) a.global_init(3L);
     return a;
   }();
   return api;

@@ -630,7 +630,25 @@ class _WanVaeEncodeMixin:
     """VAE-encode helpers shared by the conditioned Wan engines."""
 
     def encode_video_latents(self, video: jnp.ndarray) -> jnp.ndarray:
-        """[1,3,T,H,W] pixels → [1,16,T_lat,h,w] latents via the 3D-causal VAE."""
+        """[1,3,T,H,W] pixels → [1,16,T_lat,h,w] latents via the 3D-causal VAE.
+
+        Deterministic (mode) encodes are memoized to a content-addressed disk
+        cache — counterpart of the reference's vae_encode cache
+        (engine/base_engine.py:2078) — so re-running a request with the same
+        conditioning image/video skips the encoder entirely."""
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
+        arr = np.asarray(video, np.float32)
+        cache = EmbeddingCache("vae_encode")
+        payload = {
+            "fn": "vae_encode",
+            "manifest": str(getattr(self, "manifest_id", "")),
+            "shape": list(arr.shape),
+            "sha": __import__("hashlib").sha256(arr.tobytes()).hexdigest(),
+        }
+        hit = cache.load(payload)
+        if hit is not None:
+            return jnp.asarray(hit[0])
         graphdef, vae_state = nnx.split(self.vae)
         key = ("wan_vae_encode", tuple(video.shape))
         enc = self._jit_cache.get(key)
@@ -641,7 +659,9 @@ class _WanVaeEncodeMixin:
                 return nnx.merge(graphdef, state).encode(v)
 
             self._jit_cache[key] = enc
-        return enc(vae_state, video.astype(jnp.float32))
+        out = enc(vae_state, video.astype(jnp.float32))
+        cache.store(payload, np.asarray(out))
+        return out
 
 
 @register_engine("wan", "v2v")

@@ -2,6 +2,7 @@ from apex_studio_tpu.schedulers.base import scheduler_registry, create_scheduler
 from apex_studio_tpu.schedulers.flow_match import (  # noqa: F401
     FlowMatchEulerDiscreteScheduler,
     FlowMatchDiscreteScheduler,
+    FlowMatchPairScheduler,
     FlowMatchScheduler,
 )
 from apex_studio_tpu.schedulers.unipc import FlowUniPCMultistepScheduler  # noqa: F401

@@ -15,6 +15,7 @@ All of them integrate dx/dsigma = v with Euler steps: x ← x + (σ_next − σ)
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -268,3 +269,100 @@ class FlowMatchScheduler(SchedulerBase):
         w = (y - y.min()) * (n / (y - y.min()).sum())
         idx = self.index_for_timestep(float(np.asarray(timestep).reshape(-1)[0]))
         return float(w[idx])
+
+
+@scheduler_registry.register("FlowMatchPairScheduler")
+class FlowMatchPairScheduler(FlowMatchScheduler):
+    """FlowMatchScheduler plus a (t_visual, t_audio) pairing interface
+    (reference scheduler/flow_match_pair.py:132) — used by the joint
+    audio-video engines (MOVA/Ovi) to drive both modalities on one loop.
+
+    ``get_pairs()`` returns [N, 2] rows of (t, t) (or sigmas); a named
+    postprocess ("dual_sigma_shift") re-shifts each column with independent
+    shift / denoising-strength / exponential-mu settings."""
+
+    def __init__(self, *args, exponential_shift: bool = False,
+                 exponential_shift_mu: Optional[float] = None,
+                 shift_terminal: Optional[float] = None, **kw):
+        self.exponential_shift = exponential_shift
+        self.exponential_shift_mu = exponential_shift_mu
+        self.shift_terminal = shift_terminal
+        self._pair_postprocess = None
+        super().__init__(*args, **kw)
+
+    def set_timesteps(self, num_inference_steps: int = 100,
+                      denoising_strength: float = 1.0,
+                      shift: Optional[float] = None, **kw) -> None:
+        if self.exponential_shift and self.exponential_shift_mu is not None:
+            # sigma' = e^mu / (e^mu + 1/sigma - 1) (flow_match_pair.py:46)
+            sigma_start = self.sigma_min + (self.sigma_max - self.sigma_min) \
+                * denoising_strength
+            if self.extra_one_step:
+                grid = np.linspace(sigma_start, self.sigma_min,
+                                   num_inference_steps + 1, dtype=np.float64)[:-1]
+            else:
+                grid = np.linspace(sigma_start, self.sigma_min,
+                                   num_inference_steps, dtype=np.float64)
+            if self.inverse_timesteps:
+                grid = grid[::-1]
+            mu = self.exponential_shift_mu
+            grid = math.exp(mu) / (math.exp(mu) + (1.0 / grid - 1.0))
+            if self.shift_terminal is not None:
+                one_minus = 1.0 - grid
+                grid = 1.0 - one_minus / (one_minus[-1] / (1.0 - self.shift_terminal))
+            if self.reverse_sigmas:
+                grid = 1.0 - grid
+            terminal = 1.0 if (self.inverse_timesteps or self.reverse_sigmas) else 0.0
+            self.num_inference_steps = num_inference_steps
+            self.sigmas = np.concatenate([grid, [terminal]])
+            self.timesteps = (grid * self.num_train_timesteps).astype(np.float32)
+            self._step_index = None
+        else:
+            super().set_timesteps(num_inference_steps, denoising_strength, shift, **kw)
+
+    # -- pairing API ----------------------------------------------------------
+
+    def set_pair_postprocess(self, fn) -> None:
+        if fn is not None and not callable(fn):
+            raise TypeError("pair_postprocess must be callable or None")
+        self._pair_postprocess = fn
+
+    def set_pair_postprocess_by_name(self, name: Optional[str], **kw) -> None:
+        if name is None or str(name).lower() in ("none", "off", "false", "no"):
+            self._pair_postprocess = None
+            return
+        if name != "dual_sigma_shift":
+            raise ValueError(f"unknown pair postprocess {name!r}")
+        v_shift = float(kw.get("visual_shift", self.shift))
+        a_shift = float(kw.get("audio_shift", self.shift))
+        v_str = float(kw.get("visual_denoising_strength", 1.0))
+        a_str = float(kw.get("audio_denoising_strength", 1.0))
+
+        def _column(shift, strength, n):
+            s = FlowMatchScheduler(
+                num_inference_steps=n, num_train_timesteps=self.num_train_timesteps,
+                shift=shift, sigma_max=self.sigma_max, sigma_min=self.sigma_min,
+                inverse_timesteps=self.inverse_timesteps,
+                extra_one_step=self.extra_one_step,
+                reverse_sigmas=self.reverse_sigmas)
+            s.set_timesteps(n, denoising_strength=strength)
+            return s
+
+        def fn(pairs: np.ndarray, source: str = "timesteps") -> np.ndarray:
+            n = pairs.shape[0]
+            va, au = _column(v_shift, v_str, n), _column(a_shift, a_str, n)
+            if source == "sigmas":
+                return np.stack([va.sigmas[:n], au.sigmas[:n]], axis=1)
+            return np.stack([va.timesteps[:n], au.timesteps[:n]], axis=1)
+
+        self._pair_postprocess = fn
+
+    def get_pairs(self, source: str = "timesteps") -> np.ndarray:
+        base = self.sigmas[:-1] if source == "sigmas" else self.timesteps
+        pairs = np.stack([base, base], axis=1).astype(np.float64)
+        if self._pair_postprocess is not None:
+            out = np.asarray(self._pair_postprocess(pairs, source=source))
+            if out.shape != pairs.shape:
+                raise ValueError("pair postprocess changed the pairs shape")
+            return out
+        return pairs

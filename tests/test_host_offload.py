@@ -149,3 +149,18 @@ def test_engine_auto_fallback_gate(monkeypatch, tmp_path):
     monkeypatch.setenv("APEX_MEMORY_FALLBACK", "int8")
     FakeEngine()._apply_memory_fallback(toy, {})
     assert toy.proj.kernel.value.dtype == jnp.int8
+
+
+class TestVaeEncodeCache:
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path))
+        import numpy as np
+
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
+        c = EmbeddingCache("vae_encode", root=tmp_path)
+        payload = {"fn": "vae_encode", "sha": "abc", "shape": [1, 3, 2, 8, 8]}
+        assert c.load(payload) is None
+        c.store(payload, np.ones((1, 4, 1, 2, 2), np.float32))
+        hit = c.load(payload)
+        assert hit is not None and hit[0].shape == (1, 4, 1, 2, 2)
