@@ -69,9 +69,13 @@ struct CurlApi {
 static CurlApi& curl_api() {
   static CurlApi api = [] {
     CurlApi a;
-    void* h = dlopen("libcurl.so.4", RTLD_NOW | RTLD_GLOBAL);
-    if (!h) h = dlopen("libcurl-gnutls.so.4", RTLD_NOW | RTLD_GLOBAL);
-    if (!h) h = dlopen("libcurl.so", RTLD_NOW | RTLD_GLOBAL);
+    // RTLD_LOCAL + DEEPBIND: libcurl must resolve its TLS/crypto deps against
+    // its own libraries, NOT against whatever the host process already loaded
+    // (jax/grpc ship boringssl — OpenSSL-symbol interposition segfaults).
+    const int flags = RTLD_NOW | RTLD_LOCAL | RTLD_DEEPBIND;
+    void* h = dlopen("libcurl.so.4", flags);
+    if (!h) h = dlopen("libcurl-gnutls.so.4", flags);
+    if (!h) h = dlopen("libcurl.so", flags);
     if (!h) return a;
     a.global_init = (CURLcode(*)(long))dlsym(h, "curl_global_init");
     a.easy_init = (CURL * (*)()) dlsym(h, "curl_easy_init");

@@ -2534,3 +2534,68 @@ class WanAnimateEngine(WanShared, _WanVaeEncodeMixin):
             jnp.asarray(full).transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w))
         safe_emit_progress(progress_callback, 1.0, "Completed animate pipeline")
         return frames
+
+
+@register_engine("wan", "fun_vace")
+class WanFunVaceEngine(WanVaceEngine):
+    """Fun-VACE (reference engine/wan/fun_vace.py): the VACE conditioning
+    pipeline driven by Fun-style inputs — start/end keyframe images become a
+    sparse control video with an i2v-style inpaint mask (fun_vace.py:588
+    get_image_to_video_latent), a control video or subject reference images
+    ride the standard VACE channels, and Wan 2.2 A14B's high/low-noise
+    transformer pair switches at ``boundary_ratio`` (default 0.875)."""
+
+    def run(
+        self,
+        start_image: Any = None,
+        end_image: Any = None,
+        control_video: Any = None,
+        subject_ref_images: Any = None,
+        video: Any = None,
+        mask_video: Any = None,
+        num_frames: Optional[int] = None,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        height: int = 480,
+        width: int = 832,
+        boundary_ratio: Optional[float] = None,
+        high_noise_guidance_scale: Optional[float] = None,
+        low_noise_guidance_scale: Optional[float] = None,
+        guidance_scale: float = 6.0,
+        **kwargs: Any,
+    ):
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        t_scale = 4 if self.vae is None else self.vae.cfg.temporal_scale
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        if video is None and control_video is not None:
+            video, mask_video = control_video, None
+        elif video is None and (start_image is not None or end_image is not None):
+            # sparse keyframe video + inpaint mask (known frames unmasked)
+            import cv2
+
+            def px(im):
+                arr = self.load_image_input(im)
+                return cv2.resize(arr, (width, height),
+                                  interpolation=cv2.INTER_AREA)
+
+            blank = np.zeros((height, width, 3), np.uint8)
+            frames = [blank.copy() for _ in range(num_frames)]
+            mframes = [np.full((height, width, 3), 255, np.uint8)
+                       for _ in range(num_frames)]
+            if start_image is not None:
+                frames[0] = px(start_image)
+                mframes[0][:] = 0
+            if end_image is not None:
+                frames[-1] = px(end_image)
+                mframes[-1][:] = 0
+            video, mask_video = frames, mframes
+
+        g = guidance_scale
+        if high_noise_guidance_scale is not None:
+            g = high_noise_guidance_scale
+        kwargs.setdefault("reference_images", subject_ref_images)
+        return super().run(video=video, mask=mask_video, num_frames=num_frames,
+                           fps=fps, height=height, width=width,
+                           guidance_scale=g, **kwargs)

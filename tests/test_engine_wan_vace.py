@@ -114,3 +114,44 @@ class TestVaceEngine:
                          num_inference_steps=2, guidance_scale=1.0, seed=5,
                          return_latents=True)
         assert np.asarray(lat).shape[2] == 3  # (5-1)/2+1 latent frames
+
+
+class TestFunVace:
+    def _engine(self, tmp_path):
+        import yaml
+
+        doc = _vace_manifest()
+        doc["metadata"]["id"] = "wan-fun-vace-tiny"
+        doc["spec"]["model_type"] = "fun_vace"
+        path = tmp_path / "wan-fun-vace.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+        from tests.test_engine_zimage import make_tokenizer
+
+        eng = UniversalEngine(path)
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_start_end_keyframes(self, tmp_path):
+        import numpy as np
+
+        eng = self._engine(tmp_path)
+        rng = np.random.default_rng(0)
+        start = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        end = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        frames = eng.run(prompt="morph", start_image=start, end_image=end,
+                         height=32, width=32, num_frames=5,
+                         num_inference_steps=2, guidance_scale=1.0, seed=3)
+        assert len(frames) == 5
+
+    def test_control_video(self, tmp_path):
+        import numpy as np
+
+        eng = self._engine(tmp_path)
+        rng = np.random.default_rng(1)
+        ctl = [rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+               for _ in range(5)]
+        frames = eng.run(prompt="follow", control_video=ctl, height=32,
+                         width=32, num_frames=5, num_inference_steps=1,
+                         guidance_scale=1.0, seed=2)
+        assert len(frames) == 5
