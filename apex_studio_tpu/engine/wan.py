@@ -2599,3 +2599,186 @@ class WanFunVaceEngine(WanVaceEngine):
         return super().run(video=video, mask=mask_video, num_frames=num_frames,
                            fps=fps, height=height, width=width,
                            guidance_scale=g, **kwargs)
+
+
+@register_engine("wan", "humo")
+class WanHuMoEngine(WanShared, _WanVaeEncodeMixin):
+    """HuMo: human-centric video from text + audio (+ reference images)
+    (reference engine/wan/humo.py): reference latents occupy the *last*
+    latent slots with an i2v-style 4-ch mask, windowed wav2vec stacks drive
+    per-frame audio cross-attention, and guidance blends audio and text
+    deltas — pred = a·(TIA−TI) + t·(TI−neg) + neg, with the negative branch
+    switching from image-conditioned to fully-null below ``step_change``
+    (humo.py:138 forward_tia / forward_ta)."""
+
+    def audio_windows(self, emb: np.ndarray, frame_num: int, t_scale: int,
+                      shift: int = 2) -> np.ndarray:
+        """[F_pix, blocks, C] → [T_lat, rows, blocks, C] (humo.py:62)."""
+        n_lat = 1 + (frame_num - 1) // t_scale
+        n_rows = t_scale + 2 * shift
+        blocks, c = emb.shape[1], emb.shape[2]
+        zero = np.zeros((blocks, c), emb.dtype)
+
+        def row(i):
+            return emb[i] if 0 <= i < emb.shape[0] else zero
+
+        wind = []
+        for lt in range(n_lat):
+            if lt == 0:
+                rows = [zero] * (n_rows - (2 * shift + 1)) + \
+                    [row(i) for i in range(-shift, shift + 1)]
+            else:
+                st = 1 + t_scale * (lt - 1) - shift
+                rows = [row(i) for i in range(st, st + n_rows)]
+            wind.append(np.stack(rows))
+        return np.stack(wind)
+
+    def encode_audio_stack(self, audio: Any, sampling_rate: int, fps: int,
+                           frame_num: int) -> np.ndarray:
+        """waveform → [F_pix, blocks, C] stacked wav2vec hidden states."""
+        from apex_studio_tpu.utils.media import load_audio
+
+        wav = load_audio(audio, sampling_rate)
+        wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+        encoder = self.load_helper("audio_encoder")
+        graphdef, state = nnx.split(encoder)
+        key = ("humo_w2v", wav.shape, frame_num)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(s, w):
+                m = nnx.merge(graphdef, s)
+                states = m(w, seq_len=frame_num)
+                return jnp.stack(states[1:], axis=0)  # [blocks, F, C]
+
+            self._jit_cache[key] = fwd
+        emb = np.asarray(fwd(state, jnp.asarray(wav)[None])[:, 0])
+        return emb.transpose(1, 0, 2)
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        audio: Any = None,
+        image: Any = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 25,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale_a: float = 5.5,
+        guidance_scale_t: float = 5.0,
+        step_change: int = 980,
+        sampling_rate: int = 16000,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting HuMo pipeline")
+        self.load_components(return_latents=False)
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        if num_frames is None:
+            num_frames = int(round((duration or 3.9) * fps)) + 1
+        num_frames = max(1, t_scale * ((num_frames - 1) // t_scale) + 1)
+        height -= height % (s_scale * 2)
+        width -= width % (s_scale * 2)
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        z = self.vae.cfg.z_dim
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale_t > 1.0 and negative_prompt is not None
+        neg_context = (self.encode_prompt(negative_prompt)
+                       if use_cfg else jnp.zeros_like(context))
+
+        # reference latents (appended at the END of the latent grid)
+        refs = image if isinstance(image, (list, tuple)) else \
+            ([image] if image is not None else [])
+        ref_lats = []
+        for r in refs:
+            img = self.load_image_input(r)
+            px = _frames_to_video_tensor([img], height, width)
+            ref_lats.append(self.encode_video_latents(px))
+        tia_mode = bool(ref_lats)
+        ref_lat = (jnp.concatenate(ref_lats, axis=2) if ref_lats
+                   else jnp.zeros((1, z, 1, lat_h, lat_w)))
+        n_ref = ref_lat.shape[2]
+
+        # audio windows (+ zero rows for the reference slots)
+        if audio is not None:
+            stack = self.encode_audio_stack(audio, sampling_rate, fps, num_frames)
+        else:
+            cfg_t = self.transformer.cfg
+            stack = np.zeros((num_frames, cfg_t.audio_blocks,
+                              cfg_t.audio_channels), np.float32)
+        wind = self.audio_windows(stack, num_frames, t_scale)
+        wind = np.concatenate(
+            [wind, np.zeros((n_ref,) + wind.shape[1:], wind.dtype)], axis=0)
+        audio_w = jnp.asarray(wind)[None]
+        audio_zero = jnp.zeros_like(audio_w)
+        safe_emit_progress(progress_callback, 0.2, "Audio encoded")
+
+        # conditioning y: mask flags the trailing reference slots
+        zero_px = jnp.zeros((1, 3, num_frames, height, width))
+        zero_vae = self.encode_video_latents(zero_px)
+        mask = np.zeros((1, t_scale, lat_t, lat_h, lat_w), np.float32)
+        mask[:, :, lat_t - n_ref:] = 1.0
+        y_c = jnp.concatenate(
+            [zero_vae[:, :, :lat_t - n_ref], ref_lat.astype(jnp.float32)], axis=2)
+        y_c = jnp.concatenate([jnp.asarray(mask), y_c], axis=1)
+        y_null = jnp.concatenate(
+            [jnp.asarray(mask), zero_vae[:, :, :lat_t]], axis=1)
+
+        x = self.get_latents((1, z, lat_t, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("humo_step", tuple(x.shape), int(context.shape[1]), tia_mode,
+               use_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x_in, t, ctx, nctx, aud, azero, yc, ynull, hi):
+                m = nnx.merge(graphdef, state)
+                xd = x_in.astype(m.dtype)
+                if tia_mode:
+                    tia = m(xd, t, ctx, aud, yc)
+                    ti = m(xd, t, ctx, azero, yc)
+                    if not use_cfg:
+                        neg = ti
+                    else:
+                        neg_hi = m(xd, t, nctx, azero, yc)
+                        neg_lo = m(xd, t, nctx, azero, ynull)
+                        neg = jnp.where(hi, neg_hi, neg_lo)
+                    t_sc = jnp.where(hi | (not use_cfg), guidance_scale_t,
+                                     guidance_scale_t - 2.0)
+                    return (guidance_scale_a * (tia - ti)
+                            + t_sc * (ti - neg) + neg)
+                ta = m(xd, t, ctx, aud, ynull)
+                t_only = m(xd, t, ctx, azero, ynull)
+                neg = (m(xd, t, nctx, azero, ynull) if use_cfg else t_only)
+                return (guidance_scale_a * (ta - t_only)
+                        + guidance_scale_t * (t_only - neg) + neg)
+
+            self._jit_cache[key] = fwd
+        cb = make_mapped_progress(progress_callback, 0.25, 0.9)
+        for i, tstep in enumerate(ts):
+            t_b = jnp.full((1,), float(tstep), jnp.float32)
+            hi = jnp.asarray(float(tstep) > step_change)
+            v = fwd(tf_state, x, t_b, context, neg_context, audio_w,
+                    audio_zero, y_c, y_null, hi)
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        video_lat = x[:, :, :lat_t - n_ref] if tia_mode else x
+        if return_latents:
+            return video_lat
+        frames = self.decode_latents(video_lat)
+        safe_emit_progress(progress_callback, 1.0, "HuMo pipeline complete")
+        return frames

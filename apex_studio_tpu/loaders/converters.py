@@ -1277,3 +1277,55 @@ converter_registry.add(
         drop=(r"DROPME", r"^rope\.", r"blur_kernel"),
     ),
 )
+
+converter_registry.add(
+    "wan_humo",
+    KeyConverter(
+        # HuMo (reference src/transformer/wan/humo/model.py:1101) — q/k/v/o
+        # naming with DummyAdapterLayer wrappers around the audio projection.
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^text_embedding\.0\.", "text_embedding_1."),
+            (r"^text_embedding\.2\.", "text_embedding_2."),
+            (r"^time_embedding\.0\.", "time_embedding_1."),
+            (r"^time_embedding\.2\.", "time_embedding_2."),
+            (r"^time_projection\.1\.", "time_projection."),
+            (r"^audio_proj\.audio_proj_glob_(\d)\.layer\.",
+             r"audio_proj.glob_\1."),
+            (r"^audio_proj\.audio_proj_glob_norm\.layer\.",
+             "audio_proj.glob_norm."),
+            (r"\.self_attn\.q\.", ".to_q."),
+            (r"\.self_attn\.k\.", ".to_k."),
+            (r"\.self_attn\.v\.", ".to_v."),
+            (r"\.self_attn\.o\.", ".to_o."),
+            (r"\.self_attn\.norm_q\.", ".norm_q."),
+            (r"\.self_attn\.norm_k\.", ".norm_k."),
+            (r"\.cross_attn\.q\.", ".c_to_q."),
+            (r"\.cross_attn\.k\.", ".c_to_k."),
+            (r"\.cross_attn\.v\.", ".c_to_v."),
+            (r"\.cross_attn\.o\.", ".c_to_o."),
+            (r"\.cross_attn\.norm_q\.", ".c_norm_q."),
+            (r"\.cross_attn\.norm_k\.", ".c_norm_k."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.q\.", ".a_to_q."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.k\.", ".a_to_k."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.v\.", ".a_to_v."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.o\.", ".a_to_o."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.norm_q\.", ".a_norm_q."),
+            (r"\.audio_cross_attn_wrapper\.audio_cross_attn\.norm_k\.", ".a_norm_k."),
+            (r"\.audio_cross_attn_wrapper\.norm1_audio\.weight$",
+             ".norm1_audio_weight"),
+            (r"\.audio_cross_attn_wrapper\.norm1_audio\.bias$",
+             ".norm1_audio_bias"),
+            (r"\.norm3\.weight$", ".norm3_weight"),
+            (r"\.norm3\.bias$", ".norm3_bias"),
+            (r"\.ffn\.0\.", ".ffn.fc1."),
+            (r"\.ffn\.2\.", ".ffn.fc2."),
+            (r"^head\.modulation$", "head_norm_mod"),
+            (r"^head\.head\.weight$", "head.kernel"),
+            (r"^head\.head\.bias$", "head.bias"),
+            (r"(to_q|to_k|to_v|to_o|c_to_q|c_to_k|c_to_v|c_to_o|a_to_q|a_to_k|a_to_v|a_to_o|fc1|fc2|glob_\d|text_embedding_\d|time_embedding_\d|time_projection)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^freqs", r"^head\.norm\."),
+    ),
+)

@@ -64,6 +64,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.wan_s2v",
         "apex_studio_tpu.models.transformers.wan_multitalk",
         "apex_studio_tpu.models.transformers.wan_animate",
+        "apex_studio_tpu.models.transformers.wan_humo",
     ):
         try:
             importlib.import_module(mod)
