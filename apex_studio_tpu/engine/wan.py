@@ -2782,3 +2782,106 @@ class WanHuMoEngine(WanShared, _WanVaeEncodeMixin):
         frames = self.decode_latents(video_lat)
         safe_emit_progress(progress_callback, 1.0, "HuMo pipeline complete")
         return frames
+
+
+@register_engine("wan", "lynx", "lynx_lite")
+class WanLynxEngine(WanShared):
+    """Face-ID personalized t2v (reference engine/wan/lynx.py): ArcFace
+    identity embeddings are resampled into IP tokens that every block's
+    cross-attention also attends to (scaled by ``ip_scale``). Accepts
+    precomputed ``face_embeds`` (the ArcFace aligner is a host-side helper in
+    the reference, helpers/wan/lynx.py:179) or raw identity token embeds."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        face_embeds: Any = None,
+        face_token_embeds: Any = None,
+        ip_scale: float = 1.0,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting Lynx pipeline")
+        self.load_components(return_latents)
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        height -= height % (s_scale * 2)
+        width -= width % (s_scale * 2)
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt or "") if use_cfg \
+            else context
+
+        ip_tokens = None
+        if face_token_embeds is not None:
+            ip_tokens = jnp.asarray(np.asarray(face_token_embeds, np.float32))
+            if ip_tokens.ndim == 2:
+                ip_tokens = ip_tokens[None]
+        elif face_embeds is not None:
+            embeds = np.asarray(face_embeds, np.float32)
+            if embeds.ndim == 1:
+                embeds = embeds[None]
+            resampler = self.load_helper("resampler")
+            graphdef, state = nnx.split(resampler)
+            key = ("lynx_resample", embeds.shape)
+            fwd = self._jit_cache.get(key)
+            if fwd is None:
+
+                @jax.jit
+                def fwd(s, e):
+                    return nnx.merge(graphdef, s)(e)
+
+                self._jit_cache[key] = fwd
+            ip_tokens = fwd(state, jnp.asarray(embeds)[None])
+        safe_emit_progress(progress_callback, 0.2, "Identity tokens ready")
+
+        z = self.transformer.cfg.in_channels
+        x = self.get_latents((1, z, lat_t, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("lynx_step", tuple(x.shape), int(context.shape[1]),
+               ip_tokens is not None, float(ip_scale), use_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, t, ctx, nctx, ip):
+                m = nnx.merge(graphdef, state)
+                xd = x.astype(m.dtype)
+                pos = m(xd, t, ctx, ip_tokens=ip, ip_scale=ip_scale)
+                if not use_cfg:
+                    return pos
+                neg = m(xd, t, nctx, ip_tokens=ip, ip_scale=ip_scale)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        cb = make_mapped_progress(progress_callback, 0.25, 0.9)
+        for i, tstep in enumerate(ts):
+            t_b = jnp.full((1,), float(tstep), jnp.float32)
+            v = fwd(tf_state, x, t_b, context, neg_context, ip_tokens)
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Lynx pipeline complete")
+        return frames

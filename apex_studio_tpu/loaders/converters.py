@@ -1329,3 +1329,47 @@ converter_registry.add(
         drop=(r"^freqs", r"^head\.norm\."),
     ),
 )
+
+converter_registry.add(
+    "wan_lynx",
+    KeyConverter(
+        # Lynx personalized Wan + IP adapters (reference
+        # src/transformer/wan/lynx/model.py:522, helpers/wan/lynx.py:359).
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^condition_embedder\.time_embedder\.linear_(\d)\.",
+             r"time_embedder_linear_\1."),
+            (r"^condition_embedder\.time_proj\.", "time_proj."),
+            (r"^condition_embedder\.text_embedder\.linear_(\d)\.",
+             r"text_embedder_linear_\1."),
+            (r"\.attn2\.processor\.to_k_ip\.", ".to_k_ip."),
+            (r"\.attn2\.processor\.to_v_ip\.", ".to_v_ip."),
+            (r"\.attn2\.processor\.registers$", ".registers"),
+            (r"\.attn(\d)\.to_out\.0\.", r".attn\1.to_out."),
+            (r"\.norm2\.weight$", ".norm2_weight"),
+            (r"\.norm2\.bias$", ".norm2_bias"),
+            (r"\.ffn\.net\.0\.proj\.", ".ffn.fc1."),
+            (r"\.ffn\.net\.2\.", ".ffn.fc2."),
+            (r"^scale_shift_table$", "norm_out_scale_shift"),
+            (r"(to_q|to_k|to_v|to_out|to_k_ip|to_v_ip|fc1|fc2|time_embedder_linear_\d|text_embedder_linear_\d|time_proj|proj_out)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
+    "lynx_resampler",
+    KeyConverter(
+        renames=[
+            (r"^layers\.(\d+)\.0\.", r"attn_layers.\1."),
+            (r"^layers\.(\d+)\.1\.0\.", r"ff_layers.\1.DROP_norm."),
+            (r"^layers\.(\d+)\.1\.1\.", r"ff_layers.\1.fc1."),
+            (r"^layers\.(\d+)\.1\.3\.", r"ff_layers.\1.fc2."),
+            (r"^latents$", "latents"),
+            (r"(to_q|to_kv|to_out|proj_in|proj_out|fc1|fc2)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"DROP_norm", r"^pos_emb"),
+    ),
+)

@@ -65,6 +65,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.wan_multitalk",
         "apex_studio_tpu.models.transformers.wan_animate",
         "apex_studio_tpu.models.transformers.wan_humo",
+        "apex_studio_tpu.models.transformers.wan_lynx",
     ):
         try:
             importlib.import_module(mod)
