@@ -2885,3 +2885,103 @@ class WanLynxEngine(WanShared):
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "Lynx pipeline complete")
         return frames
+
+
+@register_engine("wan", "scail")
+class WanScailEngine(WanShared, _WanVaeEncodeMixin):
+    """SCAIL pose-driven character video (reference engine/wan/scail.py): the
+    reference character image (CLIP + VAE encoded) and a rendered pose video
+    (VAE-encoded at half resolution) join the noisy latents in one joint
+    attention sequence; standard CFG over text."""
+
+    def run(
+        self,
+        image: Any = None,
+        pose_video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        duration: Optional[float] = None,
+        fps: int = 16,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 40,
+        guidance_scale: float = 5.0,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        offload: bool = True,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting SCAIL pipeline")
+        self.load_components(return_latents=False)
+        if image is None or pose_video is None:
+            raise ValueError("scail requires a reference image and a pose video")
+        t_scale = self.vae.cfg.temporal_scale
+        s_scale = self.vae.cfg.spatial_scale
+        ph, pw = self.transformer.cfg.patch_size[1:]
+        # pose runs at half resolution → pixels must divide 2·scale·patch
+        height -= height % (s_scale * ph * 2)
+        width -= width % (s_scale * pw * 2)
+
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        pose_frames = (load_frames(pose_video)
+                       if isinstance(pose_video, (str, bytes)) else list(pose_video))
+        if num_frames is None:
+            num_frames = len(pose_frames)
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        while len(pose_frames) < num_frames:
+            pose_frames.append(pose_frames[-1])
+        pose_frames = pose_frames[:num_frames]
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt or "") if use_cfg \
+            else context
+
+        img = self.load_image_input(image)
+        clip_feats = WanI2VEngine.encode_image_clip(self, img)
+        ref_px = _frames_to_video_tensor([img], height, width)
+        ref_lat = self.encode_video_latents(ref_px)
+
+        pose_px = _frames_to_video_tensor(pose_frames, height // 2, width // 2)
+        pose_lat = self.encode_video_latents(pose_px)
+        safe_emit_progress(progress_callback, 0.25, "Conditioning encoded")
+
+        z = self.vae.cfg.z_dim
+        x = self.get_latents((1, z, lat_t, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("scail_step", tuple(x.shape), int(context.shape[1]), use_cfg)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+
+            @jax.jit
+            def fwd(state, x, t, ctx, nctx, pose, ref, clip_f):
+                m = nnx.merge(graphdef, state)
+                xd = x.astype(m.dtype)
+                pos = m(xd, t, ctx, pose, ref, clip_f)
+                if not use_cfg:
+                    return pos
+                neg = m(xd, t, nctx, pose, ref, clip_f)
+                return neg + guidance_scale * (pos - neg)
+
+            self._jit_cache[key] = fwd
+        cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        for i, tstep in enumerate(ts):
+            t_b = jnp.full((1,), float(tstep), jnp.float32)
+            v = fwd(tf_state, x, t_b, context, neg_context,
+                    pose_lat.astype(jnp.float32), ref_lat.astype(jnp.float32),
+                    clip_feats)
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(tstep), x)
+            safe_emit_progress(cb, (i + 1) / len(ts), f"step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "SCAIL pipeline complete")
+        return frames

@@ -1373,3 +1373,49 @@ converter_registry.add(
         drop=(r"DROP_norm", r"^pos_emb"),
     ),
 )
+
+converter_registry.add(
+    "wan_scail",
+    KeyConverter(
+        # SCAIL (reference src/transformer/wan/scail/model.py:1017).
+        renames=[
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^patch_embedding_pose\.weight$", "patch_embedding_pose.kernel"),
+            (r"^patch_embedding(_pose)?\.bias$", r"patch_embedding\1.bias"),
+            (r"^text_embedding\.0\.", "text_embedding_1."),
+            (r"^text_embedding\.2\.", "text_embedding_2."),
+            (r"^time_embedding\.0\.", "time_embedding_1."),
+            (r"^time_embedding\.2\.", "time_embedding_2."),
+            (r"^time_projection\.1\.", "time_projection."),
+            (r"^img_emb\.proj\.0\.", "img_norm_in."),
+            (r"^img_emb\.proj\.1\.", "img_linear_1."),
+            (r"^img_emb\.proj\.3\.", "img_linear_2."),
+            (r"^img_emb\.proj\.4\.", "img_norm_out."),
+            (r"\.self_attn\.q\.", ".to_q."),
+            (r"\.self_attn\.k\.", ".to_k."),
+            (r"\.self_attn\.v\.", ".to_v."),
+            (r"\.self_attn\.o\.", ".to_o."),
+            (r"\.self_attn\.norm_q\.", ".norm_q."),
+            (r"\.self_attn\.norm_k\.", ".norm_k."),
+            (r"\.cross_attn\.q\.", ".c_to_q."),
+            (r"\.cross_attn\.k\.", ".c_to_k."),
+            (r"\.cross_attn\.v\.", ".c_to_v."),
+            (r"\.cross_attn\.o\.", ".c_to_o."),
+            (r"\.cross_attn\.norm_q\.", ".c_norm_q."),
+            (r"\.cross_attn\.norm_k\.", ".c_norm_k."),
+            (r"\.cross_attn\.k_img\.", ".k_img."),
+            (r"\.cross_attn\.v_img\.", ".v_img."),
+            (r"\.cross_attn\.norm_k_img\.", ".norm_k_img."),
+            (r"\.norm3\.weight$", ".norm3_weight"),
+            (r"\.norm3\.bias$", ".norm3_bias"),
+            (r"\.ffn\.0\.", ".ffn.fc1."),
+            (r"\.ffn\.2\.", ".ffn.fc2."),
+            (r"^head\.modulation$", "head_norm_mod"),
+            (r"^head\.head\.weight$", "head.kernel"),
+            (r"^head\.head\.bias$", "head.bias"),
+            (r"(to_q|to_k|to_v|to_o|c_to_q|c_to_k|c_to_v|c_to_o|k_img|v_img|fc1|fc2|img_linear_\d|text_embedding_\d|time_embedding_\d|time_projection)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^freqs", r"^head\.norm\."),
+    ),
+)

@@ -66,6 +66,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.wan_animate",
         "apex_studio_tpu.models.transformers.wan_humo",
         "apex_studio_tpu.models.transformers.wan_lynx",
+        "apex_studio_tpu.models.transformers.wan_scail",
     ):
         try:
             importlib.import_module(mod)
