@@ -96,3 +96,95 @@ class TestHED:
         assert out["norm"].shape == (1, 1, 1, 3)
         assert out["block1.convs.0.kernel"].shape == (3, 3, 3, 64)
         assert out["block1.projection.kernel"].shape == (1, 1, 64, 1)
+
+
+class TestLineartModel:
+    def test_parity_with_torch(self):
+        """Random-weight parity: the JAX generator must match the reference
+        torch Generator bit-for-bit (same ported weights)."""
+        import torch
+        import torch.nn as tnn
+        from flax import nnx
+        import jax.numpy as jnp
+
+        norm = tnn.InstanceNorm2d
+
+        class ResidualBlock(tnn.Module):
+            def __init__(self, ch):
+                super().__init__()
+                self.conv_block = tnn.Sequential(
+                    tnn.ReflectionPad2d(1), tnn.Conv2d(ch, ch, 3), norm(ch),
+                    tnn.ReLU(inplace=True), tnn.ReflectionPad2d(1),
+                    tnn.Conv2d(ch, ch, 3), norm(ch))
+
+            def forward(self, x):
+                return x + self.conv_block(x)
+
+        class Generator(tnn.Module):
+            def __init__(self, n_blocks=3):
+                super().__init__()
+                self.model0 = tnn.Sequential(
+                    tnn.ReflectionPad2d(3), tnn.Conv2d(3, 64, 7), norm(64),
+                    tnn.ReLU(inplace=True))
+                self.model1 = tnn.Sequential(
+                    tnn.Conv2d(64, 128, 3, stride=2, padding=1), norm(128),
+                    tnn.ReLU(inplace=True),
+                    tnn.Conv2d(128, 256, 3, stride=2, padding=1), norm(256),
+                    tnn.ReLU(inplace=True))
+                self.model2 = tnn.Sequential(*[ResidualBlock(256)
+                                               for _ in range(n_blocks)])
+                self.model3 = tnn.Sequential(
+                    tnn.ConvTranspose2d(256, 128, 3, stride=2, padding=1,
+                                        output_padding=1), norm(128),
+                    tnn.ReLU(inplace=True),
+                    tnn.ConvTranspose2d(128, 64, 3, stride=2, padding=1,
+                                        output_padding=1), norm(64),
+                    tnn.ReLU(inplace=True))
+                self.model4 = tnn.Sequential(
+                    tnn.ReflectionPad2d(3), tnn.Conv2d(64, 1, 7), tnn.Sigmoid())
+
+            def forward(self, x):
+                return self.model4(self.model3(self.model2(self.model1(
+                    self.model0(x)))))
+
+        from apex_studio_tpu.preprocess.lineart_model import (
+            LineartGenerator, convert_lineart_keys)
+
+        torch.manual_seed(0)
+        tm = Generator().eval()
+        jm = LineartGenerator(rngs=nnx.Rngs(0))
+        tree = convert_lineart_keys(
+            {k: v.numpy() for k, v in tm.state_dict().items()})
+        graphdef, state = nnx.split(jm)
+        loaded = 0
+        for path, leaf in state.flat_state():
+            nm = ".".join(str(p) for p in path)
+            if nm in tree:
+                assert tree[nm].shape == leaf.value.shape, nm
+                leaf.value = jnp.asarray(tree[nm])
+                loaded += 1
+        assert loaded >= 14, loaded
+        jm = nnx.merge(graphdef, state)
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, size=(1, 3, 32, 48)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(img))[0, 0].numpy()
+        ours = np.asarray(jm(jnp.asarray(img.transpose(0, 2, 3, 1))))[0, :, :, 0]
+        assert np.abs(ours - ref).max() < 1e-4
+
+    def test_process_frame(self):
+        from flax import nnx
+
+        from apex_studio_tpu.preprocess.lineart_model import (
+            LineartGenerator, LineartModelPreprocessor)
+
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, size=(30, 46, 3), dtype=np.uint8)
+        proc = LineartModelPreprocessor(
+            model=LineartGenerator(rngs=nnx.Rngs(0)),
+            coarse_model=LineartGenerator(rngs=nnx.Rngs(1)))
+        out = proc.process_frame(frame)
+        coarse = proc.process_frame(frame, coarse=True)
+        assert out.shape == frame.shape
+        assert not np.array_equal(out, coarse)
