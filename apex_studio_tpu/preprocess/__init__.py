@@ -3,5 +3,6 @@ from apex_studio_tpu.preprocess import basic  # noqa: F401  (registration side e
 from apex_studio_tpu.preprocess import basic2  # noqa: F401
 from apex_studio_tpu.preprocess import hed  # noqa: F401
 from apex_studio_tpu.preprocess import lineart_model  # noqa: F401
+from apex_studio_tpu.preprocess import pidinet  # noqa: F401
 from apex_studio_tpu.preprocess import depth_anything  # noqa: F401
 from apex_studio_tpu.preprocess import openpose  # noqa: F401

@@ -188,3 +188,59 @@ class TestLineartModel:
         coarse = proc.process_frame(frame, coarse=True)
         assert out.shape == frame.shape
         assert not np.array_equal(out, coarse)
+
+
+class TestPiDiNet:
+    def test_parity_with_torch_blocks(self):
+        """Folded pixel-difference kernels match the reference PDC ops."""
+        import torch
+        import torch.nn.functional as F
+
+        from apex_studio_tpu.preprocess.pidinet import convert_pidinet_keys
+
+        rng = np.random.default_rng(0)
+        x = torch.from_numpy(rng.standard_normal((1, 3, 8, 8)).astype(np.float32))
+        w = torch.from_numpy(rng.standard_normal((6, 3, 3, 3)).astype(np.float32))
+        # cd: y = conv(W) − conv(sum W)
+        ref = F.conv2d(x, w, padding=1) - F.conv2d(
+            x, w.sum(dim=[2, 3], keepdim=True))
+        folded = np.asarray(w).copy()
+        folded[:, :, 1, 1] -= np.asarray(w).sum(axis=(2, 3))
+        ours = F.conv2d(x, torch.from_numpy(folded), padding=1)
+        assert torch.allclose(ref, ours, atol=1e-5)
+
+    def test_network_runs_and_key_conversion(self):
+        from flax import nnx
+        import jax.numpy as jnp
+
+        from apex_studio_tpu.preprocess.pidinet import (
+            PiDiNet, PiDiNetPreprocessor, convert_pidinet_keys)
+
+        m = PiDiNet(inplane=8, dil=8, rngs=nnx.Rngs(0))
+        out = m(jnp.ones((1, 16, 24, 3)))
+        assert out.shape == (1, 16, 24, 1)
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 255, size=(20, 28, 3), dtype=np.uint8)
+        proc = PiDiNetPreprocessor(model=m)
+        res = proc.process_frame(frame)
+        assert res.shape == frame.shape
+        scrib = proc.process_frame(frame, scribble=True)
+        assert set(np.unique(scrib)).issubset({0, 255})
+
+    def test_key_conversion_structure(self):
+        from apex_studio_tpu.preprocess.pidinet import convert_pidinet_keys
+
+        sd = {
+            "module.init_block.weight": np.zeros((60, 3, 3, 3), np.float32),
+            "module.block1_1.conv1.weight": np.zeros((60, 1, 3, 3), np.float32),
+            "module.block1_2.conv1.weight": np.zeros((60, 1, 3, 3), np.float32),
+            "module.block2_1.shortcut.weight": np.zeros((120, 60, 1, 1), np.float32),
+            "module.dilations.0.conv2_3.weight": np.zeros((24, 24, 3, 3), np.float32),
+            "module.classifier.weight": np.zeros((1, 4, 1, 1), np.float32),
+        }
+        out = convert_pidinet_keys(sd)
+        assert out["init_block.kernel"].shape == (3, 3, 3, 60)
+        # block1_2 is 'rd' (carv4 layer 2) → folded to 5x5 depthwise
+        assert out["blocks1.1.conv1.kernel"].shape == (5, 5, 1, 60)
+        assert out["blocks2.0.shortcut.kernel"].shape == (1, 1, 60, 120)
+        assert out["dilations.0.branches.2.kernel"].shape == (3, 3, 24, 24)
