@@ -638,11 +638,15 @@ class _WanVaeEncodeMixin:
         conditioning image/video skips the encoder entirely."""
         from apex_studio_tpu.utils.disk_cache import EmbeddingCache
 
+        import dataclasses as _dc
+
         arr = np.asarray(video, np.float32)
         cache = EmbeddingCache("vae_encode")
         payload = {
             "fn": "vae_encode",
-            "manifest": str(getattr(self, "manifest_id", "")),
+            # the VAE's full config is part of the key — identical pixels
+            # through different VAEs must never collide
+            "vae": _dc.asdict(self.vae.cfg),
             "shape": list(arr.shape),
             "sha": __import__("hashlib").sha256(arr.tobytes()).hexdigest(),
         }
