@@ -276,6 +276,20 @@ class FaceAdapterCrossAttention(nnx.Module):
 class WanAnimateTransformer3DModel(nnx.Module):
     config_class = WanAnimateConfig
 
+    @staticmethod
+    def sharding_rules(cfg: "WanAnimateConfig"):
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"(to_q|to_k|to_v|add_k_proj|add_v_proj)\.kernel", P(None, "tp")),
+                (r"to_out\.kernel", P("tp", None)),
+                (r"ffn\.fc1\.kernel", P(None, "tp")),
+                (r"ffn\.fc2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     def __init__(self, cfg: WanAnimateConfig, *, dtype=jnp.bfloat16,
                  param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
         rngs = rngs or nnx.Rngs(0)

@@ -203,6 +203,21 @@ class HuMoBlock(nnx.Module):
 class HumoWanTransformerModel(nnx.Module):
     config_class = WanHuMoConfig
 
+    @staticmethod
+    def sharding_rules(cfg: "WanHuMoConfig"):
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"(to_q|to_k|to_v|c_to_q|c_to_k|c_to_v|a_to_q|a_to_k|a_to_v)\.kernel",
+                 P(None, "tp")),
+                (r"(to_o|c_to_o|a_to_o)\.kernel", P("tp", None)),
+                (r"ffn\.fc1\.kernel", P(None, "tp")),
+                (r"ffn\.fc2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     def __init__(self, cfg: WanHuMoConfig, *, dtype=jnp.bfloat16,
                  param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
         rngs = rngs or nnx.Rngs(0)

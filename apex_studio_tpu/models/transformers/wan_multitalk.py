@@ -292,6 +292,21 @@ class MultiTalkBlock(nnx.Module):
 class WanMultiTalkTransformer3DModel(nnx.Module):
     config_class = WanMultiTalkConfig
 
+    @staticmethod
+    def sharding_rules(cfg: "WanMultiTalkConfig"):
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"(to_q|to_k|to_v|c_to_q|c_to_k|c_to_v|add_k_proj|add_v_proj|a_q_linear|a_kv_linear)\.kernel",
+                 P(None, "tp")),
+                (r"(to_out|c_to_out|a_proj)\.kernel", P("tp", None)),
+                (r"ffn\.fc1\.kernel", P(None, "tp")),
+                (r"ffn\.fc2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     def __init__(self, cfg: WanMultiTalkConfig, *, dtype=jnp.bfloat16,
                  param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
         rngs = rngs or nnx.Rngs(0)
