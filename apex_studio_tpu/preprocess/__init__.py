@@ -1,6 +1,8 @@
 from apex_studio_tpu.preprocess.base import BasePreprocessor, preprocessor_registry, run_preprocessor  # noqa: F401
 from apex_studio_tpu.preprocess import basic  # noqa: F401  (registration side effects)
 from apex_studio_tpu.preprocess import basic2  # noqa: F401
+from apex_studio_tpu.preprocess import basic3  # noqa: F401
+from apex_studio_tpu.preprocess import teed  # noqa: F401
 from apex_studio_tpu.preprocess import hed  # noqa: F401
 from apex_studio_tpu.preprocess import lineart_model  # noqa: F401
 from apex_studio_tpu.preprocess import pidinet  # noqa: F401

@@ -81,17 +81,6 @@ class LineartPreprocessor(BasePreprocessor):
         return np.repeat(edges[:, :, None], 3, axis=2)
 
 
-@preprocessor_registry.register("scribble")
-class ScribblePreprocessor(BasePreprocessor):
-    name = "scribble"
-
-    def process_frame(self, frame: Frame, **_: Any) -> Frame:
-        cv2 = _cv2()
-        edges = cv2.Canny(cv2.GaussianBlur(frame, (5, 5), 0), 40, 120)
-        edges = cv2.dilate(edges, np.ones((3, 3), np.uint8))
-        return np.repeat(edges[:, :, None], 3, axis=2)
-
-
 @preprocessor_registry.register("pixel")
 class PixelPreprocessor(BasePreprocessor):
     name = "pixel"
@@ -118,16 +107,3 @@ class ThresholdPreprocessor(BasePreprocessor):
         return np.repeat(out[:, :, None], 3, axis=2)
 
 
-@preprocessor_registry.register("tile")
-class TilePreprocessor(BasePreprocessor):
-    """Downsample-upsample blur used for tile ControlNets."""
-
-    name = "tile"
-    params_schema = {"down_factor": 4}
-
-    def process_frame(self, frame: Frame, down_factor: int = 4, **_: Any) -> Frame:
-        cv2 = _cv2()
-        h, w = frame.shape[:2]
-        f = max(1, int(down_factor))
-        small = cv2.resize(frame, (w // f, h // f), interpolation=cv2.INTER_AREA)
-        return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
