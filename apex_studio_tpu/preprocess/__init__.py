@@ -3,6 +3,7 @@ from apex_studio_tpu.preprocess import basic  # noqa: F401  (registration side e
 from apex_studio_tpu.preprocess import basic2  # noqa: F401
 from apex_studio_tpu.preprocess import basic3  # noqa: F401
 from apex_studio_tpu.preprocess import teed  # noqa: F401
+from apex_studio_tpu.preprocess import u2net  # noqa: F401
 from apex_studio_tpu.preprocess import hed  # noqa: F401
 from apex_studio_tpu.preprocess import lineart_model  # noqa: F401
 from apex_studio_tpu.preprocess import pidinet  # noqa: F401
