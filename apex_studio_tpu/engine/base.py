@@ -240,12 +240,19 @@ class BaseEngine:
         model = cls(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
 
         sd = self._load_state_dict(spec)
+        rules = getattr(cls, "sharding_rules", None)
+        rules = rules(cfg) if callable(rules) else None
         if sd is not None:
             family = converter_family if converter_family in converter_registry else None
             mapped = convert_keys(family, sd) if family else sd
-            rules = getattr(cls, "sharding_rules", None)
-            rules = rules(cfg) if callable(rules) else None
             apply_state_dict(model, mapped, mesh=self.mesh, rules=rules, strict=True)
+        elif self.mesh is not None and self.mesh.size > 1 and rules is not None:
+            # No checkpoint (randomly-initialized component): still lay the
+            # params out over the mesh so serving runs genuinely TP-sharded.
+            from apex_studio_tpu.parallel.sharding import shard_pytree
+
+            state = nnx.state(model)
+            nnx.update(model, shard_pytree(state, self.mesh, rules))
         return model
 
     def _load_transformer(self, spec: Dict[str, Any]):

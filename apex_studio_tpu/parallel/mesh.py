@@ -62,3 +62,45 @@ def set_mesh(mesh: Optional[Mesh]) -> None:
     global _current
     with _lock:
         _current = mesh
+
+
+def init_mesh_from_env(spec: Optional[str] = None) -> Optional[Mesh]:
+    """Create + install the process mesh from ``APEX_MESH`` at server startup.
+
+    Accepted specs: ``"dp,sp,tp"`` (e.g. ``"2,1,4"``), a single int (= pure
+    TP degree), or ``off``/``none`` to force single-device execution. With no
+    spec, the default is the north-star layout: **pure TP over all local
+    devices** when running on a multi-chip TPU backend, otherwise no mesh.
+    An already-installed mesh is kept when no explicit spec is given (tests
+    and embedding callers may have set one first).
+
+    This is the production entry point the reference lacks an analogue for
+    (it is single-device-per-job via Ray, SURVEY.md §2 census); here a served
+    v5e-8 job runs TP-sharded with zero configuration.
+    """
+    import os
+
+    raw = spec if spec is not None else os.environ.get("APEX_MESH", "")
+    raw = raw.strip().lower()
+    if raw in ("off", "none"):
+        set_mesh(None)
+        return None
+    if not raw:
+        if get_mesh() is not None:
+            return get_mesh()
+        devs = jax.devices()
+        if len(devs) > 1 and devs[0].platform == "tpu":
+            mesh = create_mesh(tp=len(devs))
+            set_mesh(mesh)
+            return mesh
+        return None
+    parts = [p for p in raw.replace("x", ",").split(",") if p]
+    if len(parts) == 1:
+        dp, sp, tp = 1, 1, int(parts[0])
+    elif len(parts) == 3:
+        dp, sp, tp = (int(p) for p in parts)
+    else:
+        raise ValueError(f"APEX_MESH={raw!r}: expected 'tp' or 'dp,sp,tp'")
+    mesh = create_mesh(dp, sp, tp)
+    set_mesh(mesh)
+    return mesh

@@ -50,6 +50,9 @@ class ShardingRules:
 
 
 def _path_str(path: Tuple[Any, ...]) -> str:
+    """Dot-joined leaf path, matching the checkpoint-key style the family
+    sharding rules are written against (``blocks.0.attention.to_q.kernel``).
+    The trailing ``.value`` of an nnx VariableState is stripped."""
     parts = []
     for p in path:
         if hasattr(p, "key"):
@@ -60,7 +63,8 @@ def _path_str(path: Tuple[Any, ...]) -> str:
             parts.append(str(p.name))
         else:
             parts.append(str(p))
-    return "/".join(parts)
+    s = ".".join(parts)
+    return s[: -len(".value")] if s.endswith(".value") else s
 
 
 def partition_specs_for(pytree: Any, rules: ShardingRules) -> Any:

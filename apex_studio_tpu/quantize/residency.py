@@ -84,31 +84,53 @@ def materialize_random_int8(
     """Fill an abstract (``nnx.eval_shape``-built) model with random weights,
     large Linear kernels directly as int8 — no full-precision copy is ever
     allocated. Benchmark/test helper: values are random, placement is real.
+
+    Generation happens ON DEVICE via jitted ``jax.random`` calls keyed per
+    leaf: the only host->device traffic is one PRNG key per array, so a 12 GB
+    model materializes in seconds even over a slow device relay (the previous
+    host-numpy implementation shipped every byte through the transport and
+    stalled multi-GB models indefinitely).
     """
-    rng = np.random.default_rng(seed)
-    put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _rand_i8(key, shape):
+        return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def _rand_f(key, shape, dtype, s):
+        return (jax.random.normal(key, shape, jnp.float32) * s).astype(dtype)
+
+    counter = [0]
+
+    def _key():
+        counter[0] += 1
+        return jax.random.key(np.uint32(seed * 1000003 + counter[0]))
+
+    import contextlib
+
+    ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
     n = 0
-    for _, mod in nnx.iter_modules(model):
-        if _is_quantizable(mod, min_numel):
-            shape = tuple(mod.kernel.value.shape)
-            q = rng.integers(-127, 128, size=shape, dtype=np.int8)
-            fan_in = shape[0]
-            s = np.full((shape[-1],), scale / np.sqrt(fan_in) / 127.0, np.float32)
-            mod.kernel = nnx.Param(put(q))
-            mod.kernel_scale = nnx.Param(put(s))
-            n += 1
-    # Materialize every remaining abstract leaf.
-    state = nnx.state(model)
+    with ctx:
+        for _, mod in nnx.iter_modules(model):
+            if _is_quantizable(mod, min_numel):
+                shape = tuple(int(d) for d in mod.kernel.value.shape)
+                fan_in = shape[0]
+                s = jnp.full((shape[-1],), scale / np.sqrt(fan_in) / 127.0, jnp.float32)
+                mod.kernel = nnx.Param(_rand_i8(_key(), shape))
+                mod.kernel_scale = nnx.Param(s)
+                n += 1
+        # Materialize every remaining abstract leaf on device.
+        state = nnx.state(model)
 
-    def fill(leaf):
-        if isinstance(leaf, jax.ShapeDtypeStruct):
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                arr = (rng.standard_normal(leaf.shape) * scale).astype(leaf.dtype)
-            else:
-                arr = np.zeros(leaf.shape, leaf.dtype)
-            return put(arr)
-        return leaf
+        def fill(leaf):
+            if isinstance(leaf, jax.ShapeDtypeStruct):
+                shape = tuple(int(d) for d in leaf.shape)
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    return _rand_f(_key(), shape, jnp.dtype(leaf.dtype), float(scale))
+                return jnp.zeros(shape, leaf.dtype)
+            return leaf
 
-    state = jax.tree.map(fill, state)
+        state = jax.tree.map(fill, state)
     nnx.update(model, state)
     return n

@@ -606,6 +606,17 @@ def create_app(
     resolver: Optional[ManifestResolver] = None,
 ) -> web.Application:
     ensure_dirs()
+    # Install the process device mesh (APEX_MESH, default pure TP on
+    # multi-chip TPU) so served engines load TP/SP-sharded weights — the
+    # framework's primary memory strategy (parallel/mesh.py).
+    try:
+        from apex_studio_tpu.parallel.mesh import init_mesh_from_env
+
+        mesh = init_mesh_from_env()
+        if mesh is not None:
+            logger.info("engine mesh: %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+    except Exception:
+        logger.exception("APEX_MESH init failed; continuing single-device")
     store = store or JobStore()
     executor = executor or JobExecutor(store)
     resolver = resolver or default_resolver()
