@@ -436,6 +436,28 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "seedvr_vae",
+    KeyConverter(
+        renames=[
+            # Deprecated diffusers VAE attention naming (SeedVR2 wrapper runs
+            # _convert_deprecated_attention_blocks, model.py:1841-1849).
+            (r"\.query\.", ".to_q."),
+            (r"\.key\.", ".to_k."),
+            (r"\.value\.", ".to_v."),
+            (r"\.proj_attn\.", ".to_out."),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(conv_in|conv_out|conv1|conv2|conv_shortcut|upscale_conv|quant_conv|post_quant_conv)\.weight$",
+             r"\1.kernel"),
+            (r"(downsamplers\.0\.conv|upsamplers\.0\.conv)\.weight$", r"\1.kernel"),
+            (r"(to_q|to_k|to_v|to_out)\.weight$", r"\1.kernel"),
+            # GroupNorm params keep .weight/.bias (GroupNormPerFrame leaves).
+        ],
+        strip_prefixes=("vae.", "module."),
+        drop=(r"temporal_modules",),
+    ),
+)
+
+converter_registry.add(
     "flux2",
     KeyConverter(
         renames=[

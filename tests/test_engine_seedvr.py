@@ -21,10 +21,13 @@ SEEDVR_TINY = {
         "components": [
             {"type": "scheduler", "base": "FlowMatchEulerDiscreteScheduler",
              "config": {"num_train_timesteps": 1000}},
-            {"type": "vae", "base": "wan.base",
-             "config": {"base_dim": 8, "z_dim": 4, "dim_mult": [1, 2],
-                        "num_res_blocks": 1, "temperal_downsample": [True],
-                        "latents_mean": [0.0] * 4, "latents_std": [1.0] * 4}},
+            {"type": "vae", "base": "seedvr",
+             "config": {"latent_channels": 4, "block_out_channels": [8, 16],
+                        "layers_per_block": 1, "norm_num_groups": 4,
+                        "temporal_scale_num": 1,
+                        "use_quant_conv": False, "use_post_quant_conv": False,
+                        "spatial_downsample_factor": 2,
+                        "temporal_downsample_factor": 2}},
             {"type": "text_encoder", "base": "T5EncoderModel",
              "config": {"vocab_size": 64, "d_model": 12, "d_kv": 6,
                         "d_ff": 24, "num_layers": 1, "num_heads": 2,
