@@ -176,11 +176,39 @@ class BaseEngine:
             from apex_studio_tpu.quantize.gguf import load_gguf_state_dict
 
             return load_gguf_state_dict(local)
-        if local.is_dir():
-            sd = load_sharded_safetensors(local)
-        else:
-            sd = load_safetensors(local)
+        sd = self._read_weights_file(local)
+        # Merge extra_model_path components targeting this component type
+        # (reference schema_v1 extra_model_paths; e.g. FlashVSR's separate
+        # LQ_proj_in.ckpt merged into the transformer state dict).
+        for extra in self.config.get("components", []) or []:
+            if extra.get("type") != "extra_model_path":
+                continue
+            if (extra.get("component") or "transformer") != spec.get("type"):
+                continue
+            ev = select_variant(extra.get("model_path"), None)
+            if ev is None:
+                continue
+            epath = self._resolve_path(ev["path"])
+            if epath is None:
+                raise FileNotFoundError(f"extra weights not downloaded: {ev['path']}")
+            prefix = extra.get("key_prefix") or ""
+            for k, v in self._read_weights_file(Path(epath)).items():
+                sd[prefix + k] = v
         return dequantize_fp8_scaled(sd)
+
+    def _read_weights_file(self, local: Path) -> Dict[str, np.ndarray]:
+        from apex_studio_tpu.loaders.safetensors_io import (
+            load_safetensors,
+            load_sharded_safetensors,
+            load_torch_checkpoint,
+        )
+
+        local = Path(local)
+        if local.is_dir():
+            return load_sharded_safetensors(local)
+        if local.suffix in (".pth", ".ckpt", ".pt", ".pkl"):
+            return load_torch_checkpoint(local)
+        return load_safetensors(local)
 
     # -- component loading ------------------------------------------------------------
 
@@ -256,9 +284,16 @@ class BaseEngine:
         return model
 
     def _load_transformer(self, spec: Dict[str, Any]):
+        from apex_studio_tpu.loaders.converters import converter_registry
         from apex_studio_tpu.models.registry import transformer_registry
 
-        family = (spec.get("base") or "").split(".")[0]
+        base = spec.get("base") or ""
+        family = base.split(".")[0]
+        # Sub-variants with their own checkpoint layout register a dotted
+        # converter (e.g. "wan.flashvsr" → "wan_flashvsr").
+        dotted = base.replace(".", "_")
+        if dotted != family and dotted in converter_registry:
+            family = dotted
         model = self._instantiate_family(transformer_registry, spec, family)
         self._apply_loras(model, family)
         self._apply_memory_fallback(model, spec)
@@ -340,6 +375,90 @@ class BaseEngine:
         from apex_studio_tpu.text_encoder import TextEncoder
 
         return TextEncoder(self, spec)
+
+    # -- light preview decode ------------------------------------------------------
+
+    def _get_preview_vae(self):
+        """TAEHV "light VAE" for cheap per-step previews, declared inside the
+        vae component config as ``light_vae_path`` (+ optional
+        ``light_vae_config``) — the reference's contract
+        (manifest/video/hunyuanvideo-1.5-i2v:75, vae/hunyuanvideo15/model.py:821).
+        Returns None (→ full-VAE previews) when not declared or not loadable.
+        """
+        if getattr(self, "_preview_vae_cache", "unset") != "unset":
+            return self._preview_vae_cache
+        self._preview_vae_cache = None
+        spec = self._spec_for_type("vae")
+        if spec is None:
+            return None
+        cfg_dict = dict(spec.get("config") or {}) if isinstance(
+            spec.get("config"), dict) else {}
+        extra = spec.get("extra_kwargs")
+        if isinstance(extra, dict):
+            cfg_dict.update(extra)
+        path = cfg_dict.get("light_vae_path")
+        light_cfg = cfg_dict.get("light_vae_config")
+        if not path and light_cfg is None:
+            return None
+        try:
+            from flax import nnx
+
+            from apex_studio_tpu.models.vaes.tae_vae import TAEConfig, TAEVAE
+
+            cfg = TAEConfig.from_dict(light_cfg or {})
+            model = TAEVAE(cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(0))
+            if path:
+                local = self._resolve_path(path)
+                if local is None or not Path(local).exists():
+                    logger.info("light VAE weights not present (%s); "
+                                "previews use the full VAE", path)
+                    return None
+                from apex_studio_tpu.loaders.converters import convert_keys
+                from apex_studio_tpu.loaders.safetensors_io import (
+                    load_safetensors,
+                    load_sharded_safetensors,
+                )
+                from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+
+                local = Path(local)
+                sd = (load_sharded_safetensors(local) if local.is_dir()
+                      else load_safetensors(local))
+                apply_state_dict(model, convert_keys("tae_vae", sd), strict=True)
+            self._preview_vae_cache = model
+        except Exception:
+            logger.exception("light VAE load failed; previews use the full VAE")
+            self._preview_vae_cache = None
+        return self._preview_vae_cache
+
+    def preview_frames(self, latents, fallback=None):
+        """Decode preview frames via the light TAE decoder when the manifest
+        declares one — preview cost drops to a few % of a denoise step
+        (reference ``use_light_vae``, engine/hunyuanvideo15/shared) — else
+        through ``fallback`` (a family ``decode_latents``)."""
+        vae = self._get_preview_vae()
+        if vae is None:
+            if fallback is None:
+                raise RuntimeError("no light VAE and no fallback decoder")
+            return fallback(latents)
+        import jax
+        from flax import nnx
+
+        key = ("light_preview_decode", tuple(latents.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef, _ = nnx.split(vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, state = nnx.split(vae)
+        video = dec(state, jnp.asarray(latents, jnp.float32))  # [B,3,T,H,W]
+        b, c, t, h, w = video.shape
+        frames = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
+        return self.tensor_to_frames(frames)
 
     def load_helper(self, name: str):
         """Load a helper component (auxiliary encoder) by its manifest name."""

@@ -134,7 +134,7 @@ class CogVideoXShared(BaseEngine):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_cb(self.decode_latents(x), i)
+                    render_cb(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if progress_cb is not None:

@@ -132,7 +132,7 @@ class LucyEditEngine(WanShared, _WanVaeEncodeMixin):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_on_step_callback(self.decode_latents(x), i)
+                    render_on_step_callback(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if denoise_cb is not None:

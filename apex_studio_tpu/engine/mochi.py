@@ -139,7 +139,7 @@ class MochiT2VEngine(BaseEngine):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_on_step_callback(self.decode_latents(x), i)
+                    render_on_step_callback(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if denoise_cb is not None:

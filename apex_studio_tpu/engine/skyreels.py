@@ -268,7 +268,7 @@ class SkyReelsDFEngine(SkyReelsFPSMixin, WanShared):
                 and (i + 1) % render_on_step_interval == 0 and i + 1 < n_rows
             ):
                 try:
-                    render_on_step_callback(self.decode_latents(x), i)
+                    render_on_step_callback(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
 

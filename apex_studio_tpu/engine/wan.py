@@ -273,7 +273,7 @@ class WanShared(BaseEngine):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_cb(self.decode_latents(x), i)
+                    render_cb(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if progress_cb is not None:
@@ -587,7 +587,7 @@ class WanI2VEngine(WanShared):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_on_step_callback(self.decode_latents(x), i)
+                    render_on_step_callback(self.preview_frames(x, self.decode_latents), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if denoise_cb is not None:

@@ -229,6 +229,28 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "wan_flashvsr",
+    KeyConverter(
+        renames=[
+            # Original wan-format checkpoint (flashvsr streaming DMD) + the
+            # separate LQ_proj_in.ckpt merged via extra_model_path.
+            (r"^text_embedding\.0\.", "text_embedding_0."),
+            (r"^text_embedding\.2\.", "text_embedding_2."),
+            (r"^time_embedding\.0\.", "time_embedding_0."),
+            (r"^time_embedding\.2\.", "time_embedding_2."),
+            (r"^time_projection\.1\.", "time_projection_1."),
+            (r"\.ffn\.0\.", ".ffn_0."),
+            (r"\.ffn\.2\.", ".ffn_2."),
+            (r"\.(q|k|v|o|head|conv1|conv2)\.weight$", r".\1.kernel"),
+            (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"(text_embedding_\d|time_embedding_\d|time_projection_1|ffn_0|ffn_2|linear_layers\.\d+)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"\.freqs", r"local_attn_mask"),
+    ),
+)
+
+converter_registry.add(
     "wan_vae",
     KeyConverter(
         renames=[
@@ -434,6 +456,20 @@ converter_registry.add(
         drop=(),
     ),
 )
+
+_TAE_CONVERTER = KeyConverter(
+    renames=[
+        # MemBlock inner Sequential: conv.{0,2,4} → conv_{0,2,4}
+        (r"\.conv\.([024])\.weight$", r".conv_\1.kernel"),
+        (r"\.conv\.([024])\.bias$", r".conv_\1.bias"),
+        # TPool/TGrow wrap a conv; every remaining .weight is a conv kernel
+        # (the TAE family has no norm layers).
+        (r"\.weight$", ".kernel"),
+    ],
+    strip_prefixes=("taehv.", "vae.", "module."),
+)
+converter_registry.add("tae_vae", _TAE_CONVERTER)
+converter_registry.add("tiny_wan_vae", _TAE_CONVERTER)
 
 converter_registry.add(
     "seedvr_vae",

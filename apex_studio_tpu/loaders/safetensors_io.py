@@ -103,6 +103,33 @@ def load_sharded_safetensors(
     return out
 
 
+def load_torch_checkpoint(path: Union[str, Path]) -> Dict[str, np.ndarray]:
+    """torch-pickle checkpoints (.pth/.ckpt/.pt) → numpy state dict.
+
+    The reference ships several weights only in this format (SeedVR2
+    ``ema_vae.pth``, FlashVSR ``LQ_proj_in.ckpt``, TAEHV ``taehv.pth``).
+    Nested {"state_dict": ...} containers are unwrapped; non-tensor entries
+    are dropped.
+    """
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "module"):
+        if isinstance(obj, dict) and isinstance(obj.get(key), dict):
+            obj = obj[key]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).numpy() if v.dtype in (
+                torch.bfloat16, torch.float16) else v.detach().numpy()
+        elif isinstance(v, np.ndarray):
+            out[k] = v
+    return out
+
+
 def dequantize_fp8_scaled(sd: Dict[str, np.ndarray], target=np.float32) -> Dict[str, np.ndarray]:
     """Fold `<name>.scale_weight` / `scale` tensors into their fp8 weights."""
     out: Dict[str, np.ndarray] = {}

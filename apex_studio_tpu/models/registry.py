@@ -50,7 +50,9 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.hunyuanimage3",
         "apex_studio_tpu.models.transformers.hidream",
         "apex_studio_tpu.models.transformers.seedvr",
+        "apex_studio_tpu.models.transformers.flashvsr",
         "apex_studio_tpu.models.vaes.seedvr_vae",
+        "apex_studio_tpu.models.vaes.tae_vae",
         "apex_studio_tpu.models.vaes.ltx2_vae",
         "apex_studio_tpu.models.vaes.ltx2_audio_vae",
         "apex_studio_tpu.models.ltx2_vocoder",
