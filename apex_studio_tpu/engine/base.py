@@ -376,6 +376,55 @@ class BaseEngine:
 
         return TextEncoder(self, spec)
 
+    # -- cached conditioning encode ------------------------------------------------
+
+    def encode_video_latents(self, video) -> "jnp.ndarray":
+        """Deterministic VAE encode of conditioning pixels with a
+        content-addressed disk cache — the reference caches at BaseEngine
+        level for every family (base_engine.py:2079), so a repeat i2v/edit
+        run skips the encoder entirely.
+
+        ``video``: [B,3,T,H,W] (or [B,3,H,W] images) in [-1,1].
+        """
+        import dataclasses as _dc
+        import hashlib
+
+        import jax
+        from flax import nnx
+
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
+        video = jnp.asarray(video)
+        arr = np.asarray(video, np.float32)
+        vae_cfg = getattr(self.vae, "cfg", None)
+        cfg_dict = _dc.asdict(vae_cfg) if _dc.is_dataclass(vae_cfg) else {}
+        cache = EmbeddingCache("vae_encode")
+        payload = {
+            "fn": "vae_encode",
+            # the VAE's full config is part of the key — identical pixels
+            # through different VAEs must never collide
+            "vae": cfg_dict,
+            "shape": list(arr.shape),
+            "sha": hashlib.sha256(arr.tobytes()).hexdigest(),
+        }
+        hit = cache.load(payload)
+        if hit is not None:
+            return jnp.asarray(hit[0])
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("vae_encode", tuple(video.shape))
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, v):
+                return nnx.merge(graphdef, state).encode(v)
+
+            self._jit_cache[key] = enc
+        out = enc(vae_state, video.astype(jnp.float32))
+        # store as f32: bf16 round-trips through numpy as void dtype
+        cache.store(payload, np.asarray(out, np.float32))
+        return out
+
     # -- light preview decode ------------------------------------------------------
 
     def _get_preview_vae(self):

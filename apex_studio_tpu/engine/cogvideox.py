@@ -248,18 +248,7 @@ class CogVideoXI2VEngine(CogVideoXShared):
 
         resized = cv2.resize(image, (width, height), interpolation=cv2.INTER_LANCZOS4)
         px = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
-        key = ("cog_vae_encode", (1, 3, 1, height, width))
-        enc = self._jit_cache.get(key)
-        if enc is None:
-            graphdef, _ = nnx.split(self.vae)
-
-            @jax.jit
-            def enc(state, v):
-                return nnx.merge(graphdef, state).encode(v)
-
-            self._jit_cache[key] = enc
-        _, vae_state = nnx.split(self.vae)
-        first_lat = enc(vae_state, px[None, :, None].astype(jnp.float32))  # [1,C,1,h,w]
+        first_lat = self.encode_video_latents(px[None, :, None])  # [1,C,1,h,w]
         cond = jnp.concatenate(
             [first_lat, jnp.zeros((1, first_lat.shape[1], lat_t - 1, lat_h, lat_w))], axis=2
         )
@@ -357,4 +346,174 @@ class CogVideoXV2VEngine(CogVideoXShared):
             return x
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
+        return frames
+
+
+@register_engine("cogvideo", "control")
+class CogVideoXControlEngine(CogVideoXShared):
+    """Control-video generation: VAE-encoded control latents channel-concat
+    with the noise (reference src/engine/cogvideo/control.py:151-215)."""
+
+    def run(
+        self,
+        control_video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 720,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        max_sequence_length: int = 226,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting control pipeline")
+        self.load_components()
+        if control_video is None:
+            raise ValueError("control requires a control_video")
+        import cv2
+
+        if isinstance(control_video, (str, bytes)) or hasattr(control_video, "__fspath__"):
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            control_video = load_frames(control_video, max_frames=num_frames)
+        frames_in = [np.asarray(f) for f in control_video]
+        nf = num_frames or len(frames_in)
+        height, width, nf, lat_t, lat_h, lat_w = self._geometry(height, width,
+                                                               min(nf, len(frames_in)))
+        vid = np.stack([cv2.resize(f, (width, height),
+                                   interpolation=cv2.INTER_AREA)
+                        for f in frames_in[:nf]])
+        px = (vid.astype(np.float32) / 127.5 - 1.0).transpose(3, 0, 1, 2)[None]
+        cond = self.encode_video_latents(px)
+
+        context = self.encode_prompt(prompt or "", max_sequence_length)
+        use_cfg = guidance_scale > 1.0
+        neg_context = (self.encode_prompt(negative_prompt or "", max_sequence_length)
+                       if use_cfg else None)
+
+        noise_c = self.transformer.cfg.in_channels - cond.shape[1]
+        x = self.get_latents((1, noise_c, lat_t, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+        x = self.denoise(
+            x, cond, ts, context, neg_context, guidance_scale, use_dynamic_cfg,
+            render_on_step_callback, render_on_step_interval, render_on_step,
+            make_mapped_progress(progress_callback, 0.35, 0.9),
+        )
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed control pipeline")
+        return frames
+
+
+@register_engine("cogvideo", "inp")
+class CogVideoXInpEngine(CogVideoXShared):
+    """Video inpainting: [resized inverted mask (1ch) ‖ masked-video latents]
+    channel-concat with the noise (reference src/engine/cogvideo/inp.py:234-300:
+    masked pixels set to −1 where mask>0.5, mask resized wan-style with the
+    first latent frame handled separately)."""
+
+    def run(
+        self,
+        video: Any = None,
+        mask_video: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 720,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        render_on_step: bool = False,
+        render_on_step_callback: Optional[Callable] = None,
+        render_on_step_interval: int = 3,
+        progress_callback: Optional[Callable] = None,
+        max_sequence_length: int = 226,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting inpaint pipeline")
+        self.load_components()
+        if video is None:
+            raise ValueError("inp requires an input video")
+        import cv2
+
+        from apex_studio_tpu.preprocess.base import load_frames
+
+        if isinstance(video, (str, bytes)) or hasattr(video, "__fspath__"):
+            video = load_frames(video, max_frames=num_frames)
+        frames_in = [np.asarray(f) for f in video]
+        nf = num_frames or len(frames_in)
+        height, width, nf, lat_t, lat_h, lat_w = self._geometry(height, width,
+                                                               min(nf, len(frames_in)))
+        vid = np.stack([cv2.resize(f, (width, height),
+                                   interpolation=cv2.INTER_AREA)
+                        for f in frames_in[:nf]]).astype(np.float32)
+
+        if mask_video is not None:
+            if isinstance(mask_video, (str, bytes)) or hasattr(mask_video, "__fspath__"):
+                mask_video = load_frames(mask_video, max_frames=nf)
+            mframes = [np.asarray(f) for f in mask_video][:nf]
+            while len(mframes) < nf:
+                mframes.append(mframes[-1])
+            mask = np.stack([
+                cv2.resize(f[..., 0] if f.ndim == 3 else f, (width, height),
+                           interpolation=cv2.INTER_NEAREST)
+                for f in mframes]).astype(np.float32) / 255.0
+        else:
+            mask = np.ones((nf, height, width), np.float32)
+        mask3 = mask[..., None]
+
+        # masked pixels → −1 (inp.py:268-271)
+        px = vid / 127.5 - 1.0
+        masked = px * (mask3 < 0.5) + (-1.0) * (mask3 > 0.5)
+        masked_lat = self.encode_video_latents(
+            masked.transpose(3, 0, 1, 2)[None])
+
+        # inverted mask resized to latent grid, first frame separate
+        # (shared.py:278 _resize_mask), scaled like latents (inp.py:280)
+        inv = (1.0 - mask)[None, None]  # [1,1,T,H,W]
+        first = jax.image.resize(jnp.asarray(inv[:, :, :1]),
+                                 (1, 1, 1, lat_h, lat_w), "trilinear")
+        rest_t = lat_t - 1
+        if rest_t > 0 and inv.shape[2] > 1:
+            rest = jax.image.resize(jnp.asarray(inv[:, :, 1:]),
+                                    (1, 1, rest_t, lat_h, lat_w), "trilinear")
+            mask_lat = jnp.concatenate([first, rest], axis=2)
+        else:
+            mask_lat = jnp.broadcast_to(first, (1, 1, lat_t, lat_h, lat_w))
+        scaling = getattr(self.vae.cfg, "scaling_factor", 1.0)
+        cond = jnp.concatenate(
+            [mask_lat.astype(jnp.float32) * scaling,
+             masked_lat.astype(jnp.float32)], axis=1)
+
+        context = self.encode_prompt(prompt or "", max_sequence_length)
+        use_cfg = guidance_scale > 1.0
+        neg_context = (self.encode_prompt(negative_prompt or "", max_sequence_length)
+                       if use_cfg else None)
+
+        noise_c = self.transformer.cfg.in_channels - cond.shape[1]
+        x = self.get_latents((1, noise_c, lat_t, lat_h, lat_w), seed=seed)
+        ts, _ = self.get_timesteps(self.scheduler, num_inference_steps)
+        x = self.denoise(
+            x, cond, ts, context, neg_context, guidance_scale, use_dynamic_cfg,
+            render_on_step_callback, render_on_step_interval, render_on_step,
+            make_mapped_progress(progress_callback, 0.35, 0.9),
+        )
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self.decode_latents(x)
+        safe_emit_progress(progress_callback, 1.0, "Completed inpaint pipeline")
         return frames

@@ -37,18 +37,7 @@ class Cosmos2Shared(BaseEngine):
             use_chat_template=False)
         return jnp.where(jnp.asarray(mask)[..., None].astype(bool), hidden, 0.0)
 
-    def encode_video_latents(self, video: jnp.ndarray) -> jnp.ndarray:
-        graphdef, state = nnx.split(self.vae)
-        key = ("cosmos_vae_encode", tuple(video.shape))
-        enc = self._jit_cache.get(key)
-        if enc is None:
-
-            @jax.jit
-            def enc(s, v):
-                return nnx.merge(graphdef, s).encode(v)
-
-            self._jit_cache[key] = enc
-        return enc(state, video.astype(jnp.float32))
+    # encode_video_latents inherited from BaseEngine (disk-cached).
 
     def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
         graphdef, state = nnx.split(self.vae)

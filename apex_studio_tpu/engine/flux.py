@@ -112,6 +112,7 @@ class FluxT2IEngine(BaseEngine):
         progress_callback: Optional[Callable] = None,
         offload: bool = True,
         _kontext_image: Any = None,
+        _kontext_tokens: Any = None,  # (tokens [B,N,64], grids) pre-packed
         _fill_cond: Optional[jnp.ndarray] = None,  # [B, N, 320] masked-img+mask tokens
         **_: Any,
     ):
@@ -149,7 +150,11 @@ class FluxT2IEngine(BaseEngine):
         x = self.transformer.pack_latents(noise.astype(jnp.float32))
 
         cond_tokens = cond_grid = None
-        if _kontext_image is not None:
+        if _kontext_tokens is not None:
+            cond_tokens, cond_grid = _kontext_tokens
+            cond_tokens = jnp.broadcast_to(
+                cond_tokens, (b, *cond_tokens.shape[1:]))
+        elif _kontext_image is not None:
             cond_tokens, cond_grid = self._encode_kontext_image(
                 _kontext_image, height, width, lat_scale, b
             )
@@ -385,3 +390,72 @@ class FluxControlEngine(FluxT2IEngine):
         tokens, _ = self._encode_kontext_image(control_image, height, width, lat_scale, 1)
         kwargs.pop("_fill_cond", None)
         return super().run(height=height, width=width, _fill_cond=tokens, **kwargs)
+
+
+# Flux Kontext preferred buckets (reference dreamomni2.py PREFERRED_KONTEXT_RESOLUTIONS)
+PREFERRED_KONTEXT_RESOLUTIONS = [
+    (672, 1568), (688, 1504), (720, 1456), (752, 1392), (800, 1328),
+    (832, 1248), (880, 1184), (944, 1104), (1024, 1024), (1104, 944),
+    (1184, 880), (1248, 832), (1328, 800), (1392, 752), (1456, 720),
+    (1504, 688), (1568, 672),
+]
+
+
+@register_engine("flux", "dreamomni2")
+class FluxDreamOmni2Engine(FluxT2IEngine):
+    """DreamOmni2 multi-reference generation/editing on the Kontext backbone
+    (reference src/engine/flux/dreamomni2.py): every reference image is
+    VAE-encoded at its preferred-aspect bucket and appended as clean tokens
+    with RoPE frame id i+1 and accumulated width offsets
+    (dreamomni2.py:398-407). The reference's optional Qwen2.5-VL prompt
+    rewriter (``_prepare_prompt``) requires generative decoding and falls
+    back to the raw prompt when no llm helper is shipped (the reference does
+    the same when the helper is absent)."""
+
+    def run(self, prompt=None, image_list=None, image=None,
+            task: str = "generation",
+            resize_to_preferred_resolution: bool = True, **kwargs):
+        import cv2
+
+        images = image_list if image_list is not None else image
+        if images is None:
+            raise ValueError("dreamomni2 requires at least one reference image")
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+
+        all_tokens, grids = [], []
+        for im in images:
+            arr = np.asarray(self.load_image_input(im))
+            h0, w0 = arr.shape[:2]
+            if resize_to_preferred_resolution:
+                ar = w0 / max(h0, 1)
+                _, w1, h1 = min((abs(ar - w / h), w, h)
+                                for h, w in PREFERRED_KONTEXT_RESOLUTIONS)
+            else:
+                w1, h1 = w0, h0
+            w1 = max(16, w1 - w1 % 16)
+            h1 = max(16, h1 - h1 % 16)
+            resized = cv2.resize(arr, (w1, h1), interpolation=cv2.INTER_LANCZOS4)
+            px = (resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)[None]
+            graphdef, vae_state = nnx.split(self.vae)
+            key = ("flux_vae_encode", tuple(px.shape))
+            enc = self._jit_cache.get(key)
+            if enc is None:
+
+                @jax.jit
+                def enc(state, x):
+                    return nnx.merge(graphdef, state).encode(x)
+
+                self._jit_cache[key] = enc
+            z = enc(vae_state, jnp.asarray(px))
+            all_tokens.append(self.transformer.pack_latents(z.astype(jnp.float32)))
+            grids.append((z.shape[-2] // 2, z.shape[-1] // 2))
+
+        cond_tokens = jnp.concatenate(all_tokens, axis=1)
+        kwargs.pop("_kontext_image", None)
+        return super().run(prompt=prompt,
+                           _kontext_tokens=(cond_tokens, tuple(grids)), **kwargs)

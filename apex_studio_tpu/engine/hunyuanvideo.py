@@ -261,17 +261,7 @@ class HunyuanVideoShared(BaseEngine):
             resized = cv2.resize(arr, (width, height), interpolation=cv2.INTER_LANCZOS4)
             frame = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0)
             frame = frame.transpose(2, 0, 1)[None, :, None]  # [1,3,1,H,W]
-            graphdef_v, vae_state = nnx.split(self.vae)
-            ekey = ("hyv_vae_encode", tuple(frame.shape))
-            enc = self._jit_cache.get(ekey)
-            if enc is None:
-
-                @jax.jit
-                def enc(state, v):
-                    return nnx.merge(graphdef_v, state).encode(v)
-
-                self._jit_cache[ekey] = enc
-            img_lat = enc(vae_state, frame.astype(jnp.float32))  # [1,C,1,h,w]
+            img_lat = self.encode_video_latents(frame)  # [1,C,1,h,w]
             img_lat = jnp.repeat(img_lat.astype(jnp.float32), lat_t, axis=2)
             # Mix noise with the image latent at t=0.999 (i2v.py:171)
             x = x * 0.999 + img_lat * (1.0 - 0.999)
@@ -379,3 +369,275 @@ class HunyuanVideoI2VEngine(HunyuanVideoShared):
             render_on_step_callback, render_on_step_interval, progress_callback,
             image=image, image_condition_type=image_condition_type,
         )
+
+
+@register_engine("hunyuanvideo", "framepack")
+class HunyuanVideoFramepackEngine(HunyuanVideoShared):
+    """FramePack long-video generation (reference
+    src/engine/hunyuanvideo/framepack.py): sections of ``latent_window_size``
+    latent frames are denoised one at a time while multi-scale clean history
+    (1x/2x/4x) conditions the framepack transformer; sections are soft-append
+    blended in pixel space. Supports both 'inverted_anti_drifting' (sections
+    generated future→past, anchored on the input image) and 'vanilla'
+    (past→future) sampling. Each section has its own frame-index layout, so
+    sections compile separately (the layouts repeat after the first two)."""
+
+    def _soft_append(self, history: np.ndarray, current: np.ndarray,
+                     overlap: int) -> np.ndarray:
+        """[B,C,T,H,W] pixel blend over ``overlap`` frames (framepack.py:13)."""
+        if overlap <= 0:
+            return np.concatenate([history, current], axis=2)
+        w = np.linspace(1, 0, overlap, dtype=np.float32)[None, None, :, None, None]
+        blended = w * history[:, :, -overlap:] + (1 - w) * current[:, :, :overlap]
+        return np.concatenate(
+            [history[:, :, :-overlap], blended, current[:, :, overlap:]], axis=2)
+
+    def _image_embeds(self, image_arr, last_image_arr=None):
+        """SigLIP/CLIP-vision embeds via the manifest 'clip'/'image_encoder'
+        helper; zeros when the manifest ships none (tests)."""
+        dim = getattr(self.transformer.cfg, "image_proj_dim", 1152)
+        for name in ("clip", "image_encoder"):
+            if name in self.component_specs:
+                try:
+                    enc = self.load_helper(name)
+                    emb = enc(jnp.asarray(image_arr)[None])
+                    if last_image_arr is not None:
+                        emb = (emb + enc(jnp.asarray(last_image_arr)[None])) / 2.0
+                    return jnp.asarray(emb, jnp.float32)
+                except Exception:
+                    logger.exception("image encoder failed; zeros")
+        return jnp.zeros((1, 729, dim), jnp.float32)
+
+    def run(
+        self,
+        image: Any = None,
+        last_image: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: Optional[int] = None,
+        duration: Optional[float] = None,
+        fps: float = 30.0,
+        latent_window_size: int = 9,
+        sampling_type: str = "inverted_anti_drifting",
+        num_inference_steps: int = 25,
+        guidance_scale: float = 6.0,
+        true_guidance_scale: float = 1.0,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        import math as _math
+
+        import cv2
+
+        safe_emit_progress(progress_callback, 0.0, "Starting framepack pipeline")
+        self.load_components()
+        if image is None:
+            raise ValueError("framepack requires an input image")
+
+        cfg_t = self.transformer.cfg
+        s_scale = self.vae.cfg.spatial_scale
+        t_scale = self.vae.cfg.temporal_scale
+        height -= height % (s_scale * cfg_t.patch_size)
+        width -= width % (s_scale * cfg_t.patch_size)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        window_frames = (latent_window_size - 1) * t_scale + 1
+        total_lat = (num_frames - 1) // t_scale + 1
+        n_sections = max(1, _math.ceil(total_lat / latent_window_size))
+
+        arr = cv2.resize(self.load_image_input(image), (width, height),
+                         interpolation=cv2.INTER_LANCZOS4)
+        px = (arr.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+        image_latents = self.encode_video_latents(px[None, :, None])
+        last_arr = None
+        last_image_latents = None
+        if last_image is not None:
+            last_arr = cv2.resize(self.load_image_input(last_image),
+                                  (width, height), interpolation=cv2.INTER_LANCZOS4)
+            lpx = (last_arr.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+            last_image_latents = self.encode_video_latents(lpx[None, :, None])
+
+        image_embeds = self._image_embeds(arr, last_arr)
+
+        text, text_mask = self._encode_llama(prompt or "")
+        pooled = self._encode_clip_pooled(prompt or "")
+        use_cfg = true_guidance_scale > 1.0 and negative_prompt is not None
+        ntext = ntext_mask = npooled = None
+        if use_cfg:
+            ntext, ntext_mask = self._encode_llama(negative_prompt or "")
+            npooled = self._encode_clip_pooled(negative_prompt or "")
+
+        inverted = sampling_type == "inverted_anti_drifting"
+        history_sizes = [1, 2, 16] if inverted else [16, 2, 1]
+        lat_c = cfg_t.in_channels
+        history_latents = np.zeros((1, lat_c, sum(history_sizes), lat_h, lat_w),
+                                   np.float32)
+        if not inverted:
+            history_latents = np.concatenate(
+                [history_latents, np.asarray(image_latents, np.float32)], axis=2)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        total_generated = 0
+        history_video = None
+        latents_out = []
+
+        for k in range(n_sections):
+            x = self.get_latents((1, lat_c, latent_window_size, lat_h, lat_w),
+                                 seed=None if seed is None else seed + k)
+            from apex_studio_tpu.schedulers.base import compute_dynamic_shift_mu
+
+            image_seq_len = (latent_window_size * lat_h * lat_w
+                             / cfg_t.patch_size ** 2)
+            mu = compute_dynamic_shift_mu(
+                image_seq_len,
+                self.scheduler.config.get("base_image_seq_len", 256),
+                self.scheduler.config.get("max_image_seq_len", 4096),
+                self.scheduler.config.get("base_shift", 0.5),
+                self.scheduler.config.get("max_shift", 1.15),
+            )
+            sig = np.linspace(1.0, 0.0, num_inference_steps + 1)[:-1]
+            ts, _ = self.get_timesteps(self.scheduler, num_inference_steps,
+                                       sigmas=sig, mu=min(mu, _math.log(7.0)))
+
+            # frame-index layout per section (framepack.py:294-366)
+            if inverted:
+                pads = list(reversed(range(n_sections)))
+                if n_sections > 4:
+                    pads = [3] + [2] * (n_sections - 3) + [1, 0]
+                pad = pads[k] * latent_window_size
+                sizes = [1, pad, latent_window_size] + history_sizes
+                bounds = np.cumsum([0] + sizes)
+                seg = [np.arange(bounds[i], bounds[i + 1]) for i in range(len(sizes))]
+                idx_prefix, _, idx_lat, idx_h1, idx_h2, idx_h4 = seg
+                idx_clean = np.concatenate([idx_prefix, idx_h1])
+                h1, h2, h4 = np.split(
+                    history_latents[:, :, :sum(history_sizes)],
+                    np.cumsum(history_sizes)[:-1], axis=2)
+                if last_image_latents is not None and k == 0:
+                    h1 = np.asarray(last_image_latents, np.float32)
+                clean = np.concatenate(
+                    [np.asarray(image_latents, np.float32), h1], axis=2)
+            else:
+                sizes = [1] + history_sizes + [latent_window_size]
+                bounds = np.cumsum([0] + sizes)
+                seg = [np.arange(bounds[i], bounds[i + 1]) for i in range(len(sizes))]
+                idx_prefix, idx_h4, idx_h2, idx_h1, idx_lat = seg
+                idx_clean = np.concatenate([idx_prefix, idx_h1])
+                h4, h2, h1 = np.split(
+                    history_latents[:, :, -sum(history_sizes):],
+                    np.cumsum(history_sizes)[:-1], axis=2)
+                clean = np.concatenate(
+                    [np.asarray(image_latents, np.float32), h1], axis=2)
+
+            key = ("fp_step", tuple(x.shape), text.shape[1], use_cfg,
+                   tuple(idx_lat), tuple(idx_clean))
+            step = self._jit_cache.get(key)
+            if step is None:
+                from apex_studio_tpu.engine.fused import build_euler_step
+
+                il, ic = idx_lat, idx_clean
+                i2, i4 = idx_h2, idx_h4
+
+                def apply(m, x, aux, t_vec, text_, mask_, pooled_,
+                          ntext_, nmask_, npooled_, clean_, h2_, h4_, emb_, g):
+                    gvec = (jnp.full((1,), guidance_scale * 1000.0, jnp.float32)
+                            if cfg_t.guidance_embeds else None)
+                    kwargs = dict(
+                        image_embeds=emb_, indices_latents=il,
+                        latents_clean=clean_.astype(m.dtype),
+                        indices_latents_clean=ic,
+                        latents_history_2x=h2_.astype(m.dtype),
+                        indices_latents_history_2x=i2,
+                        latents_history_4x=h4_.astype(m.dtype),
+                        indices_latents_history_4x=i4,
+                        guidance=gvec)
+                    v = m(x.astype(m.dtype), t_vec, text_, mask_,
+                          pooled=pooled_, **kwargs).astype(jnp.float32)
+                    if use_cfg:
+                        vn = m(x.astype(m.dtype), t_vec, ntext_, nmask_,
+                               pooled=npooled_, **kwargs).astype(jnp.float32)
+                        v = vn + g * (v - vn)
+                    return v, aux
+
+                step = build_euler_step(graphdef, apply)
+                self._jit_cache[key] = step
+
+            for i, t in enumerate(ts):
+                t_vec = jnp.full((1,), float(t), jnp.float32)
+                x, _ = step(
+                    tf_state, x,
+                    float(self.scheduler.sigmas[i]),
+                    float(self.scheduler.sigmas[i + 1]),
+                    (), t_vec, text, text_mask, pooled,
+                    ntext if use_cfg else text,
+                    ntext_mask if use_cfg else text_mask,
+                    npooled if use_cfg else pooled,
+                    jnp.asarray(clean), jnp.asarray(h2), jnp.asarray(h4),
+                    image_embeds, jnp.float32(true_guidance_scale),
+                )
+            x_np = np.asarray(x, np.float32)
+
+            is_last = k == n_sections - 1
+            if inverted:
+                if is_last:
+                    x_np = np.concatenate(
+                        [np.asarray(image_latents, np.float32), x_np], axis=2)
+                total_generated += x_np.shape[2]
+                history_latents = np.concatenate([x_np, history_latents], axis=2)
+                real = history_latents[:, :, :total_generated]
+                section_frames = (latent_window_size * 2 + 1 if is_last
+                                  else latent_window_size * 2)
+                cur = real[:, :, :section_frames]
+            else:
+                total_generated += x_np.shape[2]
+                history_latents = np.concatenate([history_latents, x_np], axis=2)
+                real = history_latents[:, :, -total_generated:]
+                section_frames = latent_window_size * 2
+                cur = real[:, :, -section_frames:]
+
+            if return_latents:
+                latents_out = [real]
+            else:
+                overlap = (latent_window_size - 1) * t_scale + 1
+                if history_video is None:
+                    vid = self._decode_np(real)
+                    history_video = vid
+                else:
+                    vid = self._decode_np(cur)
+                    if inverted:
+                        history_video = self._soft_append(vid, history_video, overlap)
+                    else:
+                        history_video = self._soft_append(history_video, vid, overlap)
+            safe_emit_progress(progress_callback, 0.1 + 0.8 * (k + 1) / n_sections,
+                               f"Section {k + 1}/{n_sections}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return jnp.asarray(latents_out[0])
+        n = history_video.shape[2]
+        n = (n - 1) // t_scale * t_scale + 1
+        history_video = history_video[:, :, :n]
+        b, c, tt2, hh2, ww2 = history_video.shape
+        frames = self.tensor_to_frames(
+            jnp.asarray(history_video).transpose(0, 2, 1, 3, 4).reshape(
+                b * tt2, c, hh2, ww2))
+        safe_emit_progress(progress_callback, 1.0, "Completed framepack pipeline")
+        return frames
+
+    def _decode_np(self, lats: np.ndarray) -> np.ndarray:
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("fp_vae_decode", lats.shape)
+        dec = self._jit_cache.get(key)
+        if dec is None:
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef, state).decode(z)
+
+            self._jit_cache[key] = dec
+        return np.asarray(dec(vae_state, jnp.asarray(lats)), np.float32)

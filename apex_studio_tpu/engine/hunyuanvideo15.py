@@ -281,17 +281,7 @@ class HunyuanVideo15I2VEngine(HunyuanVideo15T2VEngine):
                              interpolation=cv2.INTER_LANCZOS4)
         px = resized.astype(np.float32) / 127.5 - 1.0
         video = jnp.asarray(px.transpose(2, 0, 1))[None, :, None]  # [1,3,1,H,W]
-        graphdef, vae_state = nnx.split(self.vae)
-        key = ("hyv15_vae_encode", tuple(video.shape))
-        enc = self._jit_cache.get(key)
-        if enc is None:
-
-            @jax.jit
-            def enc(state, v):
-                return nnx.merge(graphdef, state).encode(v)
-
-            self._jit_cache[key] = enc
-        return enc(vae_state, video)  # [1,C,1,h,w]
+        return self.encode_video_latents(video)  # [1,C,1,h,w] (disk-cached)
 
     def encode_image_siglip(self, image: np.ndarray) -> jnp.ndarray:
         from apex_studio_tpu.models.text_encoders.siglip import preprocess_siglip_image

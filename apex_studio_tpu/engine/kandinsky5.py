@@ -199,17 +199,7 @@ class Kandinsky5I2VEngine(Kandinsky5Shared):
         arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
         px = (jnp.asarray(arr, jnp.float32).transpose(2, 0, 1)[None, :, None]
               / 127.5 - 1.0)
-        graphdef, vstate = nnx.split(self.vae)
-        key = ("k5_vae_encode", tuple(px.shape))
-        enc = self._jit_cache.get(key)
-        if enc is None:
-
-            @jax.jit
-            def enc(state, v):
-                return nnx.merge(graphdef, state).encode(v)
-
-            self._jit_cache[key] = enc
-        img_lat = enc(vstate, px)  # [1, C, 1, h, w]
+        img_lat = self.encode_video_latents(px)  # [1, C, 1, h, w]
         c = img_lat.shape[1]
         cond = jnp.zeros((1, c + 1, lat_f, lat_h, lat_w), jnp.float32)
         cond = cond.at[:, :c, :1].set(img_lat)

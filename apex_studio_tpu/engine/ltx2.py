@@ -76,6 +76,10 @@ class LTX2TI2VEngine(BaseEngine):
         fps: float = 25.0,
         num_inference_steps: int = 40,
         guidance_scale: float = 4.0,
+        stg_scale: float = 0.0,
+        stg_blocks: Optional[List[int]] = None,
+        modality_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
         seed: Optional[int] = None,
         timesteps: Optional[List[float]] = None,
         image_strength: float = 1.0,
@@ -185,11 +189,35 @@ class LTX2TI2VEngine(BaseEngine):
             v_out, a_out = fwd(tf_state, tok_b, atok_b, t_tok_b, t_a_b,
                                ctx_b.astype(model_dtype), mask_b, vshape,
                                float(fps))
+            v_cond = v_out[1:2] if do_cfg else v_out
+            a_cond = a_out[1:2] if do_cfg else a_out
+            # MultiModalGuider (reference src/engine/ltx2/multimodal_guidance.py):
+            # pred = cond + (cfg-1)(cond-uncond) + stg(cond-ptb) + (ms-1)(cond-mod)
+            v, a = v_cond, a_cond
             if do_cfg:
-                v = v_out[:1] + guidance_scale * (v_out[1:2] - v_out[:1])
-                a = a_out[:1] + guidance_scale * (a_out[1:2] - a_out[:1])
-            else:
-                v, a = v_out, a_out
+                v = v + (guidance_scale - 1.0) * (v_cond - v_out[:1])
+                a = a + (guidance_scale - 1.0) * (a_cond - a_out[:1])
+            if stg_scale != 0.0:
+                v_ptb, a_ptb = self._guidance_pass(
+                    tok_b[-1:], atok_b[-1:], t_tok_b[-1:], t_a_b[-1:],
+                    ctx_pos.astype(model_dtype), mask_pos, vshape, float(fps),
+                    skip_blocks=tuple(stg_blocks) if stg_blocks is not None
+                    else tuple(range(len(self.transformer.blocks))))
+                v = v + stg_scale * (v_cond - v_ptb)
+                a = a + stg_scale * (a_cond - a_ptb)
+            if modality_scale != 1.0:
+                v_mod, a_mod = self._guidance_pass(
+                    tok_b[-1:], atok_b[-1:], t_tok_b[-1:], t_a_b[-1:],
+                    ctx_pos.astype(model_dtype), mask_pos, vshape, float(fps),
+                    skip_av_cross=True)
+                v = v + (modality_scale - 1.0) * (v_cond - v_mod)
+                a = a + (modality_scale - 1.0) * (a_cond - a_mod)
+            if guidance_rescale != 0.0:
+                # scalar std ratio across the tensor (guider.calculate)
+                factor = jnp.std(v_cond) / (jnp.std(v) + 1e-12)
+                v = v * (guidance_rescale * factor + (1.0 - guidance_rescale))
+                fa = jnp.std(a_cond) / (jnp.std(a) + 1e-12)
+                a = a * (guidance_rescale * fa + (1.0 - guidance_rescale))
             dt = float((ts[i + 1] if i + 1 < len(ts) else 0.0) - t_f)
             tokens = tokens + dt * v.astype(jnp.float32)
             a_tokens = a_tokens + dt * a.astype(jnp.float32)
@@ -231,6 +259,29 @@ class LTX2TI2VEngine(BaseEngine):
             return frames, waveform, sr
         return frames
 
+    def _guidance_pass(self, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_,
+                       skip_blocks: tuple = (), skip_av_cross: bool = False):
+        """Extra forward for STG (self-attn skipped in ``skip_blocks``) or
+        isolated-modality (a2v/v2a cross skipped) guidance branches."""
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("ltx2_guidance", tok.shape[1], atok.shape[1], ctx.shape[1],
+               skip_blocks, skip_av_cross)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
+            def fn(state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_):
+                m = nnx.merge(graphdef, state)
+                return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
+                         t_audio=t_a, ctx_mask=cmask,
+                         skip_video_self_attn_blocks=skip_blocks or None,
+                         skip_audio_self_attn_blocks=skip_blocks or None,
+                         skip_av_cross_attn=skip_av_cross)
+
+            self._jit_cache[key] = fn
+        return fn(tf_state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_)
+
     def decode_audio(self, audio_lats: jnp.ndarray):
         """Audio latents (B, z·M', Sa) → (waveform (C, N), sample_rate), or
         None when the manifest ships no audio VAE/vocoder (reference always
@@ -269,3 +320,229 @@ class LTX2TI2VEngine(BaseEngine):
         _, svoc = nnx.split(vocoder)
         wav = np.asarray(fn(sv, svoc, z.astype(jnp.float32)))[0]
         return wav, int(vocoder.cfg.output_sampling_rate)
+
+
+class LTX2KeyframeVideoBase(LTX2TI2VEngine):
+    """Keyframe-token-append conditioning (reference
+    ``src/engine/ltx2/shared/keyframe_engine.py`` LTX2KeyframeConditioningMixin
+    + ``shared/keyframe_video_base.py``): each conditioning image/video is
+    VAE-encoded, packed into tokens, APPENDED to the base latent sequence with
+    RoPE coords time-shifted by its pixel frame index, and held (1-strength)
+    clean by a per-token denoise mask. Only the base tokens are decoded."""
+
+    allow_conditioning_video = True
+
+    def run(
+        self,
+        image: Optional[Any] = None,
+        image_strengths: Optional[Any] = None,
+        image_pixel_frame_indices: Optional[Any] = None,
+        conditioning_video: Optional[Any] = None,
+        conditioning_video_strength: float = 1.0,
+        conditioning_video_pixel_frame_index: int = 0,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 512,
+        width: int = 768,
+        duration: Optional[float] = None,
+        num_frames: Optional[int] = None,
+        fps: float = 25.0,
+        num_inference_steps: int = 40,
+        guidance_scale: float = 3.0,
+        seed: Optional[int] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        import cv2
+
+        safe_emit_progress(progress_callback, 0.0, "Starting LTX-2 keyframe pipeline")
+        for ctype in ("text_encoder", "vae", "transformer", "scheduler"):
+            if getattr(self, ctype, None) is None:
+                self.load_component_by_type(ctype)
+
+        s_scale = self.vae.spatial_compression_ratio
+        t_scale = self.vae.temporal_compression_ratio
+        height -= height % s_scale
+        width -= width % s_scale
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+        lat_f = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+
+        cfg_t = self.transformer.cfg
+        alps = (cfg_t.audio_sampling_rate / cfg_t.audio_hop_length
+                / cfg_t.audio_scale_factor)
+        audio_f = max(1, int(math.ceil(num_frames / fps * alps)))
+
+        ctx_pos, mask_pos = self._encode_prompt(prompt or "")
+        if negative_prompt:
+            ctx_neg, mask_neg = self._encode_prompt(negative_prompt)
+        else:
+            ctx_neg, mask_neg = jnp.zeros_like(ctx_pos), jnp.zeros_like(mask_pos)
+
+        # --- base tokens (pure noise) ---
+        base_grid = self.get_latents((1, cfg_t.in_channels, lat_f, lat_h, lat_w),
+                                     seed=seed)
+        tokens = _patchify_tokens(base_grid)
+        base_tok = tokens.shape[1]
+        clean = tokens
+        dmask = jnp.ones((1, base_tok), jnp.float32)
+        coords = self.transformer.video_coords(lat_f, lat_h, lat_w, fps, batch=1)
+
+        # --- conditioning items ---
+        conds: List[Any] = []
+        if image is not None:
+            images = image if isinstance(image, (list, tuple)) else [image]
+            strengths = (image_strengths if isinstance(image_strengths, (list, tuple))
+                         else [image_strengths if image_strengths is not None else 1.0]
+                         * len(images))
+            idxs = (image_pixel_frame_indices
+                    if isinstance(image_pixel_frame_indices, (list, tuple))
+                    else [image_pixel_frame_indices or 0] * len(images))
+            for im, s, ix in zip(images, strengths, idxs):
+                arr = self.load_image_input(im)
+                arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+                px = (arr.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+                conds.append((px[None, :, None], float(s if s is not None else 1.0),
+                              int(ix or 0)))
+        if conditioning_video is not None and self.allow_conditioning_video:
+            from apex_studio_tpu.preprocess.base import load_frames
+
+            frames_in = (load_frames(conditioning_video)
+                         if isinstance(conditioning_video, str)
+                         else list(conditioning_video))
+            nf = max(1, len(frames_in) - (len(frames_in) - 1) % t_scale)
+            vid = np.stack([
+                cv2.resize(np.asarray(f), (width, height),
+                           interpolation=cv2.INTER_AREA) for f in frames_in[:nf]])
+            px = (vid.astype(np.float32) / 127.5 - 1.0).transpose(3, 0, 1, 2)[None]
+            conds.append((px, float(conditioning_video_strength),
+                          int(conditioning_video_pixel_frame_index)))
+
+        rng = np.random.default_rng(0 if seed is None else seed + 17)
+        for px, strength, pixel_idx in conds:
+            z = self.encode_video_latents(px)  # [1,C,Tc,h,w] (disk-cached)
+            ctoks = _patchify_tokens(z.astype(jnp.float32))
+            ccoords = self.transformer.video_coords(z.shape[2], lat_h, lat_w, fps,
+                                                    batch=1)
+            # shift the time axis by the keyframe's pixel timestamp
+            ccoords = ccoords.at[:, 0].add(float(pixel_idx) / float(fps))
+            d = float(np.clip(1.0 - strength, 0.0, 1.0))
+            cmask = jnp.full((1, ctoks.shape[1]), d, jnp.float32)
+            cnoise = jnp.asarray(rng.standard_normal(ctoks.shape), jnp.float32)
+            cinit = cnoise * d + ctoks * (1.0 - d)
+            tokens = jnp.concatenate([tokens, cinit], axis=1)
+            clean = jnp.concatenate([clean, ctoks], axis=1)
+            dmask = jnp.concatenate([dmask, cmask], axis=1)
+            coords = jnp.concatenate([coords, ccoords], axis=2)
+
+        a_lats = self.get_latents((1, cfg_t.audio_in_channels, audio_f),
+                                  seed=None if seed is None else seed + 1)
+        a_tokens = a_lats.transpose(0, 2, 1)
+
+        self.scheduler.set_timesteps(
+            num_inference_steps,
+            samples_shape=(1, cfg_t.in_channels, lat_f, lat_h, lat_w),
+            timesteps=timesteps)
+        ts = np.asarray(self.scheduler.timesteps, np.float64)
+
+        n_tok = tokens.shape[1]
+        do_cfg = guidance_scale > 1.0
+        nb = 2 if do_cfg else 1
+        ctx_b = jnp.concatenate([ctx_neg, ctx_pos], 0) if do_cfg else ctx_pos
+        mask_b = jnp.concatenate([mask_neg, mask_pos], 0) if do_cfg else mask_pos
+        coords_b = jnp.tile(coords, (nb, 1, 1))
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("ltx2_kf_step", n_tok, audio_f, int(ctx_b.shape[1]), nb)
+        fwd = self._jit_cache.get(key)
+        if fwd is None:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
+            def fwd(state, tok, atok, t_tok, t_a, ctx, cmask, vc, vshape, fps_):
+                m = nnx.merge(graphdef, state)
+                return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
+                         t_audio=t_a, ctx_mask=cmask, video_coords=vc)
+
+            self._jit_cache[key] = fwd
+        model_dtype = self.transformer.dtype
+        denoise_cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        vshape = (lat_f, lat_h, lat_w)
+
+        for i, t in enumerate(ts):
+            t_f = float(t)
+            # per-token timestep: masked tokens (denoise_mask→0) stay clean
+            t_tok = jnp.tile(t_f * dmask, (nb, 1))
+            t_a_b = jnp.full((nb,), t_f, jnp.float32)
+            tok_b = jnp.tile(tokens.astype(model_dtype), (nb, 1, 1))
+            atok_b = jnp.tile(a_tokens.astype(model_dtype), (nb, 1, 1))
+            v_out, a_out = fwd(tf_state, tok_b, atok_b, t_tok, t_a_b,
+                               ctx_b.astype(model_dtype), mask_b, coords_b,
+                               vshape, float(fps))
+            if do_cfg:
+                v = v_out[:1] + guidance_scale * (v_out[1:2] - v_out[:1])
+                a = a_out[:1] + guidance_scale * (a_out[1:2] - a_out[:1])
+            else:
+                v, a = v_out, a_out
+            dt = float((ts[i + 1] if i + 1 < len(ts) else 0.0) - t_f)
+            tokens = tokens + dt * v.astype(jnp.float32)
+            a_tokens = a_tokens + dt * a.astype(jnp.float32)
+            # re-impose clean conditioning each step (keyframe_video_base:411)
+            m = dmask[..., None]
+            tokens = tokens * m + clean * (1.0 - m)
+            safe_emit_progress(denoise_cb, (i + 1) / len(ts),
+                               f"denoise step {i + 1}/{len(ts)}")
+
+        lats = _unpatchify_tokens(tokens[:, :base_tok], lat_f, lat_h, lat_w)
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return lats
+
+        key = ("ltx2_vae_decode", tuple(lats.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+            graphdef_v, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def dec(state, z):
+                return nnx.merge(graphdef_v, state).decode(z)
+
+            self._jit_cache[key] = dec
+        _, vae_state = nnx.split(self.vae)
+        video = dec(vae_state, lats.astype(jnp.float32))
+        b, c, t, h, w = video.shape
+        frames = self.tensor_to_frames(
+            jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w))
+        safe_emit_progress(progress_callback, 1.0, "Completed keyframe pipeline")
+        return frames
+
+
+@register_engine("ltx2", "ic_lora")
+class LTX2ICLoraEngine(LTX2KeyframeVideoBase):
+    """IC-LoRA: keyframe images + optional control video as appended keyframe
+    tokens (reference src/engine/ltx2/ic_lora.py)."""
+
+
+@register_engine("ltx2", "keyframe_interpolation")
+class LTX2KeyframeInterpolationEngine(LTX2KeyframeVideoBase):
+    """Keyframe interpolation: image-only keyframe conditioning (reference
+    src/engine/ltx2/keyframe_interpolation.py)."""
+
+    allow_conditioning_video = False
+
+
+@register_engine("ltx2", "multimodal_guidance")
+class LTX2MultimodalGuidanceEngine(LTX2TI2VEngine):
+    """ti2v with the MultiModalGuider branches surfaced as first-class
+    defaults (reference src/engine/ltx2/multimodal_guidance.py MultiModalGuider:
+    CFG + spatiotemporal guidance (self-attn-skipped perturbed pass) +
+    isolated-modality guidance (a2v/v2a cross-attn skipped))."""
+
+    def run(self, *, stg_scale: float = 1.0, modality_scale: float = 1.0,
+            guidance_rescale: float = 0.0, **kwargs: Any):
+        return super().run(stg_scale=stg_scale, modality_scale=modality_scale,
+                           guidance_rescale=guidance_rescale, **kwargs)

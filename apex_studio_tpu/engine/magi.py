@@ -279,19 +279,7 @@ class MagiShared(BaseEngine):
         frames = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
         return self.tensor_to_frames(frames)
 
-    def encode_video_latents(self, video: jnp.ndarray) -> jnp.ndarray:
-        key = ("magi_vae_encode", tuple(video.shape))
-        enc = self._jit_cache.get(key)
-        if enc is None:
-            graphdef, _ = nnx.split(self.vae)
-
-            @jax.jit
-            def enc(state, v):
-                return nnx.merge(graphdef, state).encode(v)
-
-            self._jit_cache[key] = enc
-        _, state = nnx.split(self.vae)
-        return enc(state, video.astype(jnp.float32))
+    # encode_video_latents inherited from BaseEngine (disk-cached).
 
 
 _DEFAULTS = dict(

@@ -387,3 +387,140 @@ class QwenImageEditEngine(QwenImageT2IEngine):
         frames = self._decode_frames(x, lat_h, lat_w)
         safe_emit_progress(progress_callback, 1.0, "Completed edit pipeline")
         return frames
+
+
+@register_engine("qwenimage", "controlnet")
+class QwenImageControlNetEngine(QwenImageT2IEngine):
+    """t2i guided by a separate QwenImageControlNetModel branch whose
+    per-block residuals are injected into the main DiT (reference
+    src/engine/qwenimage/controlnet.py; residual mapping base/model.py:970).
+    The manifest declares the branch as a transformer component named
+    ``controlnet`` (base: qwenimage.controlnet)."""
+
+    def _load_controlnet(self):
+        if "controlnet" in self.helpers:
+            return self.helpers["controlnet"]
+        from apex_studio_tpu.models.registry import transformer_registry
+
+        spec = self.component_specs.get("controlnet")
+        if spec is None:
+            raise KeyError("manifest has no 'controlnet' component")
+        cn = self._instantiate_family(transformer_registry, spec, "qwenimage")
+        self.helpers["controlnet"] = cn
+        return cn
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        control_image: Optional[Any] = None,
+        controlnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        true_cfg_scale: float = 4.0,
+        seed: Optional[int] = None,
+        sigmas: Optional[List[float]] = None,
+        timesteps: Optional[List[float]] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting controlnet pipeline")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.scheduler is None:
+            self.load_component_by_type("scheduler")
+        controlnet = self._load_controlnet()
+        if control_image is None:
+            raise ValueError("controlnet requires a control_image")
+
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+        txt = self.encode_prompt(prompt or "")
+        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
+
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+        lat_c = cfg_t.out_channels
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+
+        cond_tokens = self.encode_image_latents(
+            np.asarray(self.load_image_input(control_image)), height, width)
+
+        noise = self.get_latents((1, lat_c, lat_h, lat_w), seed=seed)
+        x = self.transformer.pack_latents(noise.astype(jnp.float32))
+
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
+        mu = compute_dynamic_shift_mu(
+            x.shape[1],
+            self.scheduler.config.get("base_image_seq_len", 256),
+            self.scheduler.config.get("max_image_seq_len", 4096),
+            self.scheduler.config.get("base_shift", 0.5),
+            self.scheduler.config.get("max_shift", 1.15),
+        )
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps,
+            sigmas=sigmas, mu=mu)
+        self.scheduler.set_begin_index(0)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        cn_graph, cn_state = nnx.split(controlnet)
+        grid = (lat_h // 2, lat_w // 2)
+
+        key = ("qwenimage_cn_step", x.shape, txt.shape[1],
+               neg_txt.shape[1] if use_cfg else None, grid, use_cfg)
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
+
+            def apply(m, x, aux, t_vec, txt, neg_txt, g, cn_s, cond, cscale):
+                cn = nnx.merge(cn_graph, cn_s)
+                x_in = x.astype(m.dtype)
+                samples = cn(x_in, cond.astype(m.dtype), txt, t_vec,
+                             grid_hw=grid, conditioning_scale=cscale)
+                v = m(x_in, txt, t_vec, grid_hw=grid,
+                      controlnet_block_samples=samples).astype(jnp.float32)
+                if use_cfg:
+                    s_neg = cn(x_in, cond.astype(m.dtype), neg_txt, t_vec,
+                               grid_hw=grid, conditioning_scale=cscale)
+                    v_neg = m(x_in, neg_txt, t_vec, grid_hw=grid,
+                              controlnet_block_samples=s_neg).astype(jnp.float32)
+                    v = v_neg + g * (v - v_neg)
+                return v, aux
+
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
+
+        denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        n_steps = len(ts)
+        for i, t in enumerate(ts):
+            # control_guidance window (controlnet.py:182 controlnet_keep)
+            frac = i / max(n_steps - 1, 1)
+            keep = 1.0 - float(frac < control_guidance_start
+                               or frac > control_guidance_end)
+            t_vec = jnp.full((1,), float(t) / 1000.0, jnp.float32)
+            x, _ = step(
+                tf_state, x,
+                float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
+                (), t_vec, txt, neg_txt if use_cfg else txt,
+                jnp.float32(true_cfg_scale if use_cfg else 1.0),
+                cn_state, cond_tokens,
+                jnp.float32(controlnet_conditioning_scale * keep),
+            )
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / n_steps, 1.0),
+                           f"Denoising step {i + 1}/{n_steps}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self._decode_frames(x, lat_h, lat_w)
+        safe_emit_progress(progress_callback, 1.0, "Completed controlnet pipeline")
+        return frames

@@ -197,17 +197,7 @@ class SkyReelsDFEngine(SkyReelsFPSMixin, WanShared):
             resized = cv2.resize(image, (width, height), interpolation=cv2.INTER_LANCZOS4)
             first = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
             video = first[None, :, None]
-            graphdef, vae_state = nnx.split(self.vae)
-            key = ("skyreels_vae_encode", tuple(video.shape))
-            enc = self._jit_cache.get(key)
-            if enc is None:
-
-                @jax.jit
-                def enc(state, v):
-                    return nnx.merge(graphdef, state).encode(v)
-
-                self._jit_cache[key] = enc
-            z0 = enc(vae_state, video)
+            z0 = self.encode_video_latents(video)
             x = x.at[:, :, : z0.shape[2]].set(z0.astype(jnp.float32))
             num_pre_ready = z0.shape[2]
 

@@ -55,24 +55,29 @@ class ZImageT2IEngine(BaseEngine):
             self._jit_cache[key] = fwd
         return fwd
 
-    def _fused_step(self, cap_len: int, latent_shape, cfg_variant: str):
+    def _fused_step(self, cap_len: int, latent_shape, cfg_variant: str,
+                    control: bool = False):
         """Forward + CFG + negation + Euler update in ONE compiled program
-        (donated latents; a denoise step is a single device dispatch)."""
-        key = ("zimage_step", cap_len, tuple(latent_shape), cfg_variant)
+        (donated latents; a denoise step is a single device dispatch).
+        ``control=True`` adds (control_context, control_context_scale) args
+        for the zimage.control variant."""
+        key = ("zimage_step", cap_len, tuple(latent_shape), cfg_variant, control)
         step = self._jit_cache.get(key)
         if step is None:
             graphdef, _ = nnx.split(self.transformer)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def step(state, lats, t_model, sigma, sigma_next, cap, cap_mask,
-                     neg_cap, neg_mask, g, cfg_norm_ratio):
+                     neg_cap, neg_mask, g, cfg_norm_ratio, cc=None, cscale=1.0):
                 model = nnx.merge(graphdef, state)
+                ckw = ({"control_context": cc, "control_context_scale": cscale}
+                       if control else {})
                 b = lats.shape[0]
                 t_vec = jnp.full((b,), t_model, jnp.float32)
                 x_in = lats.astype(model.dtype)[:, :, None, :, :]
-                pos = model(x_in, t_vec, cap, cap_mask)[:, :, 0].astype(jnp.float32)
+                pos = model(x_in, t_vec, cap, cap_mask, **ckw)[:, :, 0].astype(jnp.float32)
                 if cfg_variant == "cfg":
-                    neg = model(x_in, t_vec, neg_cap, neg_mask)[:, :, 0].astype(jnp.float32)
+                    neg = model(x_in, t_vec, neg_cap, neg_mask, **ckw)[:, :, 0].astype(jnp.float32)
                     pred = pos + g * (pos - neg)
                     # pos-anchored norm clamp (only shrinks)
                     pos_n = jnp.linalg.norm(pos.reshape(b, -1), axis=-1)
@@ -127,6 +132,8 @@ class ZImageT2IEngine(BaseEngine):
         render_on_step_interval: int = 3,
         progress_callback: Optional[Callable] = None,
         offload: bool = True,
+        control_context: Optional[jnp.ndarray] = None,
+        control_context_scale: float = 0.75,
         **_: Any,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting text-to-image pipeline")
@@ -202,15 +209,18 @@ class ZImageT2IEngine(BaseEngine):
             if can_fuse:
                 # One device dispatch: forward(+cfg) + negate + Euler update.
                 step = self._fused_step(
-                    cap.shape[1], latent_shape, "cfg" if apply_cfg else "nocfg"
+                    cap.shape[1], latent_shape, "cfg" if apply_cfg else "nocfg",
+                    control=control_context is not None,
                 )
+                extra = (() if control_context is None
+                         else (control_context, float(control_context_scale)))
                 lats = step(
                     tf_state, lats, t_model,
                     float(self.scheduler.sigmas[i]), float(self.scheduler.sigmas[i + 1]),
                     cap, cap_mask,
                     neg_cap if apply_cfg else cap,
                     neg_mask if apply_cfg else cap_mask,
-                    float(g), cfg_norm_ratio,
+                    float(g), cfg_norm_ratio, *extra,
                 )
             else:
                 fwd = self._transformer_fwd(cap.shape[1], latent_shape)
@@ -265,3 +275,78 @@ class ZImageT2IEngine(BaseEngine):
         _, vae_state = nnx.split(self.vae)
         img = dec(vae_state, lats.astype(jnp.float32))
         return self.tensor_to_frames(img)
+
+
+@register_engine("zimage", "control")
+class ZImageControlEngine(ZImageT2IEngine):
+    """Z-Image control/inpaint: packs [control latents (16) ‖ inverted mask
+    (1) ‖ inpaint latents (16)] = 33 channels of control context consumed by
+    the ControlNet-style branch of zimage.control (reference
+    src/engine/zimage/control.py:88 run, :219 concat)."""
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        control_image: Optional[Any] = None,
+        image: Optional[Any] = None,
+        mask_image: Optional[Any] = None,
+        control_context_scale: float = 0.75,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        **kwargs: Any,
+    ):
+        import cv2
+
+        if self.vae is None:
+            self.load_component_by_type("vae")
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
+        height = height or 1024
+        width = width or 1024
+        vae_scale = self.vae.cfg.spatial_scale * 2
+        height -= height % vae_scale
+        width -= width % vae_scale
+        lat_scale = self.vae.cfg.spatial_scale
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+        nl = self.transformer.cfg.in_channels
+
+        def _encode_image(arr):
+            px = cv2.resize(np.asarray(arr), (width, height),
+                            interpolation=cv2.INTER_AREA)
+            px = (px.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+            # zimage VAE is the 2D AutoencoderKL: encode [B,3,H,W]
+            return self.encode_video_latents(px[None])
+
+        # mask: 1 = region to regenerate (reference defaults to all-ones)
+        if mask_image is not None:
+            m = cv2.resize(np.asarray(self.load_image_input(mask_image))[..., 0],
+                           (width, height), interpolation=cv2.INTER_NEAREST)
+            mask = (m.astype(np.float32) / 255.0)[None, None]
+        else:
+            mask = np.ones((1, 1, height, width), np.float32)
+
+        if image is not None:
+            arr = np.asarray(self.load_image_input(image)).astype(np.float32)
+            arr = cv2.resize(arr, (width, height), interpolation=cv2.INTER_AREA)
+            keep = (cv2.resize(mask[0, 0], (width, height),
+                               interpolation=cv2.INTER_NEAREST) < 0.5)[..., None]
+            inpaint_lat = _encode_image((arr * keep).astype(np.uint8))
+        else:
+            inpaint_lat = jnp.zeros((1, nl, lat_h, lat_w), jnp.float32)
+
+        if control_image is not None:
+            control_lat = _encode_image(self.load_image_input(control_image))
+        else:
+            control_lat = jnp.zeros_like(inpaint_lat)
+
+        # inverted mask at latent resolution, nearest (control.py:209)
+        mask_lat = cv2.resize(1.0 - mask[0, 0], (lat_w, lat_h),
+                              interpolation=cv2.INTER_NEAREST)[None, None]
+        cc = jnp.concatenate(
+            [jnp.asarray(control_lat, jnp.float32),
+             jnp.asarray(mask_lat, jnp.float32),
+             jnp.asarray(inpaint_lat, jnp.float32)], axis=1)[:, :, None]
+        cc = cc.astype(self.transformer.dtype)
+        return super().run(prompt=prompt, height=height, width=width,
+                           control_context=cc,
+                           control_context_scale=control_context_scale, **kwargs)

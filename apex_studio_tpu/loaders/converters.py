@@ -168,6 +168,7 @@ converter_registry.add(
     "zimage",
     KeyConverter(
         renames=[
+            (r"^control_all_x_embedder\.[0-9]+-[0-9]+\.", "control_x_embedder."),
             (r"^all_x_embedder\.[0-9]+-[0-9]+\.", "x_embedder."),
             (r"^all_final_layer\.[0-9]+-[0-9]+\.", "final_layer."),
             (r"^cap_embedder\.0\.", "cap_embedder_norm."),
@@ -179,7 +180,7 @@ converter_registry.add(
             (r"\.adaLN_modulation\.0\.", ".adaLN_modulation."),
             (r"\.adaLN_modulation\.1\.", ".adaLN_modulation."),
             # torch Linear/Norm weights → our leaf names (transpose inferred later).
-            (r"(linear|to_q|to_k|to_v|to_out|w1|w2|w3|in_layer|out_layer|adaLN_modulation|x_embedder|cap_embedder_linear)\.weight$", r"\1.kernel"),
+            (r"(linear|to_q|to_k|to_v|to_out|w1|w2|w3|in_layer|out_layer|adaLN_modulation|x_embedder|cap_embedder_linear|before_proj|after_proj)\.weight$", r"\1.kernel"),
         ],
         drop=(r"rope_embedder", r"\.freqs", r"^siglip_"),
     ),
@@ -337,7 +338,8 @@ converter_registry.add(
             (r"\.(img|txt)_mlp\.net\.0\.proj\.", r".\1_mlp.fc1."),
             (r"\.(img|txt)_mlp\.net\.2\.", r".\1_mlp.fc2."),
             (r"^norm_out\.linear\.", "norm_out_linear."),
-            (r"(img_in|txt_in|to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|img_mod|txt_mod|fc1|fc2|proj_out|norm_out_linear|timestep_linear_\d)\.weight$", r"\1.kernel"),
+            (r"(controlnet_blocks\.\d+)\.weight$", r"\1.kernel"),
+            (r"(img_in|txt_in|to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|img_mod|txt_mod|fc1|fc2|proj_out|norm_out_linear|timestep_linear_\d|controlnet_x_embedder)\.weight$", r"\1.kernel"),
         ],
         drop=(r"^pos_embed", r"rotary"),
     ),
@@ -429,6 +431,9 @@ converter_registry.add(
             (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
             (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
             (r"^norm_out\.linear\.", "norm_out_linear."),
+            # Framepack extras (framepack/model.py:87,100)
+            (r"^clean_x_embedder\.(proj(?:_2x|_4x)?)\.weight$", r"clean_x_embedder.\1.kernel"),
+            (r"^image_projection\.(up|down)\.weight$", r"image_projection.\1.kernel"),
             (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|fc1|fc2|ff_in|ff_out|ada_linear|proj_in|proj_mlp|proj_out|norm1_linear|norm1_context_linear|norm_linear|norm_out_linear|time_linear_\d|timestep_linear_\d|text_linear_\d|guidance_linear_\d)\.weight$",
              r"\1.kernel"),
         ],
@@ -1475,5 +1480,57 @@ converter_registry.add(
              r"\1.kernel"),
         ],
         drop=(r"^freqs", r"^head\.norm\."),
+    ),
+)
+
+converter_registry.add(
+    "mmaudio_vae",
+    KeyConverter(
+        renames=[
+            # AutoEncoderModule container: tod.vae.* / tod.vocoder.vocoder.*
+            (r"^tod\.vae\.", ""),
+            (r"^tod\.vocoder\.vocoder\.", "vocoder."),
+            (r"^vocoder\.vocoder\.", "vocoder."),
+            (r"\.parametrizations\.weight\.original0$", ".weight_g"),
+            (r"\.parametrizations\.weight\.original1$", ".weight_v"),
+            (r"\.down\.(\d+)\.block\.", r".down.\1.0."),
+            (r"\.down\.(\d+)\.attn\.", r".down.\1.1."),
+            (r"\.down\.(\d+)\.downsample\.conv1\.", r".down.\1.2."),
+            (r"\.down\.(\d+)\.downsample\.conv2\.", r".down.\1.3."),
+            (r"\.up\.(\d+)\.block\.", r".up.\1.0."),
+            (r"\.up\.(\d+)\.attn\.", r".up.\1.1."),
+            (r"\.up\.(\d+)\.upsample\.conv\.", r".up.\1.2."),
+            (r"\.mid\.block_1\.", ".mid_block_1."),
+            (r"\.mid\.attn_1\.", ".mid_attn_1."),
+            (r"\.mid\.block_2\.", ".mid_block_2."),
+            (r"vocoder\.ups\.(\d+)\.0\.", r"vocoder.ups.\1."),
+        ],
+        strip_prefixes=("module.",),
+        drop=(r"mel_converter",),
+    ),
+)
+
+converter_registry.add(
+    "wan_ovi",
+    KeyConverter(
+        renames=[
+            # Original wan layout inside video_model./audio_model. prefixes
+            (r"\.self_attn\.(q|k|v|o)\.", r".self_\1."),
+            (r"\.self_attn\.(norm_q|norm_k)\.", r".self_\1."),
+            (r"\.cross_attn\.(q|k|v|o)\.(?=weight|bias)", r".cross_\1."),
+            (r"\.cross_attn\.(norm_q|norm_k)\.", r".cross_\1."),
+            (r"\.cross_attn\.(k_fusion|v_fusion|pre_attn_norm_fusion|norm_k_fusion)\.",
+             r".\1."),
+            (r"\.ffn\.0\.", ".ffn_0."),
+            (r"\.ffn\.2\.", ".ffn_2."),
+            (r"\.text_embedding\.0\.", ".text_embedding_0."),
+            (r"\.text_embedding\.2\.", ".text_embedding_2."),
+            (r"\.time_embedding\.0\.", ".time_embedding_0."),
+            (r"\.time_embedding\.2\.", ".time_embedding_2."),
+            (r"\.time_projection\.1\.", ".time_projection_1."),
+            (r"\.(self_q|self_k|self_v|self_o|cross_q|cross_k|cross_v|cross_o|k_fusion|v_fusion|ffn_0|ffn_2|patch_embedding|text_embedding_\d|time_embedding_\d|time_projection_1|head)\.weight$",
+             r".\1.kernel"),
+        ],
+        drop=(r"\.freqs",),
     ),
 )

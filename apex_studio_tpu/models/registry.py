@@ -51,8 +51,11 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.transformers.hidream",
         "apex_studio_tpu.models.transformers.seedvr",
         "apex_studio_tpu.models.transformers.flashvsr",
+        "apex_studio_tpu.models.transformers.hunyuanvideo_framepack",
         "apex_studio_tpu.models.vaes.seedvr_vae",
         "apex_studio_tpu.models.vaes.tae_vae",
+        "apex_studio_tpu.models.vaes.mmaudio_vae",
+        "apex_studio_tpu.models.transformers.wan_ovi",
         "apex_studio_tpu.models.vaes.ltx2_vae",
         "apex_studio_tpu.models.vaes.ltx2_audio_vae",
         "apex_studio_tpu.models.ltx2_vocoder",

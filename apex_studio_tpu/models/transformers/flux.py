@@ -245,10 +245,18 @@ class FluxTransformer2DModel(nnx.Module):
         txt_ids = np.zeros((n_txt, 3), np.int64)
         parts = [txt_ids, self.img_ids(h_tok, w_tok)]
         if cond_grid_hw is not None:
-            # Kontext convention: conditioning image tokens live at t-index 1.
-            cond_ids = self.img_ids(*cond_grid_hw)
-            cond_ids[:, 0] = 1
-            parts.append(cond_ids)
+            # Kontext convention: conditioning image tokens live at t-index 1;
+            # DreamOmni2 stacks several references at t-index i+1 with
+            # accumulated w-offsets (engine/flux/dreamomni2.py:398-407).
+            grids = ([cond_grid_hw] if isinstance(cond_grid_hw[0], int)
+                     else list(cond_grid_hw))
+            w_off = 0
+            for i, g in enumerate(grids):
+                cond_ids = self.img_ids(*g)
+                cond_ids[:, 0] = i + 1
+                cond_ids[:, 2] += w_off
+                parts.append(cond_ids)
+                w_off += g[1]
         ids = np.concatenate(parts, axis=0)
         cos, sin = precompute_axial_freqs(
             jnp.asarray(ids)[None], self.cfg.axes_dims_rope, self.cfg.rope_theta

@@ -215,18 +215,22 @@ class LTX2Block(nnx.Module):
     def __call__(self, x, xa, ctx, ctx_audio, temb, temb_audio,
                  ca_ss, ca_ss_audio, ca_gate, ca_gate_audio,
                  v_rope, a_rope, ca_v_rope, ca_a_rope,
-                 ctx_bias=None, ctx_audio_bias=None):
+                 ctx_bias=None, ctx_audio_bias=None,
+                 skip_self_attn=False, skip_audio_self_attn=False,
+                 skip_av_cross=False):
         dt = x.dtype
         s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [
             m.astype(dt) for m in self._mods(temb, self.scale_shift_table.value, 6)]
-        h = self.norm1(x).astype(dt) * (1 + sc_msa) + s_msa
-        x = x + g_msa * self.attn1(h, q_rope=v_rope, k_rope=v_rope)
+        if not skip_self_attn:  # STG perturbed pass skips video self-attn
+            h = self.norm1(x).astype(dt) * (1 + sc_msa) + s_msa
+            x = x + g_msa * self.attn1(h, q_rope=v_rope, k_rope=v_rope)
 
         as_msa, asc_msa, ag_msa, as_mlp, asc_mlp, ag_mlp = [
             m.astype(dt) for m in self._mods(
                 temb_audio, self.audio_scale_shift_table.value, 6)]
-        ha = self.audio_norm1(xa).astype(dt) * (1 + asc_msa) + as_msa
-        xa = xa + ag_msa * self.audio_attn1(ha, q_rope=a_rope, k_rope=a_rope)
+        if not skip_audio_self_attn:
+            ha = self.audio_norm1(xa).astype(dt) * (1 + asc_msa) + as_msa
+            xa = xa + ag_msa * self.audio_attn1(ha, q_rope=a_rope, k_rope=a_rope)
 
         # text cross-attention (pre-norm, ungated — model.py:1018)
         x = x + self.attn2(self.norm2(x).astype(dt), context=ctx,
@@ -244,16 +248,17 @@ class LTX2Block(nnx.Module):
             m.astype(dt) for m in self._mods(ca_ss_audio, at[:4], 4)]
         (v2a_gate,) = [m.astype(dt) for m in self._mods(ca_gate_audio, at[4:], 1)]
 
-        nv = self.audio_to_video_norm(x).astype(dt)
-        na = self.video_to_audio_norm(xa).astype(dt)
-        x = x + a2v_gate * self.audio_to_video_attn(
-            nv * (1 + v_a2v_sc) + v_a2v_sh,
-            context=na * (1 + a_a2v_sc) + a_a2v_sh,
-            q_rope=ca_v_rope, k_rope=ca_a_rope)
-        xa = xa + v2a_gate * self.video_to_audio_attn(
-            na * (1 + a_v2a_sc) + a_v2a_sh,
-            context=nv * (1 + v_v2a_sc) + v_v2a_sh,
-            q_rope=ca_a_rope, k_rope=ca_v_rope)
+        if not skip_av_cross:  # isolated-modality guidance pass
+            nv = self.audio_to_video_norm(x).astype(dt)
+            na = self.video_to_audio_norm(xa).astype(dt)
+            x = x + a2v_gate * self.audio_to_video_attn(
+                nv * (1 + v_a2v_sc) + v_a2v_sh,
+                context=na * (1 + a_a2v_sc) + a_a2v_sh,
+                q_rope=ca_v_rope, k_rope=ca_a_rope)
+            xa = xa + v2a_gate * self.video_to_audio_attn(
+                na * (1 + a_v2a_sc) + a_v2a_sh,
+                context=nv * (1 + v_v2a_sc) + v_v2a_sh,
+                q_rope=ca_a_rope, k_rope=ca_v_rope)
 
         h = self.norm3(x).astype(dt) * (1 + sc_mlp) + s_mlp
         x = x + g_mlp * self.ff(h)
@@ -357,6 +362,10 @@ class LTX2VideoTransformer3D(nnx.Module):
         fps: float = 25.0,
         t_audio: Optional[jnp.ndarray] = None,
         ctx_mask: Optional[jnp.ndarray] = None,
+        video_coords: Optional[jnp.ndarray] = None,  # [B,3,S] override
+        skip_video_self_attn_blocks: Optional[Tuple[int, ...]] = None,
+        skip_audio_self_attn_blocks: Optional[Tuple[int, ...]] = None,
+        skip_av_cross_attn: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         b = x.shape[0]
@@ -365,7 +374,10 @@ class LTX2VideoTransformer3D(nnx.Module):
             # audio inherits the (scalar) denoise level of the generated part
             t_audio = t if t.ndim == 1 else t[:, 0]
 
-        vc = self.video_coords(*video_shape, fps=fps, batch=b)
+        # Keyframe-append conditioning passes explicit per-token coords
+        # (reference keyframe_engine.py:218 time-shifts appended tokens).
+        vc = (video_coords if video_coords is not None
+              else self.video_coords(*video_shape, fps=fps, batch=b))
         ac = self.audio_coords(xa.shape[1], batch=b)
         d, ad = cfg.inner_dim, cfg.audio_inner_dim
         v_rope = ltx2_rope(vc, d, cfg.rope_theta,
@@ -397,10 +409,15 @@ class LTX2VideoTransformer3D(nnx.Module):
         ca_g, _ = self._temb(self.av_cross_attn_video_a2v_gate, t * gs, b)
         ca_g_a, _ = self._temb(self.av_cross_attn_audio_v2a_gate, t_audio * gs, b)
 
-        for blk in self.blocks:
+        skip_v = set(skip_video_self_attn_blocks or ())
+        skip_a = set(skip_audio_self_attn_blocks or ())
+        for bi, blk in enumerate(self.blocks):
             x, xa = blk(x, xa, ctx_v, ctx_a, temb, temb_a, ca_ss, ca_ss_a,
                         ca_g, ca_g_a, v_rope, a_rope, ca_v_rope, ca_a_rope,
-                        ctx_bias=ctx_bias, ctx_audio_bias=ctx_bias)
+                        ctx_bias=ctx_bias, ctx_audio_bias=ctx_bias,
+                        skip_self_attn=bi in skip_v,
+                        skip_audio_self_attn=bi in skip_a,
+                        skip_av_cross=skip_av_cross_attn)
 
         sst = self.scale_shift_table.value
         shift = (emb_t + sst[None, 0]).astype(x.dtype)

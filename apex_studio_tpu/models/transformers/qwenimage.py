@@ -16,7 +16,7 @@ Behavioral counterpart of the reference's ``src/transformer/qwenimage/``
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -190,6 +190,7 @@ class QwenImageTransformer2DModel(nnx.Module):
         timestep: jnp.ndarray,               # [B] in [0, 1]
         grid_hw: Tuple[int, int] = None,
         extra_segments: Tuple[Tuple[int, int], ...] = (),
+        controlnet_block_samples: Optional[List[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         b, n_img, _ = hidden_states.shape
         n_txt = encoder_hidden_states.shape[1]
@@ -205,8 +206,14 @@ class QwenImageTransformer2DModel(nnx.Module):
         txt = self.txt_in(self.txt_norm(encoder_hidden_states.astype(self.dtype)))
         icos, isin, tcos, tsin = self.rope_tables(*grid_hw, n_txt, extra_segments)
 
-        for blk in self.transformer_blocks:
+        for bi, blk in enumerate(self.transformer_blocks):
             img, txt = blk(img, txt, temb, icos, isin, tcos, tsin)
+            if controlnet_block_samples is not None:
+                # diffusers residual injection: ceil-interval block mapping
+                # (reference base/model.py:970-977)
+                interval = int(np.ceil(len(self.transformer_blocks)
+                                       / len(controlnet_block_samples)))
+                img = img + controlnet_block_samples[bi // interval].astype(img.dtype)
 
         scale, shift = jnp.split(self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
         img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
@@ -224,3 +231,81 @@ def _unpack(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     c = d // 4
     x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
     return x.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+
+
+@dataclasses.dataclass
+class QwenImageControlNetConfig(QwenImageConfig):
+    """diffusers QwenImageControlNetModel geometry (a shallow copy of the
+    main DiT's dual-stream blocks + zero-init per-block output linears;
+    reference engine src/engine/qwenimage/controlnet.py consumes it)."""
+
+    num_layers: int = 5
+    extra_condition_channels: int = 0  # union variants stack extra channels
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "QwenImageControlNetConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in cfg.items() if k in known}
+        if "axes_dims_rope" in kw:
+            kw["axes_dims_rope"] = tuple(kw["axes_dims_rope"])
+        return cls(**kw)
+
+
+@transformer_registry.register(
+    "qwenimage.controlnet", aliases=("QwenImageControlNetModel",))
+class QwenImageControlNetModel(nnx.Module):
+    """ControlNet branch: img_in + zero-init controlnet_x_embedder on the
+    packed control latents, N dual-stream blocks, zero-init per-block output
+    linears scaled by conditioning_scale. Residuals are added into the main
+    DiT at ceil-interval blocks (base/model.py:970)."""
+
+    config_class = QwenImageControlNetConfig
+
+    def __init__(self, cfg: Optional[QwenImageControlNetConfig] = None, *,
+                 dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.cfg = cfg = cfg or QwenImageControlNetConfig()
+        self.dtype = dtype
+        d = cfg.dim
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.img_in = Linear(cfg.in_channels, d, **kw)
+        self.controlnet_x_embedder = Linear(
+            cfg.in_channels + cfg.extra_condition_channels, d, **kw)
+        self.txt_norm = RMSNorm(cfg.joint_attention_dim, eps=1e-6, rngs=rngs)
+        self.txt_in = Linear(cfg.joint_attention_dim, d, **kw)
+        self.timestep_linear_1 = Linear(256, d, **kw)
+        self.timestep_linear_2 = Linear(d, d, **kw)
+        self.transformer_blocks = nnx.List(
+            [QwenImageBlock(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+             for _ in range(cfg.num_layers)]
+        )
+        self.controlnet_blocks = nnx.List(
+            [Linear(d, d, **kw) for _ in range(cfg.num_layers)]
+        )
+        self._rope_helper = QwenImageTransformer2DModel.rope_tables
+
+    def rope_tables(self, h_tok, w_tok, n_txt, extra_segments=()):
+        return QwenImageTransformer2DModel.rope_tables(
+            self, h_tok, w_tok, n_txt, extra_segments)
+
+    def __call__(self, hidden_states, controlnet_cond, encoder_hidden_states,
+                 timestep, grid_hw=None, conditioning_scale: float = 1.0):
+        b, n_img, _ = hidden_states.shape
+        n_txt = encoder_hidden_states.shape[1]
+        if grid_hw is None:
+            side = int(round(float(np.sqrt(n_img))))
+            grid_hw = (side, side)
+        t_freq = timestep_embedding(timestep.astype(jnp.float32) * 1000.0, 256,
+                                    flip_sin_to_cos=True)
+        temb = self.timestep_linear_2(
+            nnx.silu(self.timestep_linear_1(t_freq.astype(self.dtype))))
+        img = (self.img_in(hidden_states.astype(self.dtype))
+               + self.controlnet_x_embedder(controlnet_cond.astype(self.dtype)))
+        txt = self.txt_in(self.txt_norm(encoder_hidden_states.astype(self.dtype)))
+        icos, isin, tcos, tsin = self.rope_tables(*grid_hw, n_txt)
+        samples = []
+        for blk, out_lin in zip(self.transformer_blocks, self.controlnet_blocks):
+            img, txt = blk(img, txt, temb, icos, isin, tcos, tsin)
+            samples.append(out_lin(img) * conditioning_scale)
+        return samples

@@ -105,7 +105,8 @@ class WanAttention(nnx.Module):
         b, s, _ = x.shape
         return x.reshape(b, s, self.heads, self.head_dim)
 
-    def __call__(self, x, context=None, rope_cos=None, rope_sin=None, context_image=None):
+    def __call__(self, x, context=None, rope_cos=None, rope_sin=None, context_image=None,
+                 ctx_bias=None):
         ctx = x if context is None else context
         q = self._heads(self.norm_q(self.to_q(x)))
         k = self._heads(self.norm_k(self.to_k(ctx)))
@@ -113,7 +114,7 @@ class WanAttention(nnx.Module):
         if rope_cos is not None:
             q = apply_rope(q, rope_cos, rope_sin)
             k = apply_rope(k, rope_cos, rope_sin)
-        out = attention_op(q, k, v)
+        out = attention_op(q, k, v, bias=ctx_bias)
         if context_image is not None and self.add_k_proj is not None:
             k_img = self._heads(self.norm_added_k(self.add_k_proj(context_image)))
             v_img = self._heads(self.add_v_proj(context_image))
@@ -140,7 +141,8 @@ class WanTransformerBlock(nnx.Module):
         )
         self.eps = cfg.eps
 
-    def __call__(self, x, context, temb6, rope_cos, rope_sin, context_image=None):
+    def __call__(self, x, context, temb6, rope_cos, rope_sin, context_image=None,
+                 ctx_bias=None):
         # temb6: [B, 6, dim] f32, or [B, N, 6, dim] per-token (diffusion forcing)
         if temb6.ndim == 4:
             mods = (self.scale_shift_table.value[:, :, None] + temb6.swapaxes(1, 2)).astype(x.dtype)
@@ -158,7 +160,8 @@ class WanTransformerBlock(nnx.Module):
             norm_x = layer_norm(x, self.norm2_weight.value, self.norm2_bias.value, self.eps)
         else:
             norm_x = x
-        x = x + self.attn2(norm_x, context=context, context_image=context_image)
+        x = x + self.attn2(norm_x, context=context, context_image=context_image,
+                           ctx_bias=ctx_bias)
 
         norm_x = layer_norm(x, eps=self.eps) * (1 + c_scale) + c_shift
         return x + self.ffn(norm_x) * c_gate
@@ -316,12 +319,17 @@ class WanTransformer3DModel(nnx.Module):
         context: jnp.ndarray,           # [B, L, text_dim] UMT5 features
         context_image: Optional[jnp.ndarray] = None,  # [B, Li, image_dim] CLIP
         fps_index: Optional[jnp.ndarray] = None,      # [B] int 0|1 (skyreels)
+        ctx_bias: Optional[jnp.ndarray] = None,       # [B,1,S,L] cross-attn bias
+        shot_ids: Optional[jnp.ndarray] = None,       # [B, S] per-token shot id
     ) -> jnp.ndarray:
         b, c, tt, hh, ww = x.shape
         tokens, temb, temb6, ctx, ctx_img, rope_cos, rope_sin, per_frame = \
             self._prepare_cond(x, t, context, context_image, fps_index)
+        if shot_ids is not None and getattr(self, "shot_embedding", None) is not None:
+            tokens = tokens + self.shot_embedding.value[shot_ids].astype(tokens.dtype)
         for blk in self.blocks:
-            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin, context_image=ctx_img)
+            tokens = blk(tokens, ctx, temb6, rope_cos, rope_sin,
+                         context_image=ctx_img, ctx_bias=ctx_bias)
         return self._finalize(tokens, temb, per_frame, tt, hh, ww)
 
 
@@ -648,3 +656,27 @@ class WanRecamTransformer3DModel(WanTransformer3DModel):
             tokens = blk(tokens, ctx, temb6, cos, sin, context_image=ctx_img,
                          cam_tokens=cam_tokens)
         return self._finalize(tokens, temb, per_frame, tt, hh, ww)
+
+
+# -- HoloCine joint multi-shot variant -------------------------------------------------
+
+
+@transformer_registry.register("wan.holocine", aliases=("holocine",))
+class WanHolocineTransformer3DModel(WanTransformer3DModel):
+    """HoloCine multi-shot Wan DiT (reference engine/wan/holocine.py
+    _run_inference_step / HoloCine model_fn_wan_video): the base Wan
+    architecture plus an optional learned per-shot token embedding added
+    after patchify (holocine.py:177-187) and a per-token cross-attention
+    bias that routes each video token to its own shot's caption span plus
+    the global span (holocine.py:204-263 — built by the engine and passed
+    as ``ctx_bias``). An optional extra shot-mask input channel rides on
+    ``in_channels`` (holocine.py:136-158)."""
+
+    def __init__(self, cfg: WanConfig, *, dtype=jnp.bfloat16,
+                 param_dtype=jnp.bfloat16, rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        n_shots = int(getattr(cfg, "max_shots", 0) or 20)
+        self.shot_embedding = nnx.Param(
+            nnx.initializers.normal(0.02)(rngs.params(), (n_shots, cfg.dim),
+                                          jnp.float32))

@@ -305,3 +305,159 @@ class ZImageTransformer2DModel(nnx.Module):
 
         out = self.final_layer(unified[:, :n_tot], adaln)
         return self.unpatchify(out, f, h, w)
+
+
+# ------------------------------------------------------------------------------
+# Control variant (ControlNet-in-one-model)
+# ------------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ZImageControlConfig(ZImageConfig):
+    """Reference ``src/transformer/zimage/control/model.py:108``
+    (ZImageControlTransformer2DModel @register_to_config defaults)."""
+
+    control_layers_places: Tuple[int, ...] = tuple(range(0, 30, 2))
+    control_refiner_layers_places: Tuple[int, ...] = (0, 1)
+    control_in_dim: int = 33
+    add_control_noise_refiner: bool = True
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "ZImageControlConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in cfg.items() if k in known}
+        if "all_patch_size" in cfg:
+            kw["patch_size"] = int(cfg["all_patch_size"][0])
+        if "all_f_patch_size" in cfg:
+            kw["f_patch_size"] = int(cfg["all_f_patch_size"][0])
+        for key in ("axes_dims", "axes_lens", "control_layers_places",
+                    "control_refiner_layers_places"):
+            if key in kw and kw[key] is not None:
+                kw[key] = tuple(kw[key])
+        return cls(**kw)
+
+
+class ZImageControlBlock(ZImageBlock):
+    """Control-branch block (control/model.py:45): block 0 projects the
+    control stream onto the host stream (zero-init before_proj), every block
+    emits a zero-init after_proj hint."""
+
+    def __init__(self, cfg, first: bool, *, dtype, param_dtype, rngs: nnx.Rngs):
+        super().__init__(cfg, modulation=True, dtype=dtype,
+                         param_dtype=param_dtype, rngs=rngs)
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.before_proj = Linear(cfg.dim, cfg.dim, **kw) if first else None
+        self.after_proj = Linear(cfg.dim, cfg.dim, **kw)
+
+
+@transformer_registry.register(
+    "zimage.control", aliases=("ZImageControlTransformer2DModel",))
+class ZImageControlTransformer2DModel(ZImageTransformer2DModel):
+    """Z-Image control: a ControlNet-style branch inside the model —
+    control tokens run their own refiner + layer chain whose zero-init
+    ``after_proj`` hints are added into the host stream at
+    ``control_layers_places`` × ``control_context_scale``
+    (control/model.py:553 forward, :613 refiner hints, :747 layer hints)."""
+
+    config_class = ZImageControlConfig
+
+    def __init__(self, cfg: Optional[ZImageControlConfig] = None, *,
+                 dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                 rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        cfg = cfg or ZImageControlConfig()
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        patch_dim = cfg.f_patch_size * cfg.patch_size**2 * cfg.control_in_dim
+        self.control_x_embedder = Linear(patch_dim, cfg.dim, use_bias=True, **kw)
+        self.control_layers = nnx.List([
+            ZImageControlBlock(cfg, first=(i == 0), **kw)
+            for i in range(len(cfg.control_layers_places))
+        ])
+        self.control_noise_refiner = (
+            nnx.List([
+                ZImageControlBlock(cfg, first=(i == 0), **kw)
+                for i in range(cfg.n_refiner_layers)
+            ]) if cfg.add_control_noise_refiner else None
+        )
+
+    def patchify_control(self, x: jnp.ndarray) -> jnp.ndarray:
+        p, pf = self.cfg.patch_size, self.cfg.f_patch_size
+        b, c, f, h, w = x.shape
+        x = x.reshape(b, c, f // pf, pf, h // p, p, w // p, p)
+        x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1)
+        return x.reshape(b, (f // pf) * (h // p) * (w // p), pf * p * p * c)
+
+    def __call__(self, x, t, cap_feats, cap_mask=None, control_context=None,
+                 control_context_scale: float = 1.0):
+        cfg = self.cfg
+        if control_context is None:
+            return super().__call__(x, t, cap_feats, cap_mask)
+        b, c, f, h, w = x.shape
+        lc = cap_feats.shape[1]
+        assert lc % SEQ_MULTI_OF == 0
+
+        adaln = self.t_embedder(t.astype(jnp.float32) * cfg.t_scale)
+        tokens = self.x_embedder(self.patchify(x).astype(self.dtype))
+        ctokens = self.control_x_embedder(
+            self.patchify_control(control_context).astype(self.dtype))
+        n = tokens.shape[1]
+        n_pad = (-n) % SEQ_MULTI_OF
+        if n_pad:
+            pad = jnp.broadcast_to(
+                self.x_pad_token.value.astype(self.dtype), (b, n_pad, cfg.dim))
+            tokens = jnp.concatenate([tokens, pad], axis=1)
+            ctokens = jnp.concatenate([ctokens, pad], axis=1)
+        n_tot = n + n_pad
+
+        (x_cos, x_sin, c_cos, c_sin, u_cos, u_sin) = self._pos_tables(
+            h // cfg.patch_size, w // cfg.patch_size, n_tot, lc)
+
+        scale = jnp.asarray(control_context_scale, jnp.float32).astype(self.dtype)
+
+        # --- refiner stage with control hints (forward_control_2_0_refiner) ---
+        if self.control_noise_refiner is not None:
+            cr = ctokens
+            refiner_hints = []
+            for i, blk in enumerate(self.control_noise_refiner):
+                if blk.before_proj is not None:
+                    cr = blk.before_proj(cr) + tokens
+                cr = ZImageBlock.__call__(blk, cr, None, x_cos, x_sin, adaln)
+                refiner_hints.append(blk.after_proj(cr))
+            ctokens = cr
+            mapping = {p: i for i, p in enumerate(cfg.control_refiner_layers_places)}
+            for i, blk in enumerate(self.noise_refiner):
+                tokens = blk(tokens, None, x_cos, x_sin, adaln)
+                if i in mapping:
+                    tokens = tokens + refiner_hints[mapping[i]] * scale
+        else:
+            for blk in self.noise_refiner:
+                tokens = blk(tokens, None, x_cos, x_sin, adaln)
+
+        cap = self.cap_embedder_linear(
+            self.cap_embedder_norm(cap_feats.astype(self.dtype)))
+        if cap_mask is not None:
+            cap = jnp.where(cap_mask[..., None], cap,
+                            self.cap_pad_token.value.astype(self.dtype))
+        for blk in self.context_refiner:
+            cap = blk(cap, None, c_cos, c_sin)
+
+        unified = jnp.concatenate([tokens, cap], axis=1)
+
+        # --- control layer chain over [control ‖ cap] (forward_control_2_0_layers)
+        cu = jnp.concatenate([ctokens, cap], axis=1)
+        hints = []
+        for blk in self.control_layers:
+            if blk.before_proj is not None:
+                cu = blk.before_proj(cu) + unified
+            cu = ZImageBlock.__call__(blk, cu, None, u_cos, u_sin, adaln)
+            hints.append(blk.after_proj(cu))
+
+        mapping = {p: i for i, p in enumerate(cfg.control_layers_places)}
+        for i, blk in enumerate(self.layers):
+            unified = blk(unified, None, u_cos, u_sin, adaln)
+            if i in mapping:
+                unified = unified + hints[mapping[i]] * scale
+
+        out = self.final_layer(unified[:, :n_tot], adaln)
+        return self.unpatchify(out, f, h, w)

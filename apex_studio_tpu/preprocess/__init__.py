@@ -9,3 +9,4 @@ from apex_studio_tpu.preprocess import lineart_model  # noqa: F401
 from apex_studio_tpu.preprocess import pidinet  # noqa: F401
 from apex_studio_tpu.preprocess import depth_anything  # noqa: F401
 from apex_studio_tpu.preprocess import openpose  # noqa: F401
+from apex_studio_tpu.preprocess import dwpose  # noqa: F401

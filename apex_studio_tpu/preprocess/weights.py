@@ -72,3 +72,30 @@ def load_preprocessor_weights(
                "; place the published checkpoint there")
         )
     return _load_any(local)
+
+
+def resolve_preprocessor_file(
+    filename: str,
+    hf_repo: Optional[str] = None,
+    root: Optional[Path] = None,
+) -> Path:
+    """Resolve an arbitrary preprocessor asset file (e.g. .onnx) by exact
+    name, downloading it from its published repo when absent."""
+    from apex_studio_tpu.utils.defaults import get_preprocessor_models_path
+
+    root = root or get_preprocessor_models_path()
+    local = root / filename
+    if local.exists():
+        return local
+    if hf_repo:
+        from apex_studio_tpu.downloads.api import download_file, hf_url
+
+        try:
+            root.mkdir(parents=True, exist_ok=True)
+            download_file(hf_url(f"{hf_repo}/{filename}"), local)
+            return local
+        except Exception as e:
+            logger.warning("preprocessor asset download failed: %s", e)
+    raise FileNotFoundError(
+        f"asset '{filename}' not under {root}"
+        + (f" and download from {hf_repo} failed" if hf_repo else ""))

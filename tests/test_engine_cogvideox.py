@@ -210,3 +210,50 @@ class TestCogVideoXEngines:
                   return_latents=True)
         a, b = eng.run(**kw), eng.run(**kw)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCogVideoXInpControl:
+    def _engine(self, tmp_path, model_type, extra_in_channels):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        doc = yaml.safe_load(yaml.safe_dump(COG_TINY))
+        doc["metadata"]["id"] = f"cog-{model_type}-tiny"
+        doc["spec"]["model_type"] = model_type
+        for c in doc["spec"]["components"]:
+            if c["type"] == "transformer":
+                c["config"] = dict(c["config"])
+                c["config"]["in_channels"] = extra_in_channels
+        path = tmp_path / f"cog-{model_type}.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+        from tests.test_engine_zimage import make_tokenizer
+
+        eng = UniversalEngine(str(path))
+        spec = eng._spec_for_type("text_encoder")
+        if spec is not None:
+            spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_control_runs(self, tmp_path):
+        # noise C=4 + control C=4 → in_channels 8
+        eng = self._engine(tmp_path, "control", 8)
+        vid = [np.full((32, 32, 3), 90 + i, np.uint8) for i in range(9)]
+        lat = eng.run(control_video=vid, prompt="c", height=32, width=32,
+                      num_frames=9, num_inference_steps=2, guidance_scale=1.0,
+                      seed=0, return_latents=True)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_inp_runs_and_mask_matters(self, tmp_path):
+        # noise C=4 + mask 1 + masked C=4 → in_channels 9
+        eng = self._engine(tmp_path, "inp", 9)
+        vid = [np.full((32, 32, 3), 120, np.uint8) for _ in range(9)]
+        mask = [np.zeros((32, 32), np.uint8) for _ in range(9)]
+        for m in mask:
+            m[8:24, 8:24] = 255
+        common = dict(video=vid, prompt="fix", height=32, width=32,
+                      num_frames=9, num_inference_steps=2, guidance_scale=1.0,
+                      seed=1, return_latents=True)
+        a = np.asarray(eng.run(mask_video=mask, **common))
+        b = np.asarray(eng.run(mask_video=None, **common))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-6

@@ -231,3 +231,29 @@ class TestFluxControl:
         )
         assert len(frames) == 1
         assert frames[0].shape == (32, 32, 3)
+
+
+class TestFluxDreamOmni2:
+    def test_multi_reference_generation(self, tmp_path):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        doc = yaml.safe_load(yaml.safe_dump(FLUX_TINY))
+        doc["metadata"]["id"] = "flux-do2-tiny"
+        doc["spec"]["model_type"] = "dreamomni2"
+        path = tmp_path / "do2.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+        from tests.test_engine_zimage import make_tokenizer
+
+        eng = UniversalEngine(str(path))
+        for name in ("text_encoder", "text_encoder_2"):
+            spec = eng.component_specs.get(name)
+            if spec is not None:
+                spec["tokenizer"] = make_tokenizer()
+        refs = [np.full((32, 32, 3), 60, np.uint8),
+                np.full((48, 32, 3), 180, np.uint8)]
+        lat = eng.run(prompt="merge", image_list=refs, height=32, width=32,
+                      num_inference_steps=2, guidance_scale=1.0, seed=0,
+                      resize_to_preferred_resolution=False,
+                      return_latents=True)
+        assert np.isfinite(np.asarray(lat)).all()

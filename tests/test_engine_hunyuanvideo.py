@@ -208,3 +208,47 @@ def test_llama_encoder_hidden_state_offset():
     m0.layers[0] = m.layers[0]
     out0 = m0(ids, attention_mask=jnp.ones((1, 8), jnp.int32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-6)
+
+
+class TestHunyuanVideoFramepack:
+    def _engine(self, tmp_path, sampling_type):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        doc = yaml.safe_load(yaml.safe_dump(HYV_ORIG_TINY))
+        doc["metadata"]["id"] = f"hv-framepack-tiny-{sampling_type}"
+        doc["spec"]["model_type"] = "framepack"
+        for c in doc["spec"]["components"]:
+            if c["type"] == "scheduler":
+                c["base"] = "FlowMatchEulerDiscreteScheduler"
+                c["config"] = {"num_train_timesteps": 1000,
+                               "use_dynamic_shifting": True}
+            if c["type"] == "transformer":
+                c["base"] = "hunyuanvideo.framepack"
+        path = tmp_path / "fp.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+        from tests.test_engine_zimage import make_tokenizer
+
+        eng = UniversalEngine(str(path))
+        for spec in eng.component_specs.values():
+            if spec.get("type") == "text_encoder":
+                spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_inverted_anti_drifting_sections(self, tmp_path):
+        eng = self._engine(tmp_path, "inv")
+        img = np.full((32, 32, 3), 128, np.uint8)
+        frames = eng.run(image=img, prompt="long video", height=32, width=32,
+                         num_frames=33, latent_window_size=3,
+                         num_inference_steps=2, guidance_scale=6.0, seed=0)
+        assert len(frames) >= 9
+        assert frames[0].shape == (32, 32, 3)
+
+    def test_vanilla_sampling(self, tmp_path):
+        eng = self._engine(tmp_path, "van")
+        img = np.full((32, 32, 3), 60, np.uint8)
+        lat = eng.run(image=img, prompt="fwd", height=32, width=32,
+                      num_frames=17, latent_window_size=2,
+                      sampling_type="vanilla", num_inference_steps=2,
+                      guidance_scale=6.0, seed=1, return_latents=True)
+        assert np.isfinite(np.asarray(lat)).all()

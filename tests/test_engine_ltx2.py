@@ -255,3 +255,63 @@ class TestLTX2Audio:
         assert len(frames) == 9
         assert wav.ndim == 2 and wav.shape[0] == 2
         assert sr == 24000
+
+
+class TestLTX2KeyframeEngines:
+    @pytest.fixture()
+    def kf_engine(self, tmp_path):
+        path = tmp_path / "ltx2-tiny.yml"
+        path.write_text(yaml.safe_dump(LTX2_TINY))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="keyframe_interpolation")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_keyframe_interpolation_holds_keyframes(self, kf_engine, tmp_path):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        img0 = np.full((64, 64, 3), 30, np.uint8)
+        img1 = np.full((64, 64, 3), 220, np.uint8)
+        frames = kf_engine.run(
+            prompt="interpolate", image=[img0, img1],
+            image_pixel_frame_indices=[0, 8], image_strengths=[1.0, 1.0],
+            height=64, width=64, num_frames=9, num_inference_steps=2,
+            guidance_scale=1.0, seed=0,
+        )
+        assert len(frames) == 9
+        assert frames[0].shape == (64, 64, 3)
+
+    def test_ic_lora_accepts_conditioning_video(self, tmp_path):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        path = tmp_path / "ltx2-tiny.yml"
+        path.write_text(yaml.safe_dump(LTX2_TINY))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="ic_lora")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        vid = [np.full((64, 64, 3), 100 + 10 * i, np.uint8) for i in range(9)]
+        lat = eng.run(
+            prompt="control", conditioning_video=vid,
+            conditioning_video_strength=1.0, height=64, width=64,
+            num_frames=9, num_inference_steps=2, guidance_scale=1.0, seed=1,
+            return_latents=True,
+        )
+        lat = np.asarray(lat)
+        assert lat.shape[2] == 2 and np.isfinite(lat).all()
+
+    def test_multimodal_guidance_runs_stg(self, tmp_path):
+        path = tmp_path / "ltx2-tiny.yml"
+        path.write_text(yaml.safe_dump(LTX2_TINY))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="multimodal_guidance")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        lat = eng.run(
+            prompt="stg", height=64, width=64, num_frames=9,
+            num_inference_steps=1, guidance_scale=2.0, stg_scale=1.0,
+            stg_blocks=[0], modality_scale=1.5, guidance_rescale=0.5,
+            seed=2, return_latents=True,
+        )
+        assert np.isfinite(np.asarray(lat)).all()

@@ -213,3 +213,69 @@ class TestQwenImageEdit:
         icos, _, tcos, _ = m.rope_tables(2, 2, 4, extra_segments=((2, 2),))
         assert icos.shape[1] == 8  # two 2x2 segments
         assert tcos.shape[1] == 4
+
+
+class TestQwenImageControlNet:
+    def test_controlnet_branch_steers_output(self, tmp_path):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        doc = yaml.safe_load(yaml.safe_dump(QWEN_TINY))
+        doc["metadata"]["id"] = "qwenimage-cn-tiny"
+        doc["spec"]["model_type"] = "controlnet"
+        tf_cfg = next(c for c in doc["spec"]["components"]
+                      if c["type"] == "transformer")["config"]
+        doc["spec"]["components"].append({
+            "type": "transformer",
+            "name": "controlnet",
+            "base": "qwenimage.controlnet",
+            "config": {**tf_cfg, "num_layers": 1},
+        })
+        path = tmp_path / "qcn.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+
+        eng = UniversalEngine(str(path))
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        ctrl = np.zeros((32, 32, 3), np.uint8)
+        ctrl[8:24, 8:24] = 255
+        common = dict(prompt="edge", height=32, width=32,
+                      num_inference_steps=2, true_cfg_scale=1.0, seed=0,
+                      return_latents=True)
+        a = np.asarray(eng.run(control_image=ctrl,
+                               controlnet_conditioning_scale=1.0, **common))
+        b = np.asarray(eng.run(control_image=ctrl,
+                               controlnet_conditioning_scale=0.0, **common))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-6
+
+    def test_control_guidance_window(self, tmp_path):
+        # scale 0 everywhere inside the loop when window excludes all steps:
+        # result equals plain-scale-zero run
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        doc = yaml.safe_load(yaml.safe_dump(QWEN_TINY))
+        doc["metadata"]["id"] = "qwenimage-cn-tiny2"
+        doc["spec"]["model_type"] = "controlnet"
+        tf_cfg = next(c for c in doc["spec"]["components"]
+                      if c["type"] == "transformer")["config"]
+        doc["spec"]["components"].append({
+            "type": "transformer", "name": "controlnet",
+            "base": "qwenimage.controlnet",
+            "config": {**tf_cfg, "num_layers": 1},
+        })
+        path = tmp_path / "qcn2.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+
+        eng = UniversalEngine(str(path))
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        ctrl = np.full((32, 32, 3), 128, np.uint8)
+        common = dict(prompt="w", height=32, width=32, num_inference_steps=2,
+                      true_cfg_scale=1.0, seed=3, return_latents=True)
+        off = np.asarray(eng.run(control_image=ctrl,
+                                 controlnet_conditioning_scale=1.0,
+                                 control_guidance_start=0.9,
+                                 control_guidance_end=0.95, **common))
+        zero = np.asarray(eng.run(control_image=ctrl,
+                                  controlnet_conditioning_scale=0.0, **common))
+        np.testing.assert_allclose(off, zero, atol=1e-5)

@@ -84,3 +84,27 @@ class TestFunControl:
                         height=32, width=32, num_frames=5,
                         num_inference_steps=2, guidance_scale=2.0, seed=4)
         assert len(frames) == 5
+
+
+class TestWanFunSubject:
+    def test_fun_start_end_and_subject_refs(self, tmp_path):
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        import yaml
+
+        # noise z(4) + control(4) + start block(4) = 12 in_channels
+        doc = _manifest("fun", in_channels=12)
+        path = tmp_path / "fun.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(str(path))
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        start = np.full((32, 32, 3), 40, np.uint8)
+        end = np.full((32, 32, 3), 200, np.uint8)
+        refs = [np.full((32, 32, 3), 90, np.uint8)]
+        lat = eng.run(prompt="subject", start_image=start, end_image=end,
+                      subject_reference_images=refs, height=32, width=32,
+                      num_frames=5, num_inference_steps=2, guidance_scale=1.0,
+                      seed=0, return_latents=True)
+        assert np.isfinite(np.asarray(lat)).all()

@@ -161,3 +161,45 @@ class TestZImageEndToEnd:
         expected = torch.randn((1, 4, 8, 8), generator=gen).numpy()
         got = engine.get_latents((1, 4, 8, 8), seed=42)
         np.testing.assert_allclose(np.asarray(got), expected, atol=1e-6)
+
+
+class TestZImageControl:
+    def test_control_engine_runs_and_control_changes_output(self, tmp_path):
+        import yaml
+
+        doc = yaml.safe_load(yaml.safe_dump(TINY_MANIFEST))
+        doc["metadata"]["id"] = "zimage-control-tiny"
+        for c in doc["spec"]["components"]:
+            if c["type"] == "transformer":
+                c["base"] = "zimage.control"
+                c["config"] = dict(c["config"])
+                c["config"].update({
+                    "control_layers_places": [0],
+                    "control_refiner_layers_places": [0, 1],
+                    # tiny vae latent 4 → control(4) + mask(1) + inpaint(4)
+                    "control_in_dim": 9,
+                })
+        doc["spec"]["model_type"] = "control"
+        path = tmp_path / "zc.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine.registry import UniversalEngine
+
+        import os
+        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        eng = UniversalEngine(str(path))
+        spec = eng._spec_for_type("text_encoder")
+        if spec is not None:
+            spec["tokenizer"] = make_tokenizer()
+
+        common = dict(prompt="ctrl", height=32, width=32,
+                      num_inference_steps=2, guidance_scale=1.0, seed=0,
+                      return_latents=True)
+        ctrl = np.zeros((32, 32, 3), np.uint8)
+        ctrl[8:24, 8:24] = 255
+        a = np.asarray(eng.run(control_image=ctrl, **common))
+        b = np.asarray(eng.run(control_image=None, **common))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        # zero-init after_proj means hints start at 0 — but the before_proj
+        # mixing runs through full blocks, so with random weights the control
+        # branch must perturb the output
+        assert np.abs(a - b).max() > 1e-6

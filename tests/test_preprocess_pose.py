@@ -112,3 +112,48 @@ def test_preprocessor_end_to_end(tiny):
 def test_registry():
     assert preprocessor_registry.get("openpose") is OpenPosePreprocessor
     assert preprocessor_registry.get("pose") is OpenPosePreprocessor
+
+
+class TestDWPose:
+    def test_yolox_decode_and_nms(self):
+        from apex_studio_tpu.preprocess.dwpose import _nms, _yolox_decode
+
+        n = (80 * 80 + 40 * 40 + 20 * 20)
+        pred = np.zeros((n, 85), np.float32)
+        # one confident person at grid (10, 10) of stride 8
+        idx = 10 * 80 + 10
+        pred[idx, :2] = 0.5       # offset
+        pred[idx, 2:4] = np.log(5.0)  # wh = 40 px
+        pred[idx, 4] = 5.0        # obj logit-ish (already prob in export? value)
+        pred[idx, 5] = 1.0
+        dets = _yolox_decode(pred)
+        best = dets[dets[:, 4].argmax()]
+        assert abs(best[0] - (10.5 * 8 - 20)) < 1e-3
+        assert abs(best[2] - (10.5 * 8 + 20)) < 1e-3
+        assert int(best[5]) == 0
+        # NMS keeps one of two near-identical boxes
+        two = np.array([[0, 0, 10, 10, 0.9, 0], [1, 1, 11, 11, 0.8, 0],
+                        [50, 50, 60, 60, 0.7, 0]], np.float32)
+        keep = _nms(two)
+        assert 0 in keep and 2 in keep and 1 not in keep
+
+    def test_draw_wholebody_renders(self):
+        from apex_studio_tpu.preprocess.dwpose import draw_wholebody
+
+        pts = np.zeros((133, 2), np.float32)
+        score = np.ones(133, np.float32)
+        # simple upright body
+        pts[0] = (32, 10)   # nose
+        pts[5], pts[6] = (24, 20), (40, 20)  # shoulders
+        pts[11], pts[12] = (26, 40), (38, 40)  # hips
+        pts[91:112] = np.linspace((5, 50), (15, 60), 21)
+        pts[112:133] = np.linspace((50, 50), (60, 60), 21)
+        pts[23:91] = np.linspace((28, 8), (36, 16), 68)
+        img = draw_wholebody([(pts, score)], 64, 64)
+        assert img.shape == (64, 64, 3)
+        assert img.sum() > 0
+
+    def test_registry_has_dwpose(self):
+        from apex_studio_tpu.preprocess.base import preprocessor_registry
+
+        assert "dwpose" in preprocessor_registry
