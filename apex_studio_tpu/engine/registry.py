@@ -36,6 +36,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.hidream",
     "apex_studio_tpu.engine.seedvr",
     "apex_studio_tpu.engine.flashvsr",
+    "apex_studio_tpu.engine.stepvideo",
     "apex_studio_tpu.engine.hunyuanimage",
     "apex_studio_tpu.engine.ovis",
     "apex_studio_tpu.engine.fibo",

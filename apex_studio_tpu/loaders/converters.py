@@ -1021,6 +1021,23 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "ltx2_upsampler",
+    KeyConverter(
+        # LTXLatentUpsamplerModel (reference src/helpers/ltx2/upsampler.py:197).
+        # `upsampler.0.*` is the Sequential(conv, PixelShuffleND) variant;
+        # `upsampler.conv.*` is the SpatialRationalResampler. blur_down.kernel
+        # is a fixed binomial buffer recomputed on our side.
+        renames=[
+            (r"^upsampler\.0\.weight$", "upsampler_conv.kernel"),
+            (r"^upsampler\.0\.bias$", "upsampler_conv.bias"),
+            (r"(norm1|norm2|initial_norm)\.weight$", r"\1.scale"),
+            (r"\.weight$", ".kernel"),
+        ],
+        drop=(r"blur_down",),
+    ),
+)
+
+converter_registry.add(
     "ltx2_vocoder",
     KeyConverter(
         renames=[
@@ -1532,5 +1549,35 @@ converter_registry.add(
              r".\1.kernel"),
         ],
         drop=(r"\.freqs",),
+    ),
+)
+
+converter_registry.add(
+    "sam2_video",
+    KeyConverter(
+        renames=[
+            # memory components (sam2 video checkpoints; image keys shared
+            # with the "sam2" table — the predictor runs both converters)
+            (r"^memory_attention\.layers\.", "memory_attention."),
+            (r"^memory_attention\.norm\.", "memory_attention_norm."),
+            # mask_downsampler Sequential (conv,LN,GELU)×4 + conv → packed
+            (r"mask_downsampler\.encoder\.0\.", "mask_downsampler.encoder.0."),
+            (r"mask_downsampler\.encoder\.1\.", "mask_downsampler.encoder.1."),
+            (r"mask_downsampler\.encoder\.3\.", "mask_downsampler.encoder.2."),
+            (r"mask_downsampler\.encoder\.4\.", "mask_downsampler.encoder.3."),
+            (r"mask_downsampler\.encoder\.6\.", "mask_downsampler.encoder.4."),
+            (r"mask_downsampler\.encoder\.7\.", "mask_downsampler.encoder.5."),
+            (r"mask_downsampler\.encoder\.9\.", "mask_downsampler.encoder.6."),
+            (r"mask_downsampler\.encoder\.10\.", "mask_downsampler.encoder.7."),
+            (r"mask_downsampler\.encoder\.12\.", "mask_downsampler.encoder.8."),
+            (r"fuser\.layers\.", "fuser."),
+            (r"^obj_ptr_proj\.layers\.(\d+)\.weight$", r"obj_ptr_proj.layers.\1.kernel"),
+            (r"(q_proj|k_proj|v_proj|out_proj|linear1|linear2|pwconv1|pwconv2)\.weight$",
+             r"\1.kernel"),
+            (r"(pix_feat_proj|out_proj|dwconv)\.weight$", r"\1.kernel"),
+            (r"(mask_downsampler\.encoder\.\d+)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"no_mem_pos_enc", r"no_obj_ptr", r"obj_ptr_tpos_proj",
+              r"\.freqs", r"rotary"),
     ),
 )

@@ -160,3 +160,81 @@ def reset_sam2_predictor() -> None:
     with _lock:
         _predictor = None
         _checked = False
+
+
+def sam2_track_video(
+    predictor: "SAM2Predictor",
+    frames: Sequence[np.ndarray],
+    points: Sequence[Dict[str, float]],
+    point_labels: Optional[Sequence[int]] = None,
+    start_frame: int = 0,
+    direction: str = "forward",
+    progress_callback=None,
+) -> Dict[int, np.ndarray]:
+    """SAM2 memory-bank video tracking (reference mask/mask.py:8
+    build_sam2_video_predictor): the prompted frame's memory is the permanent
+    CONDITIONING entry; each subsequent frame is decoded promptless after
+    memory attention over [conditioning + up to 6 most-recent memories], and
+    its own memory rolls into the bank. Falls back to flow tracking for
+    image-only checkpoints (models without memory weights)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from apex_studio_tpu.mask.sam2 import SAM2VideoModel
+    from apex_studio_tpu.utils.progress import safe_emit_progress
+
+    model = predictor.model
+    if not isinstance(model, SAM2VideoModel):
+        from apex_studio_tpu.mask.segment import track_mask
+
+        init = predictor.predict(frames[start_frame], points, point_labels)
+        return track_mask(frames, init, start_frame, direction,
+                          progress_callback=progress_callback)
+
+    side = predictor.img_size
+    h, w = frames[start_frame].shape[:2]
+
+    def prep(frame):
+        r = cv2.resize(frame, (side, side), interpolation=cv2.INTER_LINEAR)
+        return jnp.asarray(r.astype(np.float32) / 255.0)[None]
+
+    pts = [[p["x"] / w, p["y"] / h] for p in points]
+    labels = [1 if point_labels is None else int(point_labels[i])
+              for i in range(len(points))]
+    while len(pts) < 4:
+        pts.append([0.0, 0.0])
+        labels.append(-1)
+
+    # conditioning frame: prompted
+    mask0, _, mem0 = model.track_step(
+        prep(frames[start_frame]), [],
+        points01=jnp.asarray(np.asarray(pts, np.float32))[None],
+        labels=jnp.asarray(np.asarray(labels, np.int32))[None])
+
+    def to_full(logit):
+        m = cv2.resize(np.asarray(logit)[0], (w, h), cv2.INTER_LINEAR)
+        return (m > 0).astype(np.uint8)
+
+    results = {start_frame: to_full(mask0)}
+
+    def run(indices):
+        recent = []  # rolling (memory, insertion order); conditioning kept
+        for step, idx in enumerate(indices):
+            memories = [(mem0, 0)] + [
+                (m, min(age + 1, SAM2VideoModel.NUM_MASKMEM - 1))
+                for age, m in enumerate(reversed(recent))]
+            mask, _, mem = model.track_step(prep(frames[idx]), memories)
+            results[idx] = to_full(mask)
+            recent.append(mem)
+            if len(recent) > SAM2VideoModel.NUM_MASKMEM - 1:
+                recent.pop(0)
+            safe_emit_progress(progress_callback,
+                               (step + 1) / max(1, len(indices)),
+                               f"tracked frame {idx}")
+
+    n = len(frames)
+    if direction in ("forward", "both"):
+        run(range(start_frame + 1, n))
+    if direction in ("backward", "both"):
+        run(range(start_frame - 1, -1, -1))
+    return results

@@ -462,3 +462,220 @@ class SAM2ImageModel(nnx.Module):
         pe = self.prompt_encoder.dense_pe(s16.shape[1], s16.shape[2])[None]
         sparse = self.prompt_encoder(points01, labels)
         return self.mask_decoder(s16, pe, sparse, hires_feats=(hi_s8, hi_s4))
+
+
+# ------------------------------------------------------------------------------
+# Video memory bank (SAM2 memory attention + memory encoder)
+# ------------------------------------------------------------------------------
+
+
+class LayerNorm2d(nnx.Module):
+    """Channel LayerNorm over [B,H,W,C] (sam2 LayerNorm2d, channels-first in
+    torch; weights are [C])."""
+
+    def __init__(self, dim, *, rngs):
+        self.weight = nnx.Param(jnp.ones((dim,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((dim,), jnp.float32))
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        y = (x32 - mu) / jnp.sqrt(var + 1e-6)
+        return (y * self.weight.value + self.bias.value).astype(x.dtype)
+
+
+class MaskDownSampler(nnx.Module):
+    """sam2 memory_encoder.mask_downsampler: 4× stride-2 3x3 convs
+    (1→4→16→64→256) each followed by LayerNorm2d+GELU, then a 1x1 conv."""
+
+    def __init__(self, d: int, *, rngs):
+        chans = [1, 4, 16, 64, 256]
+        self.encoder = nnx.List(sum(
+            [[Conv2dHW(chans[i], chans[i + 1], 3, 2, 1, rngs=rngs),
+              LayerNorm2d(chans[i + 1], rngs=rngs)] for i in range(4)],
+            []) + [Conv2dHW(256, d, 1, 1, 0, rngs=rngs)])
+
+    def __call__(self, m):  # [B,H,W,1] mask (16x total downsample)
+        x = m
+        for i in range(4):
+            x = self.encoder[2 * i](x)
+            x = jax.nn.gelu(self.encoder[2 * i + 1](x))
+        return self.encoder[8](x)
+
+
+class DWConv7(nnx.Module):
+    """Depthwise 7x7 conv, kernel HWIO with I=1 (torch [C,1,7,7])."""
+
+    def __init__(self, d: int, *, rngs):
+        init = nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(init(rngs.params(), (7, 7, 1, d), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((d,), jnp.float32))
+
+    def __call__(self, x):
+        h = jax.lax.conv_general_dilated(
+            x, self.kernel.value, (1, 1), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1])
+        return h + self.bias.value
+
+
+class Linear2(nnx.Module):
+    def __init__(self, cin, cout, *, rngs):
+        init = nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(init(rngs.params(), (cin, cout), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((cout,), jnp.float32))
+
+    def __call__(self, x):
+        return x @ self.kernel.value + self.bias.value
+
+
+class CXBlock(nnx.Module):
+    """ConvNeXt block (sam2 memory_encoder.fuser.layers): depthwise 7x7,
+    LayerNorm, pointwise MLP ×4, layer-scale gamma."""
+
+    def __init__(self, d: int, *, rngs):
+        self.dwconv = DWConv7(d, rngs=rngs)
+        self.norm = LayerNorm2d(d, rngs=rngs)
+        self.pwconv1 = Linear2(d, 4 * d, rngs=rngs)
+        self.pwconv2 = Linear2(4 * d, d, rngs=rngs)
+        self.gamma = nnx.Param(jnp.full((d,), 1e-6, jnp.float32))
+
+    def __call__(self, x):  # [B,H,W,C]
+        h = self.norm(self.dwconv(x))
+        h = self.pwconv2(jax.nn.gelu(self.pwconv1(h)))
+        return x + h * self.gamma.value
+
+
+class MemoryEncoder(nnx.Module):
+    """sam2 memory_encoder: downsampled mask + projected pixel features →
+    fused 64-dim memory features."""
+
+    def __init__(self, d_model: int, d_mem: int, *, rngs):
+        self.mask_downsampler = MaskDownSampler(d_model, rngs=rngs)
+        self.pix_feat_proj = Conv2dHW(d_model, d_model, 1, 1, 0, rngs=rngs)
+        self.fuser = nnx.List([CXBlock(d_model, rngs=rngs) for _ in range(2)])
+        self.out_proj = Conv2dHW(d_model, d_mem, 1, 1, 0, rngs=rngs)
+
+    def __call__(self, pix_feat, mask_logits_hi):
+        """pix_feat [B,h,w,256]; mask_logits_hi [B,16h,16w,1] (sigmoid-scaled
+        inside per sam2: sigmoid then downsample)."""
+        m = jax.nn.sigmoid(mask_logits_hi)
+        m = self.mask_downsampler(m)
+        x = self.pix_feat_proj(pix_feat) + m
+        for blk in self.fuser:
+            x = blk(x)
+        return self.out_proj(x)
+
+
+class MemAttnLayer(nnx.Module):
+    """memory_attention.layers.N: self-attn (RoPE on the current frame grid),
+    cross-attn to memory tokens (kv dim 64), MLP."""
+
+    def __init__(self, d: int, d_mem: int, heads: int = 1, *, rngs):
+        self.self_attn = _MemAttention(d, d, heads, rngs=rngs)
+        self.cross_attn_image = _MemAttention(d, d_mem, heads, rngs=rngs)
+        self.linear1 = Linear2(d, 4 * d, rngs=rngs)
+        self.linear2 = Linear2(4 * d, d, rngs=rngs)
+        self.norm1 = LayerNorm2d(d, rngs=rngs)
+        self.norm2 = LayerNorm2d(d, rngs=rngs)
+        self.norm3 = LayerNorm2d(d, rngs=rngs)
+
+    def __call__(self, x, mem_kv, x_pe, mem_pe):
+        h = self.norm1(x)
+        x = x + self.self_attn(h + x_pe, h + x_pe, h)
+        h = self.norm2(x)
+        x = x + self.cross_attn_image(h + x_pe, mem_kv + mem_pe, mem_kv)
+        h = self.norm3(x)
+        return x + self.linear2(jax.nn.relu(self.linear1(h)))
+
+
+class _MemAttention(nnx.Module):
+    def __init__(self, d: int, kv_in: int, heads: int, *, rngs):
+        self.q_proj = Linear2(d, d, rngs=rngs)
+        self.k_proj = Linear2(kv_in, d, rngs=rngs)
+        self.v_proj = Linear2(kv_in, d, rngs=rngs)
+        self.out_proj = Linear2(d, d, rngs=rngs)
+        self.heads = heads
+        self.d = d
+
+    def __call__(self, q, k, v):
+        b = q.shape[0]
+        hd = self.d // self.heads
+        qh = self.q_proj(q).reshape(b, -1, self.heads, hd)
+        kh = self.k_proj(k).reshape(b, -1, self.heads, hd)
+        vh = self.v_proj(v).reshape(b, -1, self.heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) / np.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, -1, self.d)
+        return self.out_proj(out)
+
+
+class SAM2VideoModel(SAM2ImageModel):
+    """SAM2 with the video memory bank: per-frame features are CONDITIONED on
+    encoded memories of previous frames (memory attention) before the mask
+    decoder runs promptless, and each predicted mask is encoded into the
+    rolling bank (reference contract: mask/mask.py:8
+    build_sam2_video_predictor; sam2 memory design). Re-prompting from the
+    previous mask remains the fallback for checkpoints without memory
+    weights."""
+
+    NUM_MASKMEM = 7
+
+    def __init__(self, cfg: SAM2Config, *, dtype=jnp.float32,
+                 param_dtype=jnp.float32, rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        d = cfg.d_model
+        d_mem = getattr(cfg, "mem_dim", 64)
+        self.memory_encoder = MemoryEncoder(d, d_mem, rngs=rngs)
+        self.memory_attention = nnx.List(
+            [MemAttnLayer(d, d_mem, rngs=rngs) for _ in range(4)])
+        self.memory_attention_norm = LayerNorm2d(d, rngs=rngs)
+        self.obj_ptr_proj = MLP(d, d, d, 3, rngs=rngs)
+        self.no_mem_embed = nnx.Param(jnp.zeros((1, 1, d), jnp.float32))
+        self.maskmem_tpos_enc = nnx.Param(
+            jnp.zeros((self.NUM_MASKMEM, 1, 1, d_mem), jnp.float32))
+        self._d_mem = d_mem
+
+    def condition_features(self, s16, memories):
+        """s16 [B,h,w,256]; memories: list of (feat [B,h,w,64], age 0..6).
+        → conditioned s16."""
+        b, h, w, d = s16.shape
+        x = s16.reshape(b, h * w, d)
+        if not memories:
+            return (x + self.no_mem_embed.value).reshape(b, h, w, d)
+        x_pe = self.prompt_encoder.dense_pe(h, w)[None].reshape(b, h * w, d)
+        kv, pe = [], []
+        for feat, age in memories:
+            kv.append(feat.reshape(b, -1, self._d_mem))
+            tpos = self.maskmem_tpos_enc.value[min(age, self.NUM_MASKMEM - 1), 0]
+            pe.append(jnp.broadcast_to(tpos, (b, feat.shape[1] * feat.shape[2],
+                                              self._d_mem)))
+        mem_kv = jnp.concatenate(kv, axis=1)
+        mem_pe = jnp.concatenate(pe, axis=1)
+        for layer in self.memory_attention:
+            x = layer(x, mem_kv, x_pe, mem_pe)
+        x = self.memory_attention_norm(x)
+        return x.reshape(b, h, w, d)
+
+    def track_step(self, image01, memories, points01=None, labels=None):
+        """One video step: encode frame, condition on the memory bank, decode
+        a mask (with prompts only on conditioning frames), encode the new
+        memory. → (mask_logits, iou, memory_feat)."""
+        s16, hi_s8, hi_s4 = self.encode_image(image01)
+        cond = self.condition_features(s16, memories)
+        pe = self.prompt_encoder.dense_pe(cond.shape[1], cond.shape[2])[None]
+        if points01 is None:
+            points01 = jnp.zeros((1, 1, 2), jnp.float32)
+            labels = jnp.full((1, 1), -1, jnp.int32)  # padding-only prompt
+        sparse = self.prompt_encoder(points01, labels)
+        masks, iou, _ = self.mask_decoder(cond, pe, sparse,
+                                          hires_feats=(hi_s8, hi_s4))
+        best = jnp.argmax(iou[0])
+        mask = masks[:, best]
+        up = jax.image.resize(mask[..., None],
+                              (mask.shape[0], cond.shape[1] * 16,
+                               cond.shape[2] * 16, 1), "bilinear")
+        mem = self.memory_encoder(s16, up)
+        return mask, iou, mem

@@ -55,10 +55,13 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.vaes.seedvr_vae",
         "apex_studio_tpu.models.vaes.tae_vae",
         "apex_studio_tpu.models.vaes.mmaudio_vae",
+        "apex_studio_tpu.models.transformers.stepvideo",
+        "apex_studio_tpu.models.vaes.stepvideo_vae",
         "apex_studio_tpu.models.transformers.wan_ovi",
         "apex_studio_tpu.models.vaes.ltx2_vae",
         "apex_studio_tpu.models.vaes.ltx2_audio_vae",
         "apex_studio_tpu.models.ltx2_vocoder",
+        "apex_studio_tpu.models.ltx2_upsampler",
         "apex_studio_tpu.models.text_encoders.gemma3",
         "apex_studio_tpu.models.vaes.magi_vae",
         "apex_studio_tpu.models.transformers.hunyuanimage",

@@ -99,18 +99,20 @@ def rope3d_tables(ch_split: Tuple[int, ...], f: int, h: int, w: int):
 
 
 def _apply_neox_rope(x, cos, sin, ch_split):
-    """x: [B, S, H, D]; rotate each channel chunk with its table."""
+    """x: [B, S, H, D]; rotate each channel chunk with its table (f32 math,
+    result back in x.dtype)."""
     outs = []
     o = 0
+    x32 = x.astype(jnp.float32)
     for i, d in enumerate(ch_split):
-        xd = x[..., o:o + d]
+        xd = x32[..., o:o + d]
         c = cos[None, :, None, o:o + d]
         s = sin[None, :, None, o:o + d]
         x1, x2 = xd[..., :d // 2], xd[..., d // 2:]
         rot = jnp.concatenate([-x2, x1], axis=-1)
         outs.append(xd * c + rot * s)
         o += d
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)
 
 
 class StepVideoBlock(nnx.Module):

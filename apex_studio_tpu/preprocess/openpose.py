@@ -128,6 +128,13 @@ class OpenPoseBody(nnx.Module):
         for l1, l2 in zip(self.refine_l1, self.refine_l2):
             z = jnp.concatenate([paf, heat, feat], axis=-1)
             paf, heat = l1(z), l2(z)
+        if self.cfg.stages == 6:
+            # Reference quirk (open_pose/model.py:34-46): the no_relu list
+            # names "Mconv7_stage6_L1" twice and omits "Mconv7_stage6_L2",
+            # so the deployed torch model ReLUs the final heatmap output.
+            # Replicated for numeric parity; harmless on real checkpoints
+            # (trained heatmaps are non-negative).
+            heat = jax.nn.relu(heat)
         return paf, heat
 
 

@@ -142,3 +142,50 @@ def test_sam2_converter_maps_official_keys():
     assert "mask_decoder.iou_token" in out
     assert "mask_decoder.upscale1.kernel" in out
     assert not any(k.startswith("memory_") for k in out)
+
+
+class TestSAM2MemoryBank:
+    def _video_model(self):
+        from apex_studio_tpu.mask.sam2 import SAM2Config, SAM2VideoModel
+        from flax import nnx
+
+        cfg = SAM2Config.from_dict(
+            {"embed_dim": 16, "stages": [1, 1, 1, 1], "num_heads": 1,
+             "d_model": 32})
+        return SAM2VideoModel(cfg, rngs=nnx.Rngs(0))
+
+    def test_memory_conditioning_changes_prediction(self):
+        import jax.numpy as jnp
+
+        m = self._video_model()
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(1, 128, 128, 3)), jnp.float32)
+        mask_a, _, mem = m.track_step(img, [])
+        mask_b, _, _ = m.track_step(img, [(mem, 0)])
+        # conditioning on a memory must alter the decoder's input features
+        assert np.abs(np.asarray(mask_a) - np.asarray(mask_b)).max() > 1e-6
+
+    def test_track_video_rolls_bank(self, monkeypatch):
+        from apex_studio_tpu.mask.predictor import SAM2Predictor, sam2_track_video
+
+        m = self._video_model()
+        pred = SAM2Predictor(m, img_size=128)
+        frames = [np.random.default_rng(i).integers(
+            0, 255, size=(64, 64, 3), dtype=np.uint8) for i in range(10)]
+        out = sam2_track_video(
+            pred, frames, [{"x": 32, "y": 32}], [1], start_frame=0)
+        assert set(out) == set(range(10))
+        assert all(v.shape == (64, 64) for v in out.values())
+
+    def test_memory_encoder_fuses_mask(self):
+        import jax.numpy as jnp
+
+        m = self._video_model()
+        feat = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 8, 8, 32)), jnp.float32)
+        logits_a = jnp.full((1, 128, 128, 1), -10.0, jnp.float32)
+        logits_b = jnp.full((1, 128, 128, 1), 10.0, jnp.float32)
+        ma = np.asarray(m.memory_encoder(feat, logits_a))
+        mb = np.asarray(m.memory_encoder(feat, logits_b))
+        assert ma.shape == (1, 8, 8, 64)
+        assert np.abs(ma - mb).max() > 1e-6
