@@ -83,6 +83,10 @@ class LTX2TI2VEngine(BaseEngine):
         seed: Optional[int] = None,
         timesteps: Optional[List[float]] = None,
         image_strength: float = 1.0,
+        latents: Optional[Any] = None,
+        audio_latents: Optional[Any] = None,
+        noise_scale: float = 1.0,
+        upsample: bool = False,
         return_latents: bool = False,
         return_audio_latents: bool = False,
         render_on_step: bool = False,
@@ -106,6 +110,10 @@ class LTX2TI2VEngine(BaseEngine):
         num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
         lat_f = (num_frames - 1) // t_scale + 1
         lat_h, lat_w = height // s_scale, width // s_scale
+        if latents is not None:
+            # stage-2 entry: the provided latent grid defines the geometry
+            lat_f, lat_h, lat_w = latents.shape[2:]
+            num_frames = (lat_f - 1) * t_scale + 1
 
         cfg_t = self.transformer.cfg
         # audio latent frames spanning the clip's duration
@@ -124,6 +132,15 @@ class LTX2TI2VEngine(BaseEngine):
         a_lats = self.get_latents(
             (1, cfg_t.audio_in_channels, audio_f),
             seed=None if seed is None else seed + 1)
+        if latents is not None:
+            # ltx-core GaussianNoiser (reference ti2v.py:302): renoise the
+            # stage-1 grid to the first distilled stage-2 sigma
+            ns = float(noise_scale)
+            lats = lats * ns + jnp.asarray(latents, jnp.float32) * (1.0 - ns)
+            if audio_latents is not None:
+                al = jnp.asarray(audio_latents, jnp.float32)
+                a_lats = a_lats[:, :, :al.shape[2]] * ns + al * (1.0 - ns)
+                audio_f = a_lats.shape[2]
         a_tokens = a_lats.transpose(0, 2, 1)  # [1, Sa, C]
 
         self.scheduler.set_timesteps(
@@ -230,6 +247,36 @@ class LTX2TI2VEngine(BaseEngine):
 
         lats = _unpatchify_tokens(tokens, lat_f, lat_h, lat_w)
         audio_lats = a_tokens.transpose(0, 2, 1)
+
+        if upsample:
+            up = self._get_upsampler()
+            if up is None:
+                safe_emit_progress(progress_callback, 0.9,
+                                   "No latent_upsampler in manifest — "
+                                   "skipping stage 2")
+            else:
+                safe_emit_progress(progress_callback, 0.9,
+                                   "Upsampling latents (stage-2 prep)")
+                lats = self._upsample_latents(lats, up)
+                # stage-2 refinement (reference ti2v.py:1608): rerun at the
+                # lifted resolution over the distilled stage-2 sigmas with
+                # guidance off; conditioning is baked into the latents.
+                sigmas = [0.909375, 0.725, 0.421875]
+                return self.run(
+                    prompt=prompt, negative_prompt=None,
+                    height=lats.shape[3] * s_scale,
+                    width=lats.shape[4] * s_scale,
+                    num_frames=num_frames, fps=fps,
+                    num_inference_steps=len(sigmas), timesteps=sigmas,
+                    guidance_scale=1.0, stg_scale=0.0, modality_scale=1.0,
+                    guidance_rescale=0.0, seed=seed,
+                    latents=lats, audio_latents=audio_lats,
+                    noise_scale=sigmas[0], upsample=False,
+                    return_latents=return_latents,
+                    return_audio_latents=return_audio_latents,
+                    progress_callback=progress_callback, offload=offload,
+                )
+
         if return_latents:
             safe_emit_progress(progress_callback, 1.0, "Returning latents")
             return (lats, audio_lats) if return_audio_latents else lats
@@ -258,6 +305,42 @@ class LTX2TI2VEngine(BaseEngine):
             waveform, sr = audio
             return frames, waveform, sr
         return frames
+
+    def _get_upsampler(self):
+        """Instantiate the ltx2.upsampler helper (reference
+        src/helpers/ltx2/upsampler.py:197) from the manifest's
+        ``latent_upsampler`` component spec, if present."""
+        spec = (self.component_specs.get("latent_upsampler")
+                or self.component_specs.get("upsampler"))
+        if spec is None:
+            return None
+        if "latent_upsampler" not in self.helpers:
+            from apex_studio_tpu.models.registry import helper_registry
+
+            self.helpers["latent_upsampler"] = self._instantiate_family(
+                helper_registry, spec, "ltx2_upsampler")
+        return self.helpers["latent_upsampler"]
+
+    def _upsample_latents(self, lats: jnp.ndarray, up) -> jnp.ndarray:
+        """upsample_video (reference upsampler.py:334): denormalize with the
+        VAE stats, run the upsampler, re-normalize. Jitted per latent shape."""
+        from apex_studio_tpu.models.ltx2_upsampler import upsample_latents
+
+        key = ("ltx2_upsample", tuple(lats.shape))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            gd_u, _ = nnx.split(up)
+            gd_v, _ = nnx.split(self.vae)
+
+            @jax.jit
+            def fn(su, sv, z):
+                return upsample_latents(z, nnx.merge(gd_v, sv),
+                                        nnx.merge(gd_u, su))
+
+            self._jit_cache[key] = fn
+        _, su = nnx.split(up)
+        _, sv = nnx.split(self.vae)
+        return fn(su, sv, lats.astype(jnp.float32))
 
     def _guidance_pass(self, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_,
                        skip_blocks: tuple = (), skip_av_cross: bool = False):
