@@ -551,6 +551,17 @@ class BaseEngine:
         if isinstance(image, str):
             import cv2
 
+            if image.startswith("data:"):
+                # data URI (UI uploads, reference wire protocol): decode the
+                # base64 payload after the comma
+                import base64
+
+                payload = base64.b64decode(image.split(",", 1)[1])
+                arr = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if arr is None:
+                    raise ValueError("cannot decode data-URI image")
+                return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
             arr = cv2.imread(image, cv2.IMREAD_COLOR)
             if arr is None:
                 raise FileNotFoundError(f"cannot read image: {image}")

@@ -55,6 +55,7 @@ class WanShared(BaseEngine):
             if spec.get("type") == "transformer" and name not in (
                 "transformer_2",
                 "low_noise_transformer",
+                "audio_transformer",  # mova's second tower, never primary
             ):
                 return spec
         return None
@@ -3414,3 +3415,227 @@ class WanScailEngine(WanShared, _WanVaeEncodeMixin):
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "SCAIL pipeline complete")
         return frames
+
+
+@register_engine("wan", "mova")
+class WanMovaEngine(WanI2VEngine):
+    """MOVA joint video+audio i2v (reference engine/wan/mova.py:12): a Wan
+    video tower and a 1-D Wan audio tower denoise together, exchanging hidden
+    states through the DualTowerConditionalBridge at strategy-selected layers
+    (helpers/wan/mova.py:371). Video conditioning is the Wan-I2V 20-channel
+    mask+first-frame-latent block (mova.py:22 prepare_latents); audio decodes
+    through the continuous DAC VAE (vae/movaaudiovae/model.py:810).
+
+    The reference interleaves towers with hand-rolled block loops around
+    ``return_prepared`` (mova.py:225); here one jitted function traces both
+    towers and the bridge so XLA schedules the joint step as a single
+    program."""
+
+    def _load_audio_tower(self):
+        if "audio_transformer" not in self.helpers:
+            from apex_studio_tpu.models.registry import transformer_registry
+
+            spec = self.component_specs.get("audio_transformer")
+            if spec is None:
+                raise KeyError("mova manifest needs an 'audio_transformer'")
+            self.helpers["audio_transformer"] = self._instantiate_family(
+                transformer_registry, spec, "wan_mova_audio")
+        if "dual_tower_bridge" not in self.helpers:
+            from apex_studio_tpu.models.registry import helper_registry
+
+            spec = self.component_specs.get("dual_tower_bridge")
+            if spec is None:
+                raise KeyError("mova manifest needs a 'dual_tower_bridge'")
+            self.helpers["dual_tower_bridge"] = self._instantiate_family(
+                helper_registry, spec, "wan_mova_bridge")
+        return self.helpers["audio_transformer"], self.helpers["dual_tower_bridge"]
+
+    def _audio_vae(self):
+        if "audio_vae" not in self.helpers:
+            from apex_studio_tpu.models.registry import vae_registry
+
+            spec = self.component_specs.get("audio_vae")
+            if spec is None:
+                return None
+            self.helpers["audio_vae"] = self._instantiate_family(
+                vae_registry, spec, "dac_vae")
+        return self.helpers["audio_vae"]
+
+    def _mova_step_fn(self, video_tf, audio_tf, bridge, key_tag, shapes,
+                      grid, video_fps, condition_scale):
+        key = ("mova_step", key_tag, shapes)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        gd_v, _ = nnx.split(video_tf)
+        gd_a, _ = nnx.split(audio_tf)
+        gd_b, _ = nnx.split(bridge)
+        n_video = len(video_tf.blocks)
+        n_shared = min(n_video, len(audio_tf.blocks))
+
+        @jax.jit
+        def fn(sv, sa, sb, x, a, t_vec, ctx, clip_f):
+            vm = nnx.merge(gd_v, sv)
+            am = nnx.merge(gd_a, sa)
+            bm = nnx.merge(gd_b, sb)
+            xd = x.astype(vm.dtype)
+            tokens, temb, temb6, ctx_v, ctx_img, rc, rs, _ = vm._prepare_cond(
+                xd, t_vec, ctx, clip_f, None)
+            atok, atemb, atemb6, ctx_a, arc, ars = am._prepare_cond(
+                a.astype(am.dtype), t_vec, ctx)
+            x_freqs = y_freqs = None
+            if bm.cfg.apply_cross_rope:
+                x_freqs, y_freqs = bm.build_aligned_freqs(
+                    video_fps, grid, atok.shape[1])
+            for i in range(n_shared):
+                tokens, atok = bm(i, tokens, atok, x_freqs=x_freqs,
+                                  y_freqs=y_freqs,
+                                  condition_scale=condition_scale,
+                                  video_grid=grid)
+                tokens = vm.blocks[i](tokens, ctx_v, temb6, rc, rs,
+                                      context_image=ctx_img)
+                atok = am.blocks[i](atok, ctx_a, atemb6, arc, ars)
+            for i in range(n_shared, n_video):
+                tokens = vm.blocks[i](tokens, ctx_v, temb6, rc, rs,
+                                      context_image=ctx_img)
+            tt, hh, ww = grid
+            pt, ph, pw = vm.cfg.patch_size
+            v_out = vm._finalize(tokens, temb, False, tt * pt, hh * ph,
+                                 ww * pw)
+            a_out = am._finalize(atok, atemb, a.shape[-1])
+            return v_out, a_out
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def run(
+        self,
+        image: Any = None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 360,
+        width: int = 640,
+        duration: Optional[float] = None,
+        fps: float = 24.0,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        high_noise_guidance_scale: Optional[float] = None,
+        low_noise_guidance_scale: Optional[float] = None,
+        boundary_ratio: float = 0.875,
+        condition_scale: float = 1.0,
+        seed: Optional[int] = None,
+        shift: Optional[float] = None,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        safe_emit_progress(progress_callback, 0.0, "Starting MOVA A/V pipeline")
+        self.load_components(return_latents=False)
+        if image is None:
+            raise ValueError("mova requires an input image")
+        image = np.asarray(self.load_image_input(image))
+        audio_tf, bridge = self._load_audio_tower()
+        audio_vae = self._audio_vae()
+
+        vae_cfg = self.vae.cfg
+        s_scale, t_scale = vae_cfg.spatial_scale, vae_cfg.temporal_scale
+        pt, ph, pw = self.transformer.cfg.patch_size
+        height -= height % (s_scale * ph)
+        width -= width % (s_scale * pw)
+        if num_frames is None:
+            num_frames = int(round((duration or 5.0) * fps)) + 1
+        num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
+
+        context = self.encode_prompt(prompt or "")
+        use_cfg = negative_prompt is not None and guidance_scale > 1.0
+        neg_context = self.encode_prompt(negative_prompt or "") if use_cfg else None
+
+        has_image_branch = self.transformer.cfg.image_dim is not None
+        clip_feats = self.encode_image_clip(image) if has_image_branch else None
+        condition = self.build_condition(image, num_frames, height, width)
+        safe_emit_progress(progress_callback, 0.25, "Image conditioning ready")
+
+        lat_t = (num_frames - 1) // t_scale + 1
+        lat_h, lat_w = height // s_scale, width // s_scale
+        noise_c = self.transformer.cfg.in_channels - condition.shape[1]
+        x = self.get_latents((1, noise_c, lat_t, lat_h, lat_w), seed=seed)
+
+        a_ch = audio_tf.cfg.in_dim
+        sample_rate = audio_vae.cfg.sample_rate if audio_vae is not None else 44100
+        hop = audio_vae.cfg.hop_length if audio_vae is not None else 2048
+        num_samples = int(sample_rate * num_frames / fps)
+        a_t = (num_samples - 1) // hop + 1
+        a = self.get_latents((1, a_ch, a_t),
+                             seed=None if seed is None else seed + 1)
+
+        ts, _ = self.get_timesteps(
+            self.scheduler, num_inference_steps,
+            **({"shift": shift} if shift is not None else {}))
+        import copy as _copy
+
+        audio_scheduler = _copy.deepcopy(self.scheduler)
+        boundary_timestep = (
+            boundary_ratio * getattr(self.scheduler, "num_train_timesteps", 1000)
+            if boundary_ratio is not None else None)
+        if boundary_timestep is not None and self.transformer_2 is None:
+            self._load_transformer_2()
+        _, sv1 = nnx.split(self.transformer)
+        sv2 = (nnx.split(self.transformer_2)[1]
+               if self.transformer_2 is not None else None)
+        _, sa = nnx.split(audio_tf)
+        _, sb = nnx.split(bridge)
+
+        grid = (lat_t // pt, lat_h // ph, lat_w // pw)
+        shapes = (tuple(x.shape), tuple(a.shape), context.shape[1])
+        zeros_clip = (clip_feats if clip_feats is not None
+                      else jnp.zeros((1, 1, 1), jnp.float32))
+        cb = make_mapped_progress(progress_callback, 0.3, 0.9)
+        for i, t in enumerate(np.asarray(ts, np.float64)):
+            if (boundary_timestep is not None and float(t) < boundary_timestep
+                    and sv2 is not None):
+                tf, sv, tag = self.transformer_2, sv2, "low"
+                g = (low_noise_guidance_scale
+                     if low_noise_guidance_scale is not None else guidance_scale)
+            else:
+                tf, sv, tag = self.transformer, sv1, "high"
+                g = (high_noise_guidance_scale
+                     if high_noise_guidance_scale is not None else guidance_scale)
+            fn = self._mova_step_fn(tf, audio_tf, bridge, tag, shapes, grid,
+                                    float(fps), float(condition_scale))
+            x_in = jnp.concatenate([x, condition], axis=1)
+            t_vec = jnp.full((1,), float(t), jnp.float32)
+            v, va = fn(sv, sa, sb, x_in, a, t_vec, context, zeros_clip)
+            if use_cfg and g > 1.0:
+                vn, van = fn(sv, sa, sb, x_in, a, t_vec, neg_context,
+                             zeros_clip)
+                v = vn.astype(jnp.float32) + g * (
+                    v.astype(jnp.float32) - vn.astype(jnp.float32))
+                va = van.astype(jnp.float32) + g * (
+                    va.astype(jnp.float32) - van.astype(jnp.float32))
+            (x,) = self.scheduler.step(v.astype(jnp.float32), float(t), x)
+            (a,) = audio_scheduler.step(va.astype(jnp.float32), float(t), a)
+            safe_emit_progress(cb, (i + 1) / len(ts),
+                               f"A/V step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x, a
+
+        frames = self.decode_latents(x)
+        if audio_vae is None:
+            safe_emit_progress(progress_callback, 1.0, "MOVA complete (no audio VAE)")
+            return frames
+        gd_av, s_av = nnx.split(audio_vae)
+        key = ("mova_audio_decode", tuple(a.shape))
+        dec = self._jit_cache.get(key)
+        if dec is None:
+
+            @jax.jit
+            def dec(s, z):
+                return nnx.merge(gd_av, s).decode(z)
+
+            self._jit_cache[key] = dec
+        wav = np.asarray(dec(s_av, a.astype(jnp.float32)))[0]
+        safe_emit_progress(progress_callback, 1.0, "Completed MOVA pipeline")
+        return frames, wav, int(sample_rate)

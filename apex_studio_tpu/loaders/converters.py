@@ -1020,6 +1020,94 @@ converter_registry.add(
     ),
 )
 
+_MOVA_DIT_RENAMES = [
+    # DiffSynth-layout Wan DiT (reference src/transformer/wan/mova/model.py:605
+    # and mova_audio/model.py:175) → our Wan module paths.
+    (r"^text_embedding\.0\.", "text_embedder_linear_1."),
+    (r"^text_embedding\.2\.", "text_embedder_linear_2."),
+    (r"^time_embedding\.0\.", "time_embedder_linear_1."),
+    (r"^time_embedding\.2\.", "time_embedder_linear_2."),
+    (r"^time_projection\.1\.", "time_proj."),
+    (r"\.self_attn\.q\.", ".attn1.to_q."),
+    (r"\.self_attn\.k\.", ".attn1.to_k."),
+    (r"\.self_attn\.v\.", ".attn1.to_v."),
+    (r"\.self_attn\.o\.", ".attn1.to_out."),
+    (r"\.self_attn\.norm_q\.", ".attn1.norm_q."),
+    (r"\.self_attn\.norm_k\.", ".attn1.norm_k."),
+    (r"\.cross_attn\.q\.", ".attn2.to_q."),
+    (r"\.cross_attn\.k\.", ".attn2.to_k."),
+    (r"\.cross_attn\.v\.", ".attn2.to_v."),
+    (r"\.cross_attn\.o\.", ".attn2.to_out."),
+    (r"\.cross_attn\.norm_q\.", ".attn2.norm_q."),
+    (r"\.cross_attn\.norm_k\.", ".attn2.norm_k."),
+    (r"\.cross_attn\.k_img\.", ".attn2.add_k_proj."),
+    (r"\.cross_attn\.v_img\.", ".attn2.add_v_proj."),
+    (r"\.cross_attn\.norm_k_img\.", ".attn2.norm_added_k."),
+    (r"\.norm3\.weight$", ".norm2_weight"),
+    (r"\.norm3\.bias$", ".norm2_bias"),
+    (r"\.ffn\.0\.", ".ffn.fc1."),
+    (r"\.ffn\.2\.", ".ffn.fc2."),
+    (r"(blocks\.\d+)\.modulation$", r"\1.scale_shift_table"),
+    (r"^head\.head\.", "proj_out."),
+    (r"^head\.modulation$", "scale_shift_table"),
+    (r"^img_emb\.proj\.0\.weight$", "img_norm1"),
+    (r"^img_emb\.proj\.0\.bias$", "img_norm1_bias"),
+    (r"^img_emb\.proj\.1\.", "img_ff1."),
+    (r"^img_emb\.proj\.3\.", "img_ff2."),
+    (r"^img_emb\.proj\.4\.weight$", "img_norm2"),
+    (r"^img_emb\.proj\.4\.bias$", "img_norm2_bias"),
+    (r"^patch_embedding\.weight$", "patch_embedding.kernel"),
+    (r"(to_q|to_k|to_v|to_out|add_k_proj|add_v_proj|fc1|fc2|img_ff1|img_ff2|"
+     r"time_proj|time_embedder_linear_\d|text_embedder_linear_\d|proj_out)"
+     r"\.weight$", r"\1.kernel"),
+]
+
+converter_registry.add(
+    "wan_mova", KeyConverter(renames=_MOVA_DIT_RENAMES, drop=(r"\.freqs$",)))
+converter_registry.add(
+    "wan_mova_audio",
+    KeyConverter(renames=_MOVA_DIT_RENAMES, drop=(r"\.freqs$",)))
+
+converter_registry.add(
+    "wan_mova_bridge",
+    KeyConverter(
+        # DualTowerConditionalBridge (reference src/helpers/wan/mova.py:371).
+        renames=[
+            (r"\.inner\.(q|k|v|o)\.weight$", r".inner.\1.kernel"),
+            (r"\.y_norm\.weight$", ".y_norm_weight"),
+            (r"\.y_norm\.bias$", ".y_norm_bias"),
+            (r"\.adaln\.linear\.weight$", ".adaln_linear.kernel"),
+            (r"\.adaln\.linear\.bias$", ".adaln_linear.bias"),
+            (r"\.per_frame_pooling\.attention\.in_proj_weight$",
+             ".per_frame_pooling.in_proj_weight"),
+            (r"\.per_frame_pooling\.attention\.in_proj_bias$",
+             ".per_frame_pooling.in_proj_bias"),
+            (r"\.per_frame_pooling\.attention\.out_proj\.weight$",
+             ".per_frame_pooling.out_proj.kernel"),
+            (r"\.per_frame_pooling\.attention\.out_proj\.bias$",
+             ".per_frame_pooling.out_proj.bias"),
+            (r"\.per_frame_pooling\.layernorm\.weight$",
+             ".per_frame_pooling.ln_weight"),
+            (r"\.per_frame_pooling\.layernorm\.bias$",
+             ".per_frame_pooling.ln_bias"),
+        ],
+        drop=(r"rotary", r"\.emb\."),
+    ),
+)
+
+converter_registry.add(
+    "dac_vae",
+    KeyConverter(
+        # DAC codec (reference src/vae/movaaudiovae/model.py:810): weight-norm
+        # params pass through; plain quant convs keep torch [O,I,K] as '.w'.
+        renames=[
+            (r"^(quant_conv|post_quant_conv)\.weight$", r"\1.w"),
+            (r"\.weight_v$", ".weight_v"),
+        ],
+        drop=(r"^quantizer\.",),
+    ),
+)
+
 converter_registry.add(
     "ltx2_upsampler",
     KeyConverter(

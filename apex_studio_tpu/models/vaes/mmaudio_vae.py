@@ -337,12 +337,14 @@ class WNConv1d(nnx.Module):
     """torch weight_norm conv1d: checkpoint keeps weight_g [O,1,1] and
     weight_v [O,I,K]; w = g·v/||v|| computed in forward."""
 
-    def __init__(self, cin, cout, k, stride=1, dilation=1, *, dtype, rngs):
+    def __init__(self, cin, cout, k, stride=1, dilation=1, pad=None, *,
+                 dtype, rngs):
         self.weight_v = nnx.Param(
             jax.random.normal(rngs.params(), (cout, cin, k), jnp.float32) * 0.01)
         self.weight_g = nnx.Param(jnp.ones((cout, 1, 1), jnp.float32))
         self.bias = nnx.Param(jnp.zeros((cout,), jnp.float32))
         self.stride, self.dilation, self.k = stride, dilation, k
+        self.pad = pad
         self.dtype = dtype
 
     def _w(self):
@@ -352,7 +354,9 @@ class WNConv1d(nnx.Module):
         return (self.weight_g.value * v / jnp.maximum(n, 1e-12)).astype(self.dtype)
 
     def __call__(self, x):
-        pad = (self.k * self.dilation - self.dilation) // 2
+        pad = self.pad
+        if pad is None:
+            pad = (self.k * self.dilation - self.dilation) // 2
         w = jnp.transpose(self._w(), (2, 1, 0))
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w, window_strides=(self.stride,),
@@ -362,12 +366,13 @@ class WNConv1d(nnx.Module):
 
 
 class WNConvTranspose1d(nnx.Module):
-    def __init__(self, cin, cout, k, stride, *, dtype, rngs):
+    def __init__(self, cin, cout, k, stride, pad=None, *, dtype, rngs):
         self.weight_v = nnx.Param(
             jax.random.normal(rngs.params(), (cin, cout, k), jnp.float32) * 0.01)
         self.weight_g = nnx.Param(jnp.ones((cin, 1, 1), jnp.float32))
         self.bias = nnx.Param(jnp.zeros((cout,), jnp.float32))
         self.stride, self.k = stride, k
+        self.pad = pad
         self.dtype = dtype
 
     def __call__(self, x):
@@ -379,7 +384,9 @@ class WNConvTranspose1d(nnx.Module):
         # JAX expects the gradient-style layout [K, O, I] (I/O swapped back
         # internally) — matching torch's scatter formulation.
         wj = jnp.transpose(w, (2, 1, 0))  # [K, O, I]
-        pad = (self.k - self.stride) // 2
+        pad = self.pad
+        if pad is None:
+            pad = (self.k - self.stride) // 2
         y = jax.lax.conv_transpose(
             x.astype(self.dtype), wj, strides=(self.stride,),
             padding=((self.k - 1 - pad, self.k - 1 - pad),),
