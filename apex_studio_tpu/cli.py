@@ -147,5 +147,91 @@ def dev(host: str, port: int) -> None:
     serve(host=host, port=port)
 
 
+
+
+@cli.command()
+@click.option("--output", type=click.Path(), default="./dist")
+@click.option("--bundle-version", default=None)
+@click.option("--nightly/--no-nightly", default=False)
+@click.option("--tar-zst/--no-tar-zst", default=True)
+@click.option("--tar-zst-level", default=12, type=int)
+def bundle(output, bundle_version, nightly, tar_zst, tar_zst_level):
+    """Pack the source tree into a versioned .tar.zst bundle
+    (reference src/__main__.py:506)."""
+    from apex_studio_tpu.distribution import build_bundle
+
+    root = Path(__file__).resolve().parent.parent
+    version = bundle_version or os.environ.get("APEX_BUNDLE_VERSION") or __version__
+    artifact = build_bundle(root, Path(output), version, nightly=nightly,
+                            tar_zst=tar_zst, tar_zst_level=tar_zst_level)
+    click.echo(str(artifact))
+
+
+@cli.command()
+@click.argument("artifact", type=click.Path(exists=True))
+@click.option("--repo", required=True, help="HF repo id, e.g. org/apex-releases")
+@click.option("--revision", default="main")
+def publish(artifact, repo, revision):
+    """Upload a bundle artifact to a HuggingFace releases repo
+    (reference src/__main__.py:677)."""
+    from apex_studio_tpu.distribution import publish as _publish
+
+    url = _publish(Path(artifact), repo, revision=revision)
+    click.echo(url)
+
+
+@cli.command(name="check-updates")
+@click.option("--repo", required=True)
+@click.option("--target-dir", type=click.Path(), default=None)
+def check_updates(repo, target_dir):
+    """List newer compatible release assets (reference src/__main__.py:1567)."""
+    from apex_studio_tpu.distribution import (
+        installed_version, list_remote_assets, pick_update)
+
+    target = Path(target_dir) if target_dir else Path(__file__).resolve().parent.parent
+    current = installed_version(target)
+    assets = list_remote_assets(repo)
+    best = pick_update(assets, current)
+    if best is None:
+        click.echo(json.dumps({"current": current, "update": None}))
+    else:
+        click.echo(json.dumps({"current": current, "update": best.version,
+                               "url": best.url}))
+
+
+@cli.command()
+@click.option("--repo", default=None, help="HF releases repo to pull from")
+@click.option("--archive", type=click.Path(exists=True), default=None,
+              help="Apply a local bundle archive instead of downloading")
+@click.option("--target-dir", type=click.Path(), default=None)
+def update(repo, archive, target_dir):
+    """Self-update from a releases repo or a local archive
+    (reference src/__main__.py update asset machinery)."""
+    from apex_studio_tpu.distribution import (
+        apply_update, installed_version, list_remote_assets, pick_update)
+
+    target = Path(target_dir) if target_dir else Path(__file__).resolve().parent.parent
+    if archive is None:
+        if repo is None:
+            raise click.UsageError("--repo or --archive required")
+        current = installed_version(target)
+        best = pick_update(list_remote_assets(repo), current)
+        if best is None:
+            click.echo("already up to date")
+            return
+        import requests
+
+        dest = home_dir() / "updates" / best.name
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        with requests.get(best.url, stream=True, timeout=600) as r:
+            r.raise_for_status()
+            with open(dest, "wb") as f:
+                for chunk in r.iter_content(1 << 20):
+                    f.write(chunk)
+        archive = dest
+    manifest = apply_update(Path(archive), target)
+    click.echo(json.dumps({"updated_to": manifest["version"],
+                           "files": len(manifest["files"])}))
+
 if __name__ == "__main__":
     cli()

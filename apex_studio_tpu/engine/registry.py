@@ -22,6 +22,7 @@ _ENGINE_MODULES = (
     "apex_studio_tpu.engine.wan",
     "apex_studio_tpu.engine.hunyuanvideo15",
     "apex_studio_tpu.engine.hunyuanvideo",
+    "apex_studio_tpu.engine.hunyuanvideo_avatar",
     "apex_studio_tpu.engine.ltx",
     "apex_studio_tpu.engine.chroma",
     "apex_studio_tpu.engine.skyreels",

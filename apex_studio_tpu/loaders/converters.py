@@ -442,6 +442,71 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "hunyuanvideo_avatar",
+    KeyConverter(
+        # HunyuanAvatarVideoTransformer3DModel (reference
+        # src/transformer/hunyuanvideo/avatar/model.py:780): hunyuanvideo
+        # layout plus ref embedders, motion/fps condition MLPs, whisper
+        # audio projection and the perceiver audio adapters.
+        renames=[
+            (r"^x_embedder\.proj\.weight$", "x_embedder.kernel"),
+            (r"^x_embedder\.proj\.bias$", "x_embedder.bias"),
+            (r"^ref_latents_embedder\.proj\.weight$",
+             "ref_latents_embedder.kernel"),
+            (r"^ref_latents_embedder\.proj\.bias$",
+             "ref_latents_embedder.bias"),
+            (r"^time_text_embed\.timestep_embedder\.linear_(\d)\.",
+             r"time_linear_\1."),
+            (r"^time_text_embed\.text_embedder\.linear_(\d)\.",
+             r"text_linear_\1."),
+            (r"^time_text_embed\.guidance_embedder\.linear_(\d)\.",
+             r"guidance_linear_\1."),
+            (r"^time_text_embed\.motion_exp\.linear_(\d)\.",
+             r"motion_exp_linear_\1."),
+            (r"^time_text_embed\.motion_pose\.linear_(\d)\.",
+             r"motion_pose_linear_\1."),
+            (r"^time_text_embed\.fps_proj\.linear_(\d)\.", r"fps_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.timestep_embedder\.linear_(\d)\.",
+             r"context_embedder.timestep_linear_\1."),
+            (r"^context_embedder\.time_text_embed\.text_embedder\.linear_(\d)\.",
+             r"context_embedder.text_linear_\1."),
+            (r"^context_embedder\.token_refiner\.refiner_blocks\.",
+             "context_embedder.refiner_blocks."),
+            (r"(refiner_blocks\.\d+)\.attn\.to_out\.0\.", r"\1.to_out."),
+            (r"(refiner_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.0\.proj\.", r"\1.ff_in."),
+            (r"(refiner_blocks\.\d+)\.ff\.net\.2\.", r"\1.ff_out."),
+            (r"(refiner_blocks\.\d+)\.norm_out\.linear\.", r"\1.ada_linear."),
+            (r"^audio_projection\.norm\.weight$",
+             "audio_projection.norm_weight"),
+            (r"^audio_projection\.norm\.bias$", "audio_projection.norm_bias"),
+            (r"^audio_projection\.(proj\d)\.", r"audio_projection.\1."),
+            (r"(audio_adapter_blocks\.\d+)\.norm(\d)\.weight$",
+             r"\1.norm\2_weight"),
+            (r"(audio_adapter_blocks\.\d+)\.norm(\d)\.bias$",
+             r"\1.norm\2_bias"),
+            (r"\.norm1\.linear\.", ".norm1_linear."),
+            (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
+            (r"\.norm\.linear\.", ".norm_linear."),
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
+            (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_kv|to_out|to_add_out|add_q_proj|add_k_proj|"
+             r"add_v_proj|fc1|fc2|ff_in|ff_out|ada_linear|proj_in|proj_mlp|"
+             r"proj_out|proj\d|norm1_linear|norm1_context_linear|norm_linear|"
+             r"norm_out_linear|ref_latents_proj|time_linear_\d|"
+             r"timestep_linear_\d|text_linear_\d|guidance_linear_\d|"
+             r"motion_exp_linear_\d|motion_pose_linear_\d|fps_linear_\d)"
+             r"\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^rope\.",),
+    ),
+)
+
+converter_registry.add(
     "hunyuanvideo_vae",
     KeyConverter(
         renames=[
@@ -750,6 +815,34 @@ converter_registry.add(
         ],
         strip_prefixes=(),
         drop=(r"^vision_model\.head", r"^text_model", r"^logit_"),
+    ),
+)
+
+converter_registry.add(
+    "siglip_pooled",
+    KeyConverter(
+        # Same vision tower, but KEEP the MAP attention-pooling head
+        # (get_image_features) — used by the cosmos guardrail's frame
+        # embedding (reference postprocess/cosmos/guardrail.py:505).
+        renames=[
+            (r"^vision_model\.embeddings\.patch_embedding\.weight$", "patch_embedding.kernel"),
+            (r"^vision_model\.embeddings\.patch_embedding\.bias$", "patch_embedding.bias"),
+            (r"^vision_model\.embeddings\.position_embedding\.weight$", "position_embedding"),
+            (r"^vision_model\.post_layernorm\.", "post_layernorm."),
+            (r"^vision_model\.encoder\.layers\.", "layers."),
+            (r"^vision_model\.head\.attention\.in_proj_weight$", "head.in_proj_weight"),
+            (r"^vision_model\.head\.attention\.in_proj_bias$", "head.in_proj_bias"),
+            (r"^vision_model\.head\.attention\.out_proj\.", "head.out_proj."),
+            (r"^vision_model\.head\.mlp\.fc1\.", "head.fc1."),
+            (r"^vision_model\.head\.mlp\.fc2\.", "head.fc2."),
+            (r"^vision_model\.head\.layernorm\.", "head.layernorm."),
+            (r"^vision_model\.head\.probe$", "head.probe"),
+            (r"\.mlp\.fc1\.", ".fc1."),
+            (r"\.mlp\.fc2\.", ".fc2."),
+            (r"(q_proj|k_proj|v_proj|out_proj|fc1|fc2)\.weight$", r"\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"^text_model", r"^logit_"),
     ),
 )
 

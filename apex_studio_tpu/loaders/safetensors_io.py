@@ -8,7 +8,7 @@ bf16 at load time (scale tensors consumed here, SURVEY.md §7 step 9).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Union
+from typing import Any, Dict, Iterable, List, Optional, Union
 
 import json
 import numpy as np
@@ -153,3 +153,35 @@ def dequantize_fp8_scaled(sd: Dict[str, np.ndarray], target=np.float32) -> Dict[
                 arr = arr * scale.astype(target)
         out[key] = arr
     return out
+
+
+def save_safetensors(path: Union[str, Path], tensors: Dict[str, np.ndarray],
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    """Write a .safetensors file (header JSON + contiguous little-endian
+    payloads). Counterpart of safetensors.torch.save_file for the training
+    data pipeline (reference apps/train/zimage/{text,vae}_encode.py)."""
+    rev = {v: k for k, v in _ST_DTYPES.items()}
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = dict(metadata)
+    offset = 0
+    blobs = []
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        st_dtype = rev.get(arr.dtype.type) or rev.get(np.dtype(arr.dtype).type)
+        if st_dtype is None:
+            arr = arr.astype(np.float32)
+            st_dtype = "F32"
+        blob = arr.tobytes()
+        header[name] = {"dtype": st_dtype, "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(blob)]}
+        offset += len(blob)
+        blobs.append(blob)
+    hdr = json.dumps(header).encode("utf-8")
+    pad = (-len(hdr)) % 8
+    hdr += b" " * pad
+    with open(path, "wb") as f:
+        f.write(len(hdr).to_bytes(8, "little"))
+        f.write(hdr)
+        for blob in blobs:
+            f.write(blob)

@@ -63,6 +63,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.ltx2_vocoder",
         "apex_studio_tpu.models.ltx2_upsampler",
         "apex_studio_tpu.models.transformers.wan_mova",
+        "apex_studio_tpu.models.transformers.hunyuanvideo_avatar",
         "apex_studio_tpu.models.vaes.mova_audio_vae",
         "apex_studio_tpu.models.text_encoders.gemma3",
         "apex_studio_tpu.models.vaes.magi_vae",

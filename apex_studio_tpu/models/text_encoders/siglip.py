@@ -37,6 +37,7 @@ class SiglipVisionConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_pytorch_tanh"
+    use_head: bool = False  # MAP attention-pooling head (get_image_features)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "SiglipVisionConfig":
@@ -48,6 +49,52 @@ class SiglipVisionConfig:
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
+
+
+class SiglipMAPHead(nnx.Module):
+    """SiglipMultiheadAttentionPoolingHead (transformers modeling_siglip):
+    a learnable probe attends over the patch tokens, then a residual
+    layernorm+MLP; used by ``get_image_features`` — the cosmos guardrail's
+    frame embedding (reference postprocess/cosmos/guardrail.py:505)."""
+
+    def __init__(self, cfg: SiglipVisionConfig, *, dtype, param_dtype,
+                 rngs: nnx.Rngs):
+        d = cfg.hidden_size
+        init = nnx.initializers.normal(0.02)
+        self.probe = nnx.Param(init(rngs.params(), (1, 1, d), param_dtype))
+        self.in_proj_weight = nnx.Param(
+            nnx.initializers.lecun_normal()(rngs.params(), (3 * d, d),
+                                            param_dtype))
+        self.in_proj_bias = nnx.Param(jnp.zeros((3 * d,), param_dtype))
+        self.out_proj = Linear(d, d, dtype=dtype, param_dtype=param_dtype,
+                               rngs=rngs)
+        self.layernorm = LayerNorm(d, eps=cfg.layer_norm_eps, rngs=rngs)
+        self.fc1 = Linear(d, cfg.intermediate_size, dtype=dtype,
+                          param_dtype=param_dtype, rngs=rngs)
+        self.fc2 = Linear(cfg.intermediate_size, d, dtype=dtype,
+                          param_dtype=param_dtype, rngs=rngs)
+        self.heads = cfg.num_attention_heads
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        b, n, d = x.shape
+        hd = d // self.heads
+        wq, wk, wv = jnp.split(self.in_proj_weight.value.astype(x.dtype), 3,
+                               axis=0)
+        bq, bk, bv = jnp.split(self.in_proj_bias.value.astype(x.dtype), 3,
+                               axis=0)
+        probe = self.probe.value.astype(x.dtype)
+        q = jnp.broadcast_to(probe @ wq.T + bq, (b, 1, d))
+        k = x @ wk.T + bk
+        v = x @ wv.T + bv
+        o = jax.nn.dot_product_attention(
+            q.reshape(b, 1, self.heads, hd), k.reshape(b, n, self.heads, hd),
+            v.reshape(b, n, self.heads, hd))
+        h = self.out_proj(o.reshape(b, 1, d))
+        h = h + self.fc2(nnx.gelu(self.fc1(self.layernorm(h)),
+                                  approximate=True))
+        return h[:, 0]
 
 
 @text_encoder_registry.register(
@@ -82,6 +129,8 @@ class SiglipVisionEncoder(nnx.Module):
              for _ in range(cfg.num_hidden_layers)]
         )
         self.post_layernorm = LayerNorm(d, eps=cfg.layer_norm_eps, rngs=rngs)
+        self.head = (SiglipMAPHead(cfg, dtype=dtype, param_dtype=param_dtype,
+                                   rngs=rngs) if cfg.use_head else None)
 
     def _patchify(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
         p = self.cfg.patch_size
@@ -90,14 +139,21 @@ class SiglipVisionEncoder(nnx.Module):
         x = x.transpose(0, 2, 4, 1, 3, 5)
         return x.reshape(b, (h // p) * (w // p), c * p * p)
 
-    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, pixel_values: jnp.ndarray,
+                 pooled: bool = False) -> jnp.ndarray:
         """pixel_values [B,3,384,384] normalized to ±1 → [B, 729, 1152]
-        (post-layernormed last hidden state, the transformers contract)."""
+        (post-layernormed last hidden state, the transformers contract).
+        ``pooled=True`` routes through the MAP head (get_image_features)."""
         x = self.patch_embedding(self._patchify(pixel_values.astype(self.dtype)))
         x = x + self.position_embedding.value.astype(self.dtype)
         for layer in self.layers:
             x = layer(x, None)
-        return self.post_layernorm(x)
+        x = self.post_layernorm(x)
+        if pooled:
+            if self.head is None:
+                raise ValueError("config.use_head=False: no MAP pooling head")
+            return self.head(x)
+        return x
 
 
 def preprocess_siglip_image(image: np.ndarray, size: int = 384) -> np.ndarray:
