@@ -10,3 +10,7 @@ from apex_studio_tpu.preprocess import pidinet  # noqa: F401
 from apex_studio_tpu.preprocess import depth_anything  # noqa: F401
 from apex_studio_tpu.preprocess import openpose  # noqa: F401
 from apex_studio_tpu.preprocess import dwpose  # noqa: F401
+from apex_studio_tpu.preprocess import mlsd  # noqa: F401
+from apex_studio_tpu.preprocess import manga_line  # noqa: F401
+from apex_studio_tpu.preprocess import depth_hf  # noqa: F401
+from apex_studio_tpu.preprocess import segmentation  # noqa: F401
