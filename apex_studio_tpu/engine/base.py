@@ -306,9 +306,16 @@ class BaseEngine:
         Modes (env APEX_MEMORY_FALLBACK > manifest spec/defaults key
         ``memory_fallback``): ``off``, ``int8`` (force int8 residency),
         ``auto`` (int8 residency only when params won't fit the chip's free
-        HBM and the mesh has nothing to shard over). Block streaming for the
-        truly oversized case is ``parallel/host_offload.HostOffloadedBlocks``,
-        opted into per family.
+        HBM and the mesh has nothing to shard over).
+
+        Design decision (r3): int8 residency + mesh sharding ARE the
+        oversized-model story on TPU. Host→HBM block streaming
+        (parallel/host_offload.py) cannot live inside the jitted denoise
+        step — device_put is a host-side op — so wiring it would mean
+        de-jitting every engine's hot loop, trading the MXU's fused step for
+        PCIe-bound eager execution. It stays available as an eager utility
+        (stream_blocks) for offline/CPU paths only; production oversizing
+        beyond int8's 2× wants more chips, not streaming.
         """
         import os
 
@@ -409,7 +416,11 @@ class BaseEngine:
         }
         hit = cache.load(payload)
         if hit is not None:
-            return jnp.asarray(hit[0])
+            cached = np.asarray(hit[0])
+            # entries written before the f32 normalization may carry numpy's
+            # void view of bf16 ("|V2") — treat those as misses and rewrite
+            if cached.dtype.kind in "fiu":
+                return jnp.asarray(cached)
         graphdef, vae_state = nnx.split(self.vae)
         key = ("vae_encode", tuple(video.shape))
         enc = self._jit_cache.get(key)
