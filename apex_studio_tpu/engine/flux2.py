@@ -234,3 +234,147 @@ class Flux2TI2IEngine(BaseEngine):
         _, vae_state = nnx.split(self.vae)
         img = dec(vae_state, tokens)
         return self.tensor_to_frames(img)
+
+
+@register_engine("flux2", "control")
+class Flux2ControlEngine(Flux2TI2IEngine):
+    """Flux2 VACE-style control/inpaint (reference engine/flux2/control.py:11
+    + transformer/flux2/control/model.py:102): the packed conditioning
+    context is [control latents ‖ inverted mask (4ch packed) ‖ masked
+    inpaint latents]; a zero-init control block chain produces per-layer
+    hints added into the main double stream at control_layers."""
+
+    def _encode_packed(self, pixels: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+        graphdef, vae_state = nnx.split(self.vae)
+        key = ("flux2_ctrl_enc", tuple(pixels.shape), normalize)
+        enc = self._jit_cache.get(key)
+        if enc is None:
+
+            @jax.jit
+            def enc(state, v):
+                m = nnx.merge(graphdef, state)
+                z = m.encode(v)
+                packed = self.transformer.pack_latents(z.astype(jnp.float32))
+                return m.normalize_packed(packed) if normalize else packed
+
+            self._jit_cache[key] = enc
+        return enc(vae_state, pixels)
+
+    def run(
+        self,
+        prompt: Optional[str] = None,
+        control_image: Optional[Any] = None,
+        inpaint_image: Optional[Any] = None,
+        mask_image: Optional[Any] = None,
+        control_context_scale: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 4.0,
+        seed: Optional[int] = None,
+        sigmas: Optional[np.ndarray] = None,
+        timesteps: Optional[List[float]] = None,
+        max_sequence_length: int = 512,
+        return_latents: bool = False,
+        progress_callback: Optional[Callable] = None,
+        **_: Any,
+    ):
+        import cv2
+
+        safe_emit_progress(progress_callback, 0.0, "Starting flux2 control")
+        self.load_components()
+        cfg_t = self.transformer.cfg
+        lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
+        height -= height % (lat_scale * 2)
+        width -= width % (lat_scale * 2)
+        lat_c = (cfg_t.out_channels or cfg_t.in_channels) // 4
+        lat_h, lat_w = height // lat_scale, width // lat_scale
+        grid = (lat_h // 2, lat_w // 2)
+
+        seq = self.encode_prompt(prompt or "", max_sequence_length)
+
+        def _pixels(im):
+            arr = self.load_image_input(im)
+            resized = cv2.resize(arr, (width, height),
+                                 interpolation=cv2.INTER_LANCZOS4)
+            return jnp.asarray(resized.astype(np.float32) / 127.5
+                               - 1.0).transpose(2, 0, 1)[None]
+
+        # mask: 1 = edit region (control.py:124); latents see (1 - mask)
+        if mask_image is not None:
+            m_arr = self.load_image_input(mask_image)
+            if m_arr.ndim == 3:
+                m_arr = m_arr[..., 0]
+            m_arr = cv2.resize(m_arr, (width, height),
+                               interpolation=cv2.INTER_NEAREST)
+            mask = (m_arr.astype(np.float32) / 255.0 >= 0.5).astype(np.float32)
+        else:
+            mask = np.ones((height, width), np.float32)
+
+        if inpaint_image is not None:
+            init_px = np.asarray(_pixels(inpaint_image))
+            init_px = init_px * (mask[None, None] < 0.5)
+        else:
+            init_px = np.zeros((1, 3, height, width), np.float32)
+        inpaint_tokens = self._encode_packed(
+            jnp.asarray(init_px), normalize=inpaint_image is not None)
+
+        if control_image is not None:
+            control_tokens = self._encode_packed(_pixels(control_image),
+                                                 normalize=True)
+        else:
+            control_tokens = jnp.zeros_like(inpaint_tokens)
+
+        inv_mask = cv2.resize(1.0 - mask, (lat_w, lat_h),
+                              interpolation=cv2.INTER_NEAREST)
+        mask_tokens = self.transformer.pack_latents(
+            jnp.asarray(inv_mask)[None, None])  # [1, N, 4]
+        control_context = jnp.concatenate(
+            [control_tokens, mask_tokens, inpaint_tokens], axis=-1)
+        safe_emit_progress(progress_callback, 0.3, "Control context ready")
+
+        noise = self.get_latents((1, lat_c, lat_h, lat_w), seed=seed)
+        x = self.transformer.pack_latents(noise.astype(jnp.float32))
+
+        if sigmas is None:
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps,
+                                 num_inference_steps)
+        mu = compute_empirical_mu(x.shape[1], num_inference_steps)
+        ts, num_inference_steps = self.get_timesteps(
+            self.scheduler, num_inference_steps, timesteps=timesteps,
+            sigmas=sigmas, mu=mu)
+
+        graphdef, tf_state = nnx.split(self.transformer)
+        key = ("flux2_control_step", x.shape, seq.shape[1], grid,
+               float(control_context_scale))
+        step = self._jit_cache.get(key)
+        if step is None:
+            from apex_studio_tpu.engine.fused import build_euler_step
+
+            def apply(m, x, aux, t_vec, seq, cc, g):
+                v = m(x.astype(m.dtype), seq, t_vec, guidance=g, grid_hw=grid,
+                      control_context=cc,
+                      control_context_scale=control_context_scale)
+                return v.astype(jnp.float32), aux
+
+            step = build_euler_step(graphdef, apply)
+            self._jit_cache[key] = step
+
+        g_vec = jnp.full((1,), guidance_scale, jnp.float32)
+        denoise_cb = make_mapped_progress(progress_callback, 0.4, 0.9)
+        for i, t in enumerate(ts):
+            t_vec = jnp.full((1,), float(t) / 1000.0, jnp.float32)
+            x, _ = step(tf_state, x,
+                        float(self.scheduler.sigmas[i]),
+                        float(self.scheduler.sigmas[i + 1]),
+                        (), t_vec, seq, control_context, g_vec)
+            if denoise_cb is not None:
+                denoise_cb(min((i + 1) / len(ts), 1.0),
+                           f"Denoising step {i + 1}/{len(ts)}")
+
+        if return_latents:
+            safe_emit_progress(progress_callback, 1.0, "Returning latents")
+            return x
+        frames = self._decode_frames(x, lat_h, lat_w)
+        safe_emit_progress(progress_callback, 1.0, "Flux2 control complete")
+        return frames

@@ -585,6 +585,29 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "flux2_control",
+    KeyConverter(
+        # Flux2ControlTransformer2DModel (reference transformer/flux2/control/
+        # model.py:102): flux2 layout + zero-init control chain.
+        renames=[
+            (r"^time_guidance_embed\.timestep_embedder\.linear_(\d)\.", r"timestep_linear_\1."),
+            (r"^time_guidance_embed\.guidance_embedder\.linear_(\d)\.", r"guidance_linear_\1."),
+            (r"^(double_stream_modulation_img|double_stream_modulation_txt|single_stream_modulation)\.linear\.",
+             r"\1."),
+            (r"\.attn\.to_out\.0\.", ".to_out."),
+            (r"\.attn\.to_out\.", ".to_out."),
+            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.ff(_context)?\.linear_in\.", r".ff\1.linear_in."),
+            (r"^norm_out\.linear\.", "norm_out_linear."),
+            (r"(to_q|to_k|to_v|to_out|to_add_out|add_q_proj|add_k_proj|add_v_proj|to_qkv_mlp_proj|linear_in|linear_out|x_embedder|context_embedder|proj_out|norm_out_linear|timestep_linear_\d|guidance_linear_\d|double_stream_modulation_img|double_stream_modulation_txt|single_stream_modulation|before_proj|after_proj|control_img_in)\.weight$",
+             r"\1.kernel"),
+        ],
+        drop=(r"^pos_embed\.",),
+    ),
+)
+
+converter_registry.add(
     "flux2_vae",
     KeyConverter(
         renames=[

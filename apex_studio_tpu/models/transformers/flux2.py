@@ -308,3 +308,129 @@ class Flux2Transformer2DModel(nnx.Module):
         scale, shift = jnp.split(self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
         img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
         return self.proj_out(img)
+
+
+# -- control (VACE-style hint chain) ---------------------------------------------------
+
+
+@dataclasses.dataclass
+class Flux2ControlConfig(Flux2Config):
+    """reference transformer/flux2/control/model.py:102 — a parallel chain of
+    dual blocks over the packed [control latents ‖ inverted mask ‖ inpaint
+    latents] context, emitting per-layer hints added into the main double
+    stream at ``control_layers``."""
+
+    control_layers: Tuple[int, ...] = (0, 2, 4, 6)
+    control_in_dim: int = 260
+
+
+class Flux2ControlChainBlock(Flux2DualBlock):
+    """control/model.py:38 — Flux2TransformerBlock + zero-init before_proj
+    (block 0 only) and after_proj hint head."""
+
+    def __init__(self, cfg: Flux2Config, first: bool, *, dtype, param_dtype,
+                 rngs: nnx.Rngs):
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        d = cfg.dim
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        if first:
+            self.before_proj = Linear(d, d, **kw)
+            self.before_proj.kernel.value = jnp.zeros_like(
+                self.before_proj.kernel.value)
+        else:
+            self.before_proj = None
+        self.after_proj = Linear(d, d, **kw)
+        self.after_proj.kernel.value = jnp.zeros_like(
+            self.after_proj.kernel.value)
+
+
+@transformer_registry.register(
+    "flux2.control", aliases=("Flux2ControlTransformer2DModel",))
+class Flux2ControlTransformer2DModel(Flux2Transformer2DModel):
+    config_class = Flux2ControlConfig
+
+    def __init__(self, cfg: Flux2ControlConfig = None, *, dtype=jnp.bfloat16,
+                 param_dtype=jnp.bfloat16, rngs=None):
+        from flax import nnx as _nnx
+
+        cfg = cfg or Flux2ControlConfig()
+        rngs = rngs or _nnx.Rngs(0)
+        super().__init__(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(use_bias=True, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.control_img_in = Linear(cfg.control_in_dim, cfg.dim, **kw)
+        self.control_transformer_blocks = nnx.List([
+            Flux2ControlChainBlock(cfg, first=(j == 0), dtype=dtype,
+                                   param_dtype=param_dtype, rngs=rngs)
+            for j in range(len(cfg.control_layers))])
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        timestep: jnp.ndarray,
+        guidance: Optional[jnp.ndarray] = None,
+        grid_hw: Optional[Tuple[int, int]] = None,
+        cond_tokens: Optional[jnp.ndarray] = None,
+        cond_grids: Tuple[Tuple[int, int], ...] = (),
+        control_context: Optional[jnp.ndarray] = None,
+        control_context_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, n_img, _ = hidden_states.shape
+        n_txt = encoder_hidden_states.shape[1]
+        if grid_hw is None:
+            side = int(round(float(np.sqrt(n_img))))
+            grid_hw = (side, side)
+
+        t_freq = timestep_embedding(timestep.astype(jnp.float32) * 1000.0,
+                                    cfg.timestep_guidance_channels,
+                                    flip_sin_to_cos=True)
+        temb = self.timestep_linear_2(nnx.silu(self.timestep_linear_1(
+            t_freq.astype(self.dtype))))
+        if self.guidance_linear_1 is not None and guidance is not None:
+            g_freq = timestep_embedding(guidance.astype(jnp.float32) * 1000.0,
+                                        cfg.timestep_guidance_channels,
+                                        flip_sin_to_cos=True)
+            temb = temb + self.guidance_linear_2(nnx.silu(
+                self.guidance_linear_1(g_freq.astype(self.dtype))))
+
+        mods_img = self._mods(self.double_stream_modulation_img, temb, 2)
+        mods_txt = self._mods(self.double_stream_modulation_txt, temb, 2)
+        (mods_single,) = self._mods(self.single_stream_modulation, temb, 1)
+
+        if cond_tokens is not None:
+            hidden_states = jnp.concatenate(
+                [hidden_states, cond_tokens.astype(hidden_states.dtype)], axis=1)
+        img = self.x_embedder(hidden_states.astype(self.dtype))
+        txt = self.context_embedder(encoder_hidden_states.astype(self.dtype))
+        rope_cos, rope_sin = self.rope_tables(n_txt, grid_hw, cond_grids)
+
+        # control hint chain (control/model.py:183): the control stream runs
+        # its own dual blocks, threading the SAME txt stream forward; each
+        # block's after_proj is the hint for one main layer
+        hints = []
+        ctx_txt = txt
+        if control_context is not None:
+            c = self.control_img_in(control_context.astype(self.dtype))
+            for blk in self.control_transformer_blocks:
+                if blk.before_proj is not None:
+                    c = blk.before_proj(c) + img
+                c, ctx_txt = blk(c, ctx_txt, mods_img, mods_txt, rope_cos,
+                                 rope_sin)
+                hints.append(blk.after_proj(c))
+
+        mapping = {layer: j for j, layer in enumerate(cfg.control_layers)}
+        for i, blk in enumerate(self.transformer_blocks):
+            img, txt = blk(img, txt, mods_img, mods_txt, rope_cos, rope_sin)
+            if hints and i in mapping:
+                img = img + hints[mapping[i]] * control_context_scale
+
+        x = jnp.concatenate([txt, img], axis=1)
+        for blk in self.single_transformer_blocks:
+            x = blk(x, mods_single, rope_cos, rope_sin)
+        img = x[:, n_txt : n_txt + n_img]
+
+        scale, shift = jnp.split(
+            self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
+        img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
+        return self.proj_out(img)
