@@ -434,6 +434,7 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
         guidance_scale: float = 3.0,
         seed: Optional[int] = None,
         timesteps: Optional[List[float]] = None,
+        upsample: bool = False,
         return_latents: bool = False,
         progress_callback: Optional[Callable] = None,
         **_: Any,
@@ -581,6 +582,33 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
                                f"denoise step {i + 1}/{len(ts)}")
 
         lats = _unpatchify_tokens(tokens[:, :base_tok], lat_f, lat_h, lat_w)
+
+        if upsample:
+            # appended conditioning tokens are already stripped — the
+            # upsampler sees only the base video grid
+            # (reference keyframe_video_base.py:424-443)
+            up = self._get_upsampler()
+            if up is not None:
+                safe_emit_progress(progress_callback, 0.9,
+                                   "Upsampling latents (stage-2 prep)")
+                lats = self._upsample_latents(lats, up)
+                sigmas_d = [0.909375, 0.725, 0.421875]
+                return LTX2TI2VEngine.run(
+                    self, prompt=prompt,
+                    height=lats.shape[3] * s_scale,
+                    width=lats.shape[4] * s_scale,
+                    num_frames=num_frames, fps=fps,
+                    num_inference_steps=len(sigmas_d), timesteps=sigmas_d,
+                    guidance_scale=1.0, seed=seed, latents=lats,
+                    audio_latents=a_tokens.transpose(0, 2, 1),
+                    noise_scale=sigmas_d[0], upsample=False,
+                    return_latents=return_latents,
+                    progress_callback=progress_callback,
+                )
+            safe_emit_progress(progress_callback, 0.9,
+                               "No latent_upsampler in manifest — skipping "
+                               "stage 2")
+
         if return_latents:
             safe_emit_progress(progress_callback, 1.0, "Returning latents")
             return lats

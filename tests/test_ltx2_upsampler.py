@@ -183,3 +183,35 @@ class TestEngineStagedUpsample:
         # base 64×64 → latent 2×2 (32× spatial VAE) → stage-2 grid 4×4
         assert lat.shape[-2:] == (4, 4)
         assert np.isfinite(lat).all()
+
+
+class TestKeyframeStagedUpsample:
+    def test_keyframe_upsample_doubles_resolution(self, tmp_path):
+        import copy
+
+        from tests.test_engine_ltx2 import LTX2_TINY
+
+        m = copy.deepcopy(LTX2_TINY)
+        m["metadata"]["id"] = "ltx2-kf-upsample-test"
+        m["spec"]["components"].append(
+            {"type": "helper", "name": "latent_upsampler",
+             "base": "ltx2.upsampler",
+             "config": {"in_channels": 4, "mid_channels": 32,
+                        "num_blocks_per_stage": 1, "spatial_scale": 2.0}})
+        path = tmp_path / "ltx2-kf-up.yml"
+        path.write_text(yaml.safe_dump(m))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path, model_type="keyframe_interpolation")
+        eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
+        img0 = np.full((64, 64, 3), 40, np.uint8)
+        img1 = np.full((64, 64, 3), 210, np.uint8)
+        lat = eng.run(prompt="interp", image=[img0, img1],
+                      image_pixel_frame_indices=[0, 8],
+                      image_strengths=[1.0, 1.0], height=64, width=64,
+                      num_frames=9, num_inference_steps=2,
+                      guidance_scale=1.0, seed=0, upsample=True,
+                      return_latents=True)
+        lat = np.asarray(lat)
+        assert lat.shape[-2:] == (4, 4)  # 2×2 base grid lifted 2×
+        assert np.isfinite(lat).all()
