@@ -35,7 +35,7 @@ class _ConvBNReLU6(nnx.Module):
     (0,1,0,1) explicitly, stride 1 pads symmetrically; ReLU6."""
 
     def __init__(self, cin: int, cout: int, k: int = 3, stride: int = 1,
-                 groups: int = 1, *, rngs: nnx.Rngs):
+                 groups: int = 1, tf_pad: bool = True, *, rngs: nnx.Rngs):
         init = nnx.initializers.lecun_normal()
         self.kernel = nnx.Param(
             init(rngs.params(), (k, k, cin // groups, cout), jnp.float32))
@@ -44,14 +44,15 @@ class _ConvBNReLU6(nnx.Module):
         self.bn_mean = nnx.Param(jnp.zeros((cout,), jnp.float32))
         self.bn_var = nnx.Param(jnp.ones((cout,), jnp.float32))
         self.k, self.stride, self.groups = k, stride, groups
+        self.tf_pad = tf_pad
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.stride == 2:
+        if self.stride == 2 and self.tf_pad:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             pad = ((0, 0), (0, 0))
         else:
             p = (self.k - 1) // 2
-            pad = ((p, p), (p, p))
+            pad = ((p, p), (p, p))  # torch-style symmetric (any stride)
         y = jax.lax.conv_general_dilated(
             x, self.kernel.value, window_strides=(self.stride, self.stride),
             padding=pad, feature_group_count=self.groups,
@@ -83,13 +84,13 @@ class _ConvBN(nnx.Module):
 class _InvertedResidual(nnx.Module):
     """mbv2_mlsd_large.py:132 — pw-expand → dw → pw-linear, skip on s1."""
 
-    def __init__(self, cin: int, cout: int, stride: int, expand: int, *,
-                 rngs: nnx.Rngs):
+    def __init__(self, cin: int, cout: int, stride: int, expand: int,
+                 tf_pad: bool = True, *, rngs: nnx.Rngs):
         hidden = int(round(cin * expand))
         self.expand = (None if expand == 1
                        else _ConvBNReLU6(cin, hidden, 1, rngs=rngs))
         self.dw = _ConvBNReLU6(hidden, hidden, 3, stride, groups=hidden,
-                               rngs=rngs)
+                               tf_pad=tf_pad, rngs=rngs)
         self.pw = _ConvBN(hidden, cout, rngs=rngs)
         self.use_res = stride == 1 and cin == cout
 
