@@ -179,3 +179,68 @@ class LineartModelPreprocessor(BasePreprocessor):
         line = np.asarray(line)[0, :h, :w, 0]
         out = 255 - (line * 255.0).clip(0, 255).astype(np.uint8)
         return np.repeat(out[:, :, None], 3, axis=2)
+
+
+@preprocessor_registry.register("scribble_anime", aliases=("ScribbleAnimeDetector",))
+class ScribbleAnimePreprocessor(BasePreprocessor):
+    """Anime-style scribble contours (reference src/preprocess/scribble_anime
+    ContourInference — the SAME generator topology as the lineart sk_model,
+    n_residual_blocks=3, different checkpoint netG_A_latest.pth from
+    ali-vilab/VACE-Annotators). Output is the raw contour map, NOT inverted
+    (scribble_anime/__init__.py:163)."""
+
+    name = "scribble_anime"
+    params_schema = {"detect_resolution": 512}
+    weights_id = "scribble_anime"
+
+    def __init__(self, model: Optional[LineartGenerator] = None):
+        self.model = model
+        self._fwd = {}
+
+    def _ensure(self) -> LineartGenerator:
+        if self.model is None:
+            m = LineartGenerator()
+            from apex_studio_tpu.preprocess.weights import load_preprocessor_weights
+
+            try:
+                sd = load_preprocessor_weights(
+                    "scribble_anime", hf_repo="ali-vilab/VACE-Annotators",
+                    hf_filename="scribble/anime_style/netG_A_latest.pth")
+            except Exception:
+                sd = None
+            if sd:
+                sd = {k.replace("module.", ""): v for k, v in sd.items()}
+                tree = convert_lineart_keys(sd)
+                graphdef, state = nnx.split(m)
+                for path, leaf in state.flat_state():
+                    nm = ".".join(str(p) for p in path)
+                    if nm in tree and tree[nm].shape == leaf.value.shape:
+                        leaf.value = jnp.asarray(tree[nm])
+                m = nnx.merge(graphdef, state)
+            self.model = m
+        return self.model
+
+    def process_frame(self, frame: Frame, detect_resolution: int = 512,
+                      **_: Any) -> Frame:
+        import cv2
+
+        model = self._ensure()
+        h, w = frame.shape[:2]
+        size = int(detect_resolution)
+        size -= size % 4
+        img = cv2.resize(frame, (size, size), interpolation=cv2.INTER_CUBIC)
+        key = ("anime", img.shape)
+        if key not in self._fwd:
+            graphdef, state = nnx.split(model)
+
+            @jax.jit
+            def fwd(s, v):
+                return nnx.merge(graphdef, s)(v)
+
+            self._fwd[key] = (fwd, state)
+        fwd, state = self._fwd[key]
+        line = fwd(state, jnp.asarray(img.astype(np.float32) / 255.0)[None])
+        contour = (np.asarray(line)[0, :, :, 0] * 255.0).clip(0, 255)
+        contour = contour.astype(np.uint8)
+        out = cv2.resize(contour, (w, h), interpolation=cv2.INTER_AREA)
+        return np.repeat(out[:, :, None], 3, axis=2)
