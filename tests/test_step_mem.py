@@ -12,7 +12,9 @@ class TestStepMem:
 
         keep = jnp.ones((64, 128), jnp.float32)  # noqa: F841 live array
         buf = io.StringIO()
-        snap = step_mem("unit test", top=5, file=buf, pause=False)
+        # top must cover every live array: under the full suite hundreds of
+        # arrays from other tests are still alive
+        snap = step_mem("unit test", top=100000, file=buf, pause=False)
         text = buf.getvalue()
         assert "[step_mem] unit test" in text
         assert "host rss=" in text
