@@ -606,6 +606,15 @@ def create_app(
     resolver: Optional[ManifestResolver] = None,
 ) -> web.Application:
     ensure_dirs()
+    # Persistent XLA compile cache: warm server restarts skip the multi-minute
+    # DiT compiles (the reference pays this via torch.compile caches,
+    # src/mixins/compile_mixin.py:27).
+    try:
+        from apex_studio_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        logger.exception("compile cache init failed; continuing without")
     # Install the process device mesh (APEX_MESH, default pure TP on
     # multi-chip TPU) so served engines load TP/SP-sharded weights — the
     # framework's primary memory strategy (parallel/mesh.py).

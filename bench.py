@@ -306,6 +306,13 @@ def bench_hyv15(tiny: bool) -> dict:
 def main() -> None:
     import jax
 
+    from apex_studio_tpu.utils.compile_cache import enable_compile_cache
+
+    # Persistent XLA compile cache (committed .jax_cache/): a warm cache turns
+    # the multi-minute full-DiT compiles into second-scale deserializes, which
+    # is what lets both bench legs fit inside the driver's wall-clock window.
+    enable_compile_cache()
+
     platform = jax.default_backend()
     preset = os.environ.get("APEX_BENCH_PRESET", "full" if platform == "tpu" else "tiny")
     tiny = preset != "full"
