@@ -18,3 +18,5 @@ from apex_studio_tpu.preprocess import unimatch  # noqa: F401
 from apex_studio_tpu.preprocess import lineart_anime  # noqa: F401
 from apex_studio_tpu.preprocess import anime_seg  # noqa: F401
 from apex_studio_tpu.preprocess import pose2d  # noqa: F401
+from apex_studio_tpu.preprocess import normalbae  # noqa: F401
+from apex_studio_tpu.preprocess import dsine  # noqa: F401

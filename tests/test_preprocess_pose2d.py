@@ -116,3 +116,33 @@ def test_registry_and_manifests():
     mans = load_preprocessor_manifests()
     for name in ("pose2d", "face2d", "animalpose"):
         assert name in mans, name
+
+
+def test_reference_preprocessor_id_coverage():
+    """Every preprocessor id the reference ships a manifest for
+    (apps/api/manifest/preprocessor/*.yml, 45 stems) resolves here — as a
+    first-party implementation, an HF delegation, or an honestly
+    dependency-gated entry with its own manifest."""
+    import yaml
+    import pathlib
+
+    from apex_studio_tpu.preprocess import preprocessor_registry
+    from apex_studio_tpu.preprocess.manifests import load_preprocessor_manifests
+
+    ref_ids = [
+        "animalpose", "anime_face_segment", "binary", "canny", "color",
+        "densepose", "depth_anything", "depth_anything_v2", "diffusion_edge",
+        "dsine", "dwpose", "dwpose_nlf", "face2d", "hed", "leres", "lineart",
+        "lineart_anime", "lineart_standard", "manga_line", "mediapipe_face",
+        "mesh_graphormer", "metric3d", "midas", "mlsd", "normalbae",
+        "oneformer", "open_pose", "pidi", "pose2d", "ptlflow", "pyracanny",
+        "recolor", "rembg", "scribble", "scribble_anime", "scribble_xdog",
+        "shuffle", "teed", "tile", "tile_gf", "tile_simple", "uniformer",
+        "unimatch", "zoe", "zoe_depth_anything",
+    ]
+    assert len(ref_ids) == 45
+    missing = [i for i in ref_ids if i not in preprocessor_registry]
+    assert not missing, missing
+    mans = load_preprocessor_manifests()
+    no_manifest = [i for i in ref_ids if i not in mans]
+    assert not no_manifest, no_manifest
