@@ -220,7 +220,10 @@ class BaseEngine:
         if loader is None:
             raise KeyError(f"no loader for component type {ctype}")
         safe_emit_progress(progress, 0.0, f"Loading {ctype}")
-        component = loader(spec)
+        from apex_studio_tpu.utils.profiling import step_trace
+
+        with step_trace(f"load:{ctype}"):
+            component = loader(spec)
         setattr(self, ctype, component)
         safe_emit_progress(progress, 1.0, f"{ctype} ready")
         return component

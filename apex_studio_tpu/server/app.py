@@ -434,6 +434,18 @@ async def system_memory(_req: web.Request) -> web.Response:
     return json_response(payload)
 
 
+async def system_step_trace(req: web.Request) -> web.Response:
+    """Per-stage wall-clock/memory records (env-gated APEX_STEP_TRACE=1 — the
+    reference's step_mem tracer, src/utils/step_mem.py:274, surfaced over
+    HTTP). DELETE-style clearing via ?clear=1."""
+    from apex_studio_tpu.utils import profiling
+
+    if req.query.get("clear"):
+        profiling.clear()
+    return json_response({"enabled": profiling.enabled(),
+                          "records": profiling.records()})
+
+
 async def system_free_memory(_req: web.Request) -> web.Response:
     from apex_studio_tpu.server.warm_pool import warm_pool
 
@@ -667,6 +679,7 @@ def create_app(
             web.post("/ray/jobs/{job_id}/cancel", ray_cancel),
             web.post("/ray/jobs/cancel_all", ray_cancel_all),
             web.get("/system/memory", system_memory),
+            web.get("/system/step-trace", system_step_trace),
             web.post("/system/free-memory", system_free_memory),
             web.get("/config/{key}", config_get),
             web.post("/config/{key}", config_set),

@@ -126,7 +126,10 @@ def run_engine_job(
 
     started = time.time()
     try:
-        result = engine.run(**kwargs)
+        from apex_studio_tpu.utils.profiling import step_trace
+
+        with step_trace("engine.run", {"job_id": job_id}):
+            result = engine.run(**kwargs)
     except JobCancelled:
         ws_manager.send_update(job_id, None, "Job canceled", {"status": "canceled"})
         raise

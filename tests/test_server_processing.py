@@ -77,3 +77,20 @@ class TestComponentRoutes:
     def test_delete_missing_404(self, server):
         r = requests.delete(server + "/components/delete", json={"path": "nope/x.bin"})
         assert r.status_code == 404
+
+
+def test_step_trace_endpoint(server, monkeypatch):
+    """APEX_STEP_TRACE wiring: stage records appear and can be cleared
+    (reference step_mem, src/utils/step_mem.py:274)."""
+    import requests
+
+    from apex_studio_tpu.utils import profiling
+
+    monkeypatch.setenv("APEX_STEP_TRACE", "1")
+    with profiling.step_trace("unit-test-stage"):
+        pass
+    body = requests.get(server + "/system/step-trace").json()
+    assert body["enabled"] is True
+    assert any(r["name"] == "unit-test-stage" for r in body["records"])
+    body = requests.get(server + "/system/step-trace?clear=1").json()
+    assert requests.get(server + "/system/step-trace").json()["records"] == []
