@@ -166,6 +166,16 @@ class ManifestResolver:
             for k, info in best.items():
                 index[f"{k}:latest"] = info
                 index.setdefault(k, info)
+            # metadata.aliases: alternate ids (e.g. the reference catalog's
+            # spelling of the same model) resolve to this manifest, but never
+            # shadow a real manifest_id.
+            for info in infos:
+                aliases = info.metadata.get("aliases") or []
+                if isinstance(aliases, str):
+                    aliases = [aliases]
+                for a in aliases:
+                    index.setdefault(str(a), info)
+                    index.setdefault(f"{a}:latest", info)
             self._infos = infos
             self._index = index
             return infos

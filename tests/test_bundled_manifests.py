@@ -94,3 +94,26 @@ def test_catalog_categories():
     resolver = ManifestResolver(search_paths=[BUNDLED])
     cats = {i.category for i in resolver.list()}
     assert {"image", "video"} <= cats
+
+
+def test_reference_model_catalog_ids_resolve():
+    """Every model manifest id the reference ships (57 across image/video/
+    upscalers) resolves through our resolver — as a manifest of the same id
+    or a metadata.aliases entry — so reference project files port over."""
+    import yaml
+
+    ref_ids = set()
+    ref_root = Path("/root/reference/apps/api/manifest")
+    for cat in ("image", "video", "upscalers"):
+        for p in sorted((ref_root / cat).glob("*.yml")):
+            doc = yaml.safe_load(p.read_text())
+            rid = (doc.get("metadata") or {}).get("id")
+            if rid:
+                ref_ids.add(rid)
+    assert len(ref_ids) >= 55
+
+    resolver = ManifestResolver(search_paths=[BUNDLED])
+    missing = [i for i in sorted(ref_ids) if resolver.resolve(i) is None]
+    # wan-2-2-a5b (Wan2.2 TI2V-5B) is the one in-progress family
+    allowed = {"wan-2-2-a5b-text-image-to-video"}
+    assert set(missing) <= allowed, missing
