@@ -43,6 +43,12 @@ class WanVAEConfig:
     temperal_downsample: Tuple[bool, ...] = (False, True, True)
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
+    # Wan 2.2 (TI2V-5B) VAE: 2x2 pixel patchification before the encoder and
+    # residual avg-pool/dup shortcuts around every down/up block
+    # (reference model.py:1024 patchify, :152 is_residual, AvgDown3D:40,
+    # DupUp3D:92) — 16x16 spatial, 4x temporal, 48-ch latents.
+    patch_size: Optional[int] = None
+    is_residual: bool = False
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "WanVAEConfig":
@@ -56,8 +62,13 @@ class WanVAEConfig:
         return cls(**kw)
 
     @property
+    def pixel_channels(self) -> int:
+        p = self.patch_size or 1
+        return 3 * p * p
+
+    @property
     def spatial_scale(self) -> int:
-        return 2 ** (len(self.dim_mult) - 1)
+        return 2 ** (len(self.dim_mult) - 1) * (self.patch_size or 1)
 
     @property
     def temporal_scale(self) -> int:
@@ -135,11 +146,13 @@ class Conv2dSame(nnx.Module):
 
 
 class WanResample(nnx.Module):
-    def __init__(self, dim: int, mode: str, *, dtype, rngs: nnx.Rngs):
+    def __init__(self, dim: int, mode: str, *, dtype, rngs: nnx.Rngs,
+                 upsample_out_dim: Optional[int] = None):
         self.mode = mode
         time_conv = None
         if mode in ("upsample2d", "upsample3d"):
-            self.resample_conv = Conv2dSame(dim, dim // 2, dtype=dtype, rngs=rngs)
+            out_dim = upsample_out_dim if upsample_out_dim is not None else dim // 2
+            self.resample_conv = Conv2dSame(dim, out_dim, dtype=dtype, rngs=rngs)
             if mode == "upsample3d":
                 time_conv = CausalConv3d(
                     dim, dim * 2, kernel=(3, 1, 1), padding=(1, 0, 0), dtype=dtype, rngs=rngs
@@ -181,6 +194,61 @@ class WanResample(nnx.Module):
                 x = jnp.concatenate([head, tail], axis=1)
             return x
         return x
+
+
+def avg_down_3d(x: jnp.ndarray, out_ch: int, ft: int, fs: int) -> jnp.ndarray:
+    """Parameter-free avg-pool shortcut (reference AvgDown3D:40). NDHWC.
+    Front-pads time to a multiple of ft; channel-major grouping matches the
+    torch (C, ft, fs, fs) flatten order."""
+    b, t, h, w, c = x.shape
+    pad_t = (ft - t % ft) % ft
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+        t += pad_t
+    x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)  # B,T',H',W',C,ft,fs,fs
+    x = x.reshape(b, t // ft, h // fs, w // fs, c * ft * fs * fs)
+    group = (c * ft * fs * fs) // out_ch
+    x = x.reshape(b, t // ft, h // fs, w // fs, out_ch, group)
+    return x.mean(axis=-1)
+
+
+def dup_up_3d(x: jnp.ndarray, out_ch: int, ft: int, fs: int,
+              first_chunk: bool = True) -> jnp.ndarray:
+    """Parameter-free duplicate-upsample shortcut (reference DupUp3D:92).
+    NDHWC; first_chunk trims the ft-1 leading frames like the reference's
+    non-streaming decode (model.py:1356)."""
+    b, t, h, w, c = x.shape
+    repeats = out_ch * ft * fs * fs // c
+    x = jnp.repeat(x, repeats, axis=-1)  # channel-major duplication
+    x = x.reshape(b, t, h, w, out_ch, ft, fs, fs)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # B,T,ft,H,fs,W,fs,C'
+    x = x.reshape(b, t * ft, h * fs, w * fs, out_ch)
+    if first_chunk and ft > 1:
+        x = x[:, ft - 1:]
+    return x
+
+
+def patchify(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[B,C,T,H,W] → [B,C*p*p,T,H/p,W/p], (c, h_off, w_off) channel-major
+    (reference model.py:1024)."""
+    if p == 1:
+        return x
+    b, c, t, h, w = x.shape
+    x = x.reshape(b, c, t, h // p, p, w // p, p)
+    x = x.transpose(0, 1, 4, 6, 2, 3, 5)
+    return x.reshape(b, c * p * p, t, h // p, w // p)
+
+
+def unpatchify(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[B,C*p*p,T,H,W] → [B,C,T,H*p,W*p] (reference model.py:1063)."""
+    if p == 1:
+        return x
+    b, cp, t, h, w = x.shape
+    c = cp // (p * p)
+    x = x.reshape(b, c, p, p, t, h, w)
+    x = x.transpose(0, 1, 4, 5, 2, 6, 3)
+    return x.reshape(b, c, t, h * p, w * p)
 
 
 class WanResidualBlock(nnx.Module):
@@ -239,20 +307,87 @@ class WanMidBlock(nnx.Module):
         return self.resnets[1](x)
 
 
+class WanResidualDownBlock(nnx.Module):
+    """Wan 2.2 encoder stage: resnets + resample with an AvgDown3D shortcut
+    (reference WanResidualDownBlock:539)."""
+
+    def __init__(self, cin: int, cout: int, num_res: int, temporal_down: bool,
+                 down_flag: bool, *, dtype, rngs: nnx.Rngs):
+        res = []
+        cur = cin
+        for _ in range(num_res):
+            res.append(WanResidualBlock(cur, cout, dtype=dtype, rngs=rngs))
+            cur = cout
+        self.resnets = nnx.List(res)
+        self.downsampler = (
+            WanResample(cout, "downsample3d" if temporal_down else "downsample2d",
+                        dtype=dtype, rngs=rngs)
+            if down_flag else None
+        )
+        self._short = (cin, cout, 2 if temporal_down else 1, 2 if down_flag else 1)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout, ft, fs = self._short
+        shortcut = avg_down_3d(x, cout, ft, fs)
+        for r in self.resnets:
+            x = r(x)
+        if self.downsampler is not None:
+            x = self.downsampler(x)
+        return x + shortcut
+
+
+class WanResidualUpBlock(nnx.Module):
+    """Wan 2.2 decoder stage: resnets + resample with a DupUp3D shortcut
+    (reference WanResidualUpBlock:732)."""
+
+    def __init__(self, cin: int, cout: int, num_res: int, temporal_up: bool,
+                 up_flag: bool, *, dtype, rngs: nnx.Rngs):
+        res = []
+        cur = cin
+        for _ in range(num_res + 1):
+            res.append(WanResidualBlock(cur, cout, dtype=dtype, rngs=rngs))
+            cur = cout
+        self.resnets = nnx.List(res)
+        self.upsampler = (
+            WanResample(cout, "upsample3d" if temporal_up else "upsample2d",
+                        upsample_out_dim=cout, dtype=dtype, rngs=rngs)
+            if up_flag else None
+        )
+        self._short = (cin, cout, 2 if temporal_up else 1, up_flag)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout, ft, up_flag = self._short
+        x_copy = x
+        for r in self.resnets:
+            x = r(x)
+        if self.upsampler is not None:
+            x = self.upsampler(x)
+        if up_flag:
+            x = x + dup_up_3d(x_copy, cout, ft, 2, first_chunk=True)
+        return x
+
+
 class WanEncoder3d(nnx.Module):
     def __init__(self, cfg: WanVAEConfig, *, dtype, rngs: nnx.Rngs):
         dims = [cfg.base_dim * u for u in (1, *cfg.dim_mult)]
-        self.conv_in = CausalConv3d(3, dims[0], dtype=dtype, rngs=rngs)
+        self.conv_in = CausalConv3d(cfg.pixel_channels, dims[0], dtype=dtype, rngs=rngs)
         blocks = []
         scale = 1.0
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            last = i == len(cfg.dim_mult) - 1
+            if cfg.is_residual:
+                blocks.append(WanResidualDownBlock(
+                    din, dout, cfg.num_res_blocks,
+                    temporal_down=cfg.temperal_downsample[i] if not last else False,
+                    down_flag=not last, dtype=dtype, rngs=rngs))
+                continue
             cur = din
             for _ in range(cfg.num_res_blocks):
                 blocks.append(WanResidualBlock(cur, dout, dtype=dtype, rngs=rngs))
                 if scale in cfg.attn_scales:
                     blocks.append(WanAttentionBlock(dout, dtype=dtype, rngs=rngs))
                 cur = dout
-            if i != len(cfg.dim_mult) - 1:
+            if not last:
                 mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
                 blocks.append(WanResample(dout, mode, dtype=dtype, rngs=rngs))
                 scale /= 2.0
@@ -300,16 +435,22 @@ class WanDecoder3d(nnx.Module):
         self.mid_block = WanMidBlock(dims[0], dtype=dtype, rngs=rngs)
         ups = []
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            up_flag = i != len(cfg.dim_mult) - 1
+            if cfg.is_residual:
+                ups.append(WanResidualUpBlock(
+                    din, dout, cfg.num_res_blocks,
+                    temporal_up=temperal_upsample[i] if up_flag else False,
+                    up_flag=up_flag, dtype=dtype, rngs=rngs))
+                continue
             if i > 0:
                 din = din // 2  # previous upsample conv halved the channels
-            up_flag = i != len(cfg.dim_mult) - 1
             mode = None
             if up_flag:
                 mode = "upsample3d" if temperal_upsample[i] else "upsample2d"
             ups.append(WanUpBlock(din, dout, cfg.num_res_blocks, mode, dtype=dtype, rngs=rngs))
         self.up_blocks = nnx.List(ups)
         self.norm_out = WanRMSNormCh(dims[-1], rngs=rngs)
-        self.conv_out = CausalConv3d(dims[-1], 3, dtype=dtype, rngs=rngs)
+        self.conv_out = CausalConv3d(dims[-1], cfg.pixel_channels, dtype=dtype, rngs=rngs)
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         x = self.conv_in(z)
@@ -344,7 +485,9 @@ class AutoencoderKLWan(nnx.Module):
 
     # Public API is NCTHW like the reference engines.
     def encode(self, video: jnp.ndarray, sample: bool = False, noise=None) -> jnp.ndarray:
-        """[B,3,T,H,W] in [-1,1] → model-space latents [B,z,T',H/8,W/8]."""
+        """[B,3,T,H,W] in [-1,1] → model-space latents [B,z,T',H/s,W/s]."""
+        if self.cfg.patch_size:
+            video = patchify(video, self.cfg.patch_size)
         x = jnp.transpose(video, (0, 2, 3, 4, 1))  # NDHWC
         moments = self.quant_conv(self.encoder(x))
         moments = jnp.transpose(moments, (0, 4, 1, 2, 3))
@@ -364,4 +507,7 @@ class AutoencoderKLWan(nnx.Module):
             z = z * s + m
         x = jnp.transpose(z, (0, 2, 3, 4, 1))
         out = self.decoder(self.post_quant_conv(x))
-        return jnp.transpose(out, (0, 4, 1, 2, 3))
+        out = jnp.transpose(out, (0, 4, 1, 2, 3))
+        if self.cfg.patch_size:
+            out = unpatchify(out, self.cfg.patch_size)
+        return out

@@ -114,6 +114,4 @@ def test_reference_model_catalog_ids_resolve():
 
     resolver = ManifestResolver(search_paths=[BUNDLED])
     missing = [i for i in sorted(ref_ids) if resolver.resolve(i) is None]
-    # wan-2-2-a5b (Wan2.2 TI2V-5B) is the one in-progress family
-    allowed = {"wan-2-2-a5b-text-image-to-video"}
-    assert set(missing) <= allowed, missing
+    assert not missing, missing

@@ -3,6 +3,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from flax import nnx
 
 from apex_studio_tpu.models.transformers.wan import WanConfig, WanTransformer3DModel
 from apex_studio_tpu.models.vaes.wan_vae import AutoencoderKLWan, WanVAEConfig
@@ -194,3 +195,127 @@ class TestWanConverter:
         )
         got = np.asarray(tiny_wan.patch_embedding.kernel.value)
         np.testing.assert_allclose(got, conv_w.reshape(d, -1).T, atol=1e-6)
+
+
+class TestWan22VAE:
+    """Wan 2.2 (TI2V-5B) VAE variant: patchified input, residual avg/dup
+    shortcuts (reference vae/wan/model.py AvgDown3D:40, DupUp3D:92,
+    patchify:1024, is_residual blocks :539/:732)."""
+
+    def _tiny22(self):
+        # dim_mult (1, 1): every avg/dup shortcut satisfies the reference's
+        # channel-divisibility assert (AvgDown3D:54) at tiny scale
+        cfg = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 1),
+                           num_res_blocks=1, temperal_downsample=(True,),
+                           patch_size=2, is_residual=True)
+        return AutoencoderKLWan(cfg, rngs=nnx.Rngs(0)), cfg
+
+    def test_patchify_roundtrip_and_torch_parity(self):
+        import torch
+
+        from apex_studio_tpu.models.vaes.wan_vae import patchify, unpatchify
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 4, 8, 6)).astype(np.float32)
+        p = patchify(jnp.asarray(x), 2)
+        # reference view/permute semantics
+        t = torch.from_numpy(x)
+        b, c, f, h, w = t.shape
+        ref = (t.view(b, c, f, h // 2, 2, w // 2, 2)
+                .permute(0, 1, 4, 6, 2, 3, 5)
+                .reshape(b, c * 4, f, h // 2, w // 2))
+        np.testing.assert_allclose(np.asarray(p), ref.numpy(), atol=0)
+        back = unpatchify(p, 2)
+        np.testing.assert_allclose(np.asarray(back), x, atol=0)
+
+    def test_avg_down_dup_up_torch_parity(self):
+        import torch
+
+        from apex_studio_tpu.models.vaes.wan_vae import avg_down_3d, dup_up_3d
+
+        rng = np.random.default_rng(1)
+        # NDHWC input, channel count divides the grouped factor product
+        x = rng.normal(size=(1, 5, 4, 4, 8)).astype(np.float32)
+        out_ch, ft, fs = 16, 2, 2
+        got = avg_down_3d(jnp.asarray(x), out_ch, ft, fs)
+
+        t = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # NCTHW
+        pad_t = (ft - t.shape[2] % ft) % ft
+        t = torch.nn.functional.pad(t, (0, 0, 0, 0, pad_t, 0))
+        B, C, T, H, W = t.shape
+        r = (t.view(B, C, T // ft, ft, H // fs, fs, W // fs, fs)
+              .permute(0, 1, 3, 5, 7, 2, 4, 6).contiguous()
+              .view(B, C * ft * fs * fs, T // ft, H // fs, W // fs))
+        group = C * ft * fs * fs // out_ch
+        r = r.view(B, out_ch, group, T // ft, H // fs, W // fs).mean(2)
+        np.testing.assert_allclose(
+            np.asarray(got), r.numpy().transpose(0, 2, 3, 4, 1), atol=1e-6)
+
+        # dup-up: channel-major duplication + trim of the ft-1 lead frames
+        y = rng.normal(size=(1, 3, 2, 2, 8)).astype(np.float32)
+        out_ch2 = 4
+        got2 = dup_up_3d(jnp.asarray(y), out_ch2, ft, fs, first_chunk=True)
+        t2 = torch.from_numpy(y.transpose(0, 4, 1, 2, 3))
+        reps = out_ch2 * ft * fs * fs // t2.shape[1]
+        u = t2.repeat_interleave(reps, dim=1)
+        B, _, T, H, W = u.shape
+        u = (u.view(B, out_ch2, ft, fs, fs, T, H, W)
+              .permute(0, 1, 5, 2, 6, 3, 7, 4).contiguous()
+              .view(B, out_ch2, T * ft, H * fs, W * fs))
+        u = u[:, :, ft - 1:]
+        np.testing.assert_allclose(
+            np.asarray(got2), u.numpy().transpose(0, 2, 3, 4, 1), atol=1e-6)
+
+    def test_encode_decode_shapes_16x_4x(self):
+        vae, cfg = self._tiny22()
+        assert cfg.spatial_scale == 4 and cfg.temporal_scale == 2
+        video = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 3, 5, 16, 16)), jnp.float32)
+        z = vae.encode(video)
+        assert z.shape == (1, 4, 3, 4, 4), z.shape
+        out = vae.decode(z)
+        assert out.shape == (1, 3, 5, 16, 16), out.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_converter_names_cover_residual_blocks(self):
+        """Diffusers-layout 2.2 keys (resnets/downsampler/upsampler/
+        resample.1/time_conv) map onto our module paths with nothing
+        unexpected."""
+        import dataclasses as dc
+
+        from apex_studio_tpu.loaders.converters import converter_registry
+        from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+
+        vae, cfg = self._tiny22()
+        conv = converter_registry.get("wan_vae")
+
+        # build a synthetic torch-layout state dict from our own param tree
+        from flax import nnx as _nnx
+
+        flat = _nnx.to_flat_state(_nnx.state(vae))
+        sd = {}
+        for kp, leaf in flat:
+            path = ".".join(str(p) for p in kp)
+            v = np.asarray(leaf.value, np.float32)
+            tk = (path
+                  .replace(".resample_conv.", ".resample.1.")
+                  .replace(".to_qkv_kernel", ".to_qkv.weight")
+                  .replace(".to_qkv_bias", ".to_qkv.bias")
+                  .replace(".proj_kernel", ".proj.weight")
+                  .replace(".proj_bias", ".proj.bias"))
+            if tk.endswith((".to_qkv.weight", ".proj.weight")) and v.ndim == 2:
+                v = v.T  # torch Conv2d-1x1 layout [out, in]
+            if tk.endswith(".kernel"):
+                tk = tk[:-7] + ".weight"
+                if v.ndim == 5:
+                    v = v.transpose(4, 3, 0, 1, 2)  # DHWIO → OIDHW
+                elif v.ndim == 4:
+                    v = v.transpose(3, 2, 0, 1)
+                elif v.ndim == 2:
+                    v = v.T
+            sd[tk] = v
+        mapped = conv.convert(sd)
+        vae2, _ = self._tiny22()
+        missing, unexpected = apply_state_dict(vae2, mapped, strict=False)
+        assert not unexpected, unexpected[:5]
+        assert not missing, missing[:5]
