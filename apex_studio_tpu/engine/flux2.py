@@ -62,14 +62,24 @@ class Flux2TI2IEngine(BaseEngine):
             self.load_component_by_type("scheduler")
 
     def encode_prompt(self, prompt: str, max_sequence_length: int = 512) -> jnp.ndarray:
-        """Mistral chat template → stacked intermediate hidden states
-        [1, L, n_layers·hidden] (stack_layers set in the manifest config)."""
+        """Chat-templated prompt → stacked intermediate hidden states
+        [1, L, n_layers·hidden] (stack_layers set in the manifest config).
+        flux2 dev conditions on Mistral (reference shared.py:222-251); klein on
+        Qwen3 with thinking disabled (reference klein.py:56-63)."""
         te = self.text_encoder
         model = te._ensure_model()
-        text = (
-            f"[SYSTEM_PROMPT]{SYSTEM_MESSAGE}[/SYSTEM_PROMPT]"
-            f"[INST]{prompt or ''}[/INST]"
-        )
+        if "Qwen3" in te.base:
+            # tokenizer.apply_chat_template(..., add_generation_prompt=True,
+            # enable_thinking=False) for a single user turn renders to:
+            text = (
+                f"<|im_start|>user\n{prompt or ''}<|im_end|>\n"
+                "<|im_start|>assistant\n<think>\n\n</think>\n\n"
+            )
+        else:
+            text = (
+                f"[SYSTEM_PROMPT]{SYSTEM_MESSAGE}[/SYSTEM_PROMPT]"
+                f"[INST]{prompt or ''}[/INST]"
+            )
         ids, mask = te.tokenize([text], max_sequence_length)
         graphdef, state = nnx.split(model)
         key = ("flux2_mistral", ids.shape)

@@ -7,10 +7,11 @@ optional image conditioning injected into the video latent grid at frame 0
 ti2v.py:106 prepare_latents_image_conditioning).
 
 The audio stream always flows through the transformer (the block couples the
-modalities); the audio VAE/vocoder decode stage is not yet ported, so audio
-latents are returned via ``return_audio_latents`` and the run result is the
-video frames. Distilled checkpoints run the same engine with fewer steps
-(the reference's ltx2 `-distilled` manifests only change defaults).
+modalities); when the manifest ships the ``audio_vae`` + ``vocoder``
+components, ``decode_audio`` turns audio latents into waveform samples for the
+runner's wav mux (``return_audio_latents`` skips that). Distilled checkpoints
+run the same engine with fewer steps (the reference's ltx2 `-distilled`
+manifests only change defaults).
 """
 
 from __future__ import annotations

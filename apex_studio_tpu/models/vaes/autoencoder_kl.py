@@ -273,7 +273,7 @@ class Decoder(nnx.Module):
         return self.conv_out(nnx.silu(self.conv_norm_out(x)))
 
 
-@vae_registry.register("auto", aliases=("AutoencoderKL", "AutoencoderKLFlux2", "flux2.vae"))
+@vae_registry.register("auto", aliases=("AutoencoderKL", "AutoencoderKLFlux2", "flux2", "flux2.vae"))
 class AutoencoderKL(nnx.Module):
     config_class = AutoencoderKLConfig
 

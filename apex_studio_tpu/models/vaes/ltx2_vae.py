@@ -201,7 +201,7 @@ class LTX2Decoder(nnx.Module):
         return _unpatchify(x, self.cfg.patch_size)
 
 
-@vae_registry.register("ltx2.base", aliases=("ltx2_vae", "AutoencoderKLLTX2Video"))
+@vae_registry.register("ltx2.base", aliases=("ltx2", "ltx2_vae", "AutoencoderKLLTX2Video"))
 class AutoencoderKLLTX2(nnx.Module):
     config_class = LTX2VAEConfig
 

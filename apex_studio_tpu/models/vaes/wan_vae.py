@@ -460,7 +460,7 @@ class WanDecoder3d(nnx.Module):
         return self.conv_out(nnx.silu(self.norm_out(x)))
 
 
-@vae_registry.register("wan.base", aliases=("wan", "AutoencoderKLWan"))
+@vae_registry.register("wan.base", aliases=("wan", "AutoencoderKLWan", "qwenimage", "AutoencoderKLQwenImage"))
 class AutoencoderKLWan(nnx.Module):
     config_class = WanVAEConfig
 
