@@ -53,18 +53,13 @@ def _flash_kernel(
     block_k: int,
     causal: bool,
     has_tail: bool,
+    one_kv_block: bool,
 ):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    def accumulate(tail_mask: bool, diag_mask: bool):
+    def scores(tail_mask: bool, diag_mask: bool):
         s = jax.lax.dot_general(
             q_ref[0],
             k_ref[0],
@@ -84,7 +79,28 @@ def _flash_kernel(
                     jnp.int32, (block_q, block_k), 0
                 )
                 s = jnp.where(q_pos >= kv_pos, s, NEG_INF)
+        return s
 
+    def pv_dot(p):
+        return jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def first_block(tail_mask: bool):
+        # j == 0: write stats directly — no scratch init pass, no correction.
+        s = scores(tail_mask, diag_mask=False)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = pv_dot(p)
+        m_scr[...] = jnp.broadcast_to(m, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l, l_scr.shape)
+
+    def accumulate(tail_mask: bool, diag_mask: bool):
+        s = scores(tail_mask, diag_mask)
         m_prev = m_scr[:, :1]  # (block_q, 1)
         l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -92,18 +108,17 @@ def _flash_kernel(
         p = jnp.exp2(s - m_new)
         corr = jnp.exp2(m_prev - m_new)
         l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
-
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * corr + pv
+        acc_scr[...] = acc_scr[...] * corr + pv_dot(p)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
     if causal:
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
         # Three-way split per block: fully-masked blocks (strictly above the
         # diagonal band) skip the MXU entirely; fully-visible blocks skip the
         # mask; only blocks straddling the diagonal pay the iota/select.
@@ -122,18 +137,27 @@ def _flash_kernel(
         def _diag():
             accumulate(tail_mask=has_tail, diag_mask=True)
 
-    elif has_tail:
-        # Only the last KV block holds padded keys.
-        @pl.when(j == nk - 1)
-        def _tail():
-            accumulate(tail_mask=True, diag_mask=False)
-
-        @pl.when(j < nk - 1)
-        def _interior():
-            accumulate(tail_mask=False, diag_mask=False)
-
     else:
-        accumulate(tail_mask=False, diag_mask=False)
+        # Non-causal DiT hot path: the first KV block seeds the running stats
+        # directly (no init pass, no correction), interior blocks run the
+        # mask-free body, and only the ragged last block pays the tail mask.
+        @pl.when(j == 0)
+        def _first():
+            first_block(tail_mask=has_tail and one_kv_block)
+
+        if not one_kv_block:
+            if has_tail:
+                @pl.when((j > 0) & (j < nk - 1))
+                def _interior():
+                    accumulate(tail_mask=False, diag_mask=False)
+
+                @pl.when(j == nk - 1)
+                def _tail():
+                    accumulate(tail_mask=True, diag_mask=False)
+            else:
+                @pl.when(j > 0)
+                def _rest():
+                    accumulate(tail_mask=False, diag_mask=False)
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -167,6 +191,7 @@ def _flash_call(
         block_k=block_k,
         causal=is_causal,
         has_tail=sk_true < nk * block_k,
+        one_kv_block=nk == 1,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -206,13 +231,20 @@ def _flash_call(
     )(*args)
 
 
-# Block-shape candidates with measured relative cost per KV element on a real
-# v5e (112k-token sweep: (1024,2048)=155 TF/s, (1024,1024)=137, (512,1024)=117,
-# (1024,512)=83). Larger than (1024,2048) fails Mosaic VMEM allocation.
+# Block-shape candidates with measured relative cost per padded score element
+# on a real v5e (112k-token and 4608-token sweeps; e.g. (1024,2048)=155 TF/s
+# at 112k tokens, (1536,1536)=83 TF/s zero-padded at 4608 tokens vs 61 for
+# (1024,1024)). Non-power-of-two blocks matter: DiT token counts like
+# 4608 = 3*1536 divide exactly, and padding waste dominates short sequences.
+# Larger than ~2M score elements fails Mosaic VMEM allocation (~16 MB/core).
 _BLOCK_CANDIDATES = (
     (1024, 2048, 1.00),
-    (1024, 1024, 1.13),
-    (512, 1024, 1.32),
+    (1536, 1536, 1.10),
+    (768, 1536, 1.12),
+    (512, 2048, 1.05),
+    (1024, 1024, 1.17),
+    (512, 1536, 1.15),
+    (512, 1024, 1.30),
     (512, 512, 1.9),
     (256, 512, 2.2),
 )
