@@ -542,6 +542,21 @@ converter_registry.add("tae_vae", _TAE_CONVERTER)
 converter_registry.add("tiny_wan_vae", _TAE_CONVERTER)
 
 converter_registry.add(
+    "seedvr",
+    KeyConverter(
+        renames=[
+            # MMModule linears keep their vid/txt/all branch in the path
+            # (base_v2/mm.py:49-57); bare vectors (ada.*_shift/scale/gate,
+            # norms' .weight) pass through unchanged.
+            (r"(proj_qkv|proj_out)\.(vid|txt|all)\.weight$", r"\1.\2.kernel"),
+            (r"(proj_in_gate|proj_in|proj_hid|proj_out|proj|txt_in)\.weight$",
+             r"\1.kernel"),
+        ],
+        strip_prefixes=("model.", "module.", "transformer."),
+    ),
+)
+
+converter_registry.add(
     "seedvr_vae",
     KeyConverter(
         renames=[

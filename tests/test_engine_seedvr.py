@@ -35,7 +35,7 @@ SEEDVR_TINY = {
             {"type": "transformer", "base": "seedvr.base",
              "config": {"vid_in_channels": 8, "vid_out_channels": 4,
                         "vid_dim": 16, "txt_in_dim": 12, "txt_dim": 16,
-                        "emb_dim": 16, "heads": 2, "head_dim": 8,
+                        "emb_dim": 96, "heads": 2, "head_dim": 8,
                         "expand_ratio": 2, "num_layers": 2,
                         "patch_size": [1, 2, 2], "window": [2, 2, 2]}},
         ],
@@ -73,6 +73,47 @@ class TestSeedVRModel:
         ctx = jnp.asarray(rng.normal(size=(1, 5, 12)), jnp.float32)
         out = m(x, jnp.asarray([100.0]), ctx)
         assert out.shape == (1, 4, 5, 12, 8)
+
+    def test_base_v2_variant(self):
+        """3B-style knobs: mm_layers weight sharing, SwiGLU, mmrope3d,
+        final rms + out-ada (reference seedvr2-3b.yml:134-159)."""
+        from apex_studio_tpu.models.transformers.seedvr import (
+            SeedVRConfig, SeedVR2Transformer3DModel)
+
+        cfg = SeedVRConfig(
+            vid_in_channels=8, vid_out_channels=4, vid_dim=16, txt_in_dim=12,
+            txt_dim=16, emb_dim=96, heads=2, head_dim=8, expand_ratio=2,
+            num_layers=3, mm_layers=1, mlp_type="swiglu",
+            rope_type="mmrope3d", rope_dim=6, vid_out_norm="rms",
+            patch_size=(1, 2, 2), window=(2, 2, 2))
+        m = SeedVR2Transformer3DModel(cfg, dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      rngs=nnx.Rngs(0))
+        # layer 0 is multimodal (separate weights), layers 1-2 share
+        assert m.blocks[0].attn.proj_qkv.all is None
+        assert m.blocks[1].attn.proj_qkv.all is not None
+        # last layer drops the txt mlp/ada branches (vid_only)
+        assert m.blocks[2].vid_only
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 8, 3, 8, 8)), jnp.float32)
+        ctx = jnp.asarray(rng.normal(size=(1, 5, 12)), jnp.float32)
+        out = m(x, jnp.asarray([500.0]), ctx)
+        assert out.shape == (1, 4, 3, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_shifted_windows_ragged(self):
+        """Shifted layers produce ragged edge windows (window.py:34
+        make_shifted_720Pwindows_bysize) — partition must stay a permutation."""
+        from apex_studio_tpu.models.transformers.seedvr import _build_windows
+
+        win_idx, valid, coord, inv = _build_windows(4, 9, 7, (2, 2, 2), True)
+        ids = win_idx[valid]
+        assert sorted(ids.tolist()) == list(range(4 * 9 * 7))
+        # inverse permutation round-trips
+        import numpy as _np
+        flat_slots = (_np.arange(win_idx.shape[0])[:, None] * win_idx.shape[1]
+                      + _np.arange(win_idx.shape[1])[None, :])
+        assert (flat_slots.reshape(-1)[inv] >= 0).all()
 
 
 class TestSeedVREngine:
