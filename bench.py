@@ -38,6 +38,8 @@ Also reported: achieved model TFLOP/s and MFU against the chip's bf16 peak
 Env knobs:
   APEX_BENCH_PRESET=tiny|full   (default: full on TPU, tiny elsewhere)
   APEX_BENCH_HYV15=0            skip the video benchmark
+  APEX_BENCH_FLUX=0             skip the image benchmark (cache seeding /
+                                retrying the video leg alone)
   APEX_BENCH_BUDGET_S=N         wall-clock budget (default 1200); stages
                                 degrade (fewer reps -> single step -> skip)
                                 to emit whatever tier was reached in time
@@ -317,24 +319,27 @@ def main() -> None:
     preset = os.environ.get("APEX_BENCH_PRESET", "full" if platform == "tpu" else "tiny")
     tiny = preset != "full"
 
-    flux = bench_flux(tiny)
-    result = {
-        "metric": "flux_dev_1024px_sec_per_image_denoise_28steps_int8w"
-        if not tiny
-        else "flux_tiny_sec_per_image",
-        "value": round(flux["sec_per_image"], 4),
-        "unit": "s/image",
-        "vs_baseline": round(FLUX_BASELINE_SEC_PER_IMAGE / flux["sec_per_image"], 3)
-        if not tiny
-        else 1.0,
-        "flux_sec_per_step": round(flux["sec_per_step"], 4),
-        "flux_mfu": round(flux["mfu"], 4),
-        "flux_achieved_tflops": round(flux["achieved_tflops"], 1),
-        "chip": flux["chip"],
-    }
-    # Flush the primary metric NOW: if the HYV15 leg is killed by an external
-    # timeout, the driver's tail-parse still sees this line.
-    print(json.dumps(result), flush=True)
+    if os.environ.get("APEX_BENCH_FLUX", "1") != "0":
+        flux = bench_flux(tiny)
+        result = {
+            "metric": "flux_dev_1024px_sec_per_image_denoise_28steps_int8w"
+            if not tiny
+            else "flux_tiny_sec_per_image",
+            "value": round(flux["sec_per_image"], 4),
+            "unit": "s/image",
+            "vs_baseline": round(FLUX_BASELINE_SEC_PER_IMAGE / flux["sec_per_image"], 3)
+            if not tiny
+            else 1.0,
+            "flux_sec_per_step": round(flux["sec_per_step"], 4),
+            "flux_mfu": round(flux["mfu"], 4),
+            "flux_achieved_tflops": round(flux["achieved_tflops"], 1),
+            "chip": flux["chip"],
+        }
+        # Flush the primary metric NOW: if the HYV15 leg is killed by an
+        # external timeout, the driver's tail-parse still sees this line.
+        print(json.dumps(result), flush=True)
+    else:
+        result = {"metric": "hyv15_only", "value": 0.0, "unit": "s/frame"}
 
     if os.environ.get("APEX_BENCH_HYV15", "1") != "0":
         # The HYV15 leg needs roughly compile + 2-3 steps (~80 s/step on one
