@@ -45,11 +45,57 @@ def _unpatchify_tokens(tok: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
 
 @register_engine("ltx2", "ti2v")
 class LTX2TI2VEngine(BaseEngine):
-    def _encode_prompt(self, prompt: str, max_length: int = 256):
-        hidden, mask = self.text_encoder.encode(
-            [prompt], max_sequence_length=max_length, use_chat_template=False
+    def _get_connectors(self):
+        """ltx2.connectors helper (reference ti2v.py:871): per-stream text
+        connector transformers. None when the manifest doesn't declare it."""
+        spec = self.component_specs.get("connectors")
+        if spec is None:
+            return None
+        if "connectors" not in self.helpers:
+            from apex_studio_tpu.models.registry import helper_registry
+
+            self.helpers["connectors"] = self._instantiate_family(
+                helper_registry, spec, "ltx2_connectors")
+        return self.helpers["connectors"]
+
+    def _encode_prompt(self, prompt: str, max_length: Optional[int] = None):
+        """→ (ctx_video, ctx_audio, mask). With connectors: all-layer Gemma
+        hidden states packed (shared/__init__.py:73) → connector stacks, and
+        the mask is all-ones (registers fill the padding). Without: both
+        streams read the same hidden states (legacy path)."""
+        conn = self._get_connectors()
+        if conn is None:
+            hidden, mask = self.text_encoder.encode(
+                [prompt], max_sequence_length=max_length or 256,
+                use_chat_template=False,
+            )
+            h = jnp.asarray(hidden, jnp.float32)
+            return h, h, jnp.asarray(mask)
+
+        from apex_studio_tpu.models.ltx2_connectors import pack_text_embeds
+
+        length = max_length or 1024  # reference default; 128-register multiple
+        hidden_all, mask = self.text_encoder.encode(
+            [prompt], max_sequence_length=length, use_chat_template=False,
+            output="hidden_states_all",
         )
-        return jnp.asarray(hidden, jnp.float32), jnp.asarray(mask)
+        mask = jnp.asarray(mask)
+        packed = pack_text_embeds(jnp.asarray(hidden_all), mask)
+        key = ("ltx2_connectors", tuple(packed.shape))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            graphdef, _ = nnx.split(conn)
+
+            @jax.jit
+            def fn(state, packed, mask):
+                return nnx.merge(graphdef, state)(packed, mask.astype(bool))
+
+            self._jit_cache[key] = fn
+        _, state = nnx.split(conn)
+        ctx_v, ctx_a = fn(state, packed.astype(conn.text_proj_in.dtype), mask)
+        ones = jnp.ones_like(mask)
+        return (jnp.asarray(ctx_v, jnp.float32),
+                jnp.asarray(ctx_a, jnp.float32), ones)
 
     def _vae_encode(self, media: np.ndarray) -> jnp.ndarray:
         key = ("ltx2_vae_encode", tuple(media.shape))
@@ -122,11 +168,13 @@ class LTX2TI2VEngine(BaseEngine):
                 / cfg_t.audio_scale_factor)
         audio_f = max(1, int(math.ceil(num_frames / fps * alps)))
 
-        ctx_pos, mask_pos = self._encode_prompt(prompt or "")
+        ctx_pos, ctxa_pos, mask_pos = self._encode_prompt(prompt or "")
         if negative_prompt:
-            ctx_neg, mask_neg = self._encode_prompt(negative_prompt)
+            ctx_neg, ctxa_neg, mask_neg = self._encode_prompt(negative_prompt)
         else:
-            ctx_neg, mask_neg = jnp.zeros_like(ctx_pos), jnp.zeros_like(mask_pos)
+            ctx_neg, ctxa_neg, mask_neg = (jnp.zeros_like(ctx_pos),
+                                           jnp.zeros_like(ctxa_pos),
+                                           jnp.zeros_like(mask_pos))
         safe_emit_progress(progress_callback, 0.15, "Prompts ready")
 
         lats = self.get_latents((1, cfg_t.in_channels, lat_f, lat_h, lat_w), seed=seed)
@@ -173,6 +221,7 @@ class LTX2TI2VEngine(BaseEngine):
         do_cfg = guidance_scale > 1.0
         nb = 2 if do_cfg else 1
         ctx_b = (jnp.concatenate([ctx_neg, ctx_pos], 0) if do_cfg else ctx_pos)
+        ctxa_b = (jnp.concatenate([ctxa_neg, ctxa_pos], 0) if do_cfg else ctxa_pos)
         mask_b = (jnp.concatenate([mask_neg, mask_pos], 0) if do_cfg else mask_pos)
 
         graphdef, tf_state = nnx.split(self.transformer)
@@ -184,10 +233,10 @@ class LTX2TI2VEngine(BaseEngine):
             # vshape/fps are static: the rope coordinate grids are host
             # numpy constants folded into the compiled program
             @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
-            def fwd(state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_):
+            def fwd(state, tok, atok, t_tok, t_a, ctx, ctxa, cmask, vshape, fps_):
                 m = nnx.merge(graphdef, state)
                 return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
-                         t_audio=t_a, ctx_mask=cmask)
+                         t_audio=t_a, ctx_audio=ctxa, ctx_mask=cmask)
 
             self._jit_cache[key] = fwd
         model_dtype = self.transformer.dtype
@@ -205,7 +254,8 @@ class LTX2TI2VEngine(BaseEngine):
             tok_b = jnp.tile(tokens.astype(model_dtype), (nb, 1, 1))
             atok_b = jnp.tile(a_tokens.astype(model_dtype), (nb, 1, 1))
             v_out, a_out = fwd(tf_state, tok_b, atok_b, t_tok_b, t_a_b,
-                               ctx_b.astype(model_dtype), mask_b, vshape,
+                               ctx_b.astype(model_dtype),
+                               ctxa_b.astype(model_dtype), mask_b, vshape,
                                float(fps))
             v_cond = v_out[1:2] if do_cfg else v_out
             a_cond = a_out[1:2] if do_cfg else a_out
@@ -218,7 +268,8 @@ class LTX2TI2VEngine(BaseEngine):
             if stg_scale != 0.0:
                 v_ptb, a_ptb = self._guidance_pass(
                     tok_b[-1:], atok_b[-1:], t_tok_b[-1:], t_a_b[-1:],
-                    ctx_pos.astype(model_dtype), mask_pos, vshape, float(fps),
+                    ctx_pos.astype(model_dtype), ctxa_pos.astype(model_dtype),
+                    mask_pos, vshape, float(fps),
                     skip_blocks=tuple(stg_blocks) if stg_blocks is not None
                     else tuple(range(len(self.transformer.blocks))))
                 v = v + stg_scale * (v_cond - v_ptb)
@@ -226,7 +277,8 @@ class LTX2TI2VEngine(BaseEngine):
             if modality_scale != 1.0:
                 v_mod, a_mod = self._guidance_pass(
                     tok_b[-1:], atok_b[-1:], t_tok_b[-1:], t_a_b[-1:],
-                    ctx_pos.astype(model_dtype), mask_pos, vshape, float(fps),
+                    ctx_pos.astype(model_dtype), ctxa_pos.astype(model_dtype),
+                    mask_pos, vshape, float(fps),
                     skip_av_cross=True)
                 v = v + (modality_scale - 1.0) * (v_cond - v_mod)
                 a = a + (modality_scale - 1.0) * (a_cond - a_mod)
@@ -343,8 +395,8 @@ class LTX2TI2VEngine(BaseEngine):
         _, sv = nnx.split(self.vae)
         return fn(su, sv, lats.astype(jnp.float32))
 
-    def _guidance_pass(self, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_,
-                       skip_blocks: tuple = (), skip_av_cross: bool = False):
+    def _guidance_pass(self, tok, atok, t_tok, t_a, ctx, ctxa, cmask, vshape,
+                       fps_, skip_blocks: tuple = (), skip_av_cross: bool = False):
         """Extra forward for STG (self-attn skipped in ``skip_blocks``) or
         isolated-modality (a2v/v2a cross skipped) guidance branches."""
         graphdef, tf_state = nnx.split(self.transformer)
@@ -355,16 +407,16 @@ class LTX2TI2VEngine(BaseEngine):
             import functools
 
             @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
-            def fn(state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_):
+            def fn(state, tok, atok, t_tok, t_a, ctx, ctxa, cmask, vshape, fps_):
                 m = nnx.merge(graphdef, state)
                 return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
-                         t_audio=t_a, ctx_mask=cmask,
+                         t_audio=t_a, ctx_audio=ctxa, ctx_mask=cmask,
                          skip_video_self_attn_blocks=skip_blocks or None,
                          skip_audio_self_attn_blocks=skip_blocks or None,
                          skip_av_cross_attn=skip_av_cross)
 
             self._jit_cache[key] = fn
-        return fn(tf_state, tok, atok, t_tok, t_a, ctx, cmask, vshape, fps_)
+        return fn(tf_state, tok, atok, t_tok, t_a, ctx, ctxa, cmask, vshape, fps_)
 
     def decode_audio(self, audio_lats: jnp.ndarray):
         """Audio latents (B, z·M', Sa) → (waveform (C, N), sample_rate), or
@@ -462,11 +514,13 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
                 / cfg_t.audio_scale_factor)
         audio_f = max(1, int(math.ceil(num_frames / fps * alps)))
 
-        ctx_pos, mask_pos = self._encode_prompt(prompt or "")
+        ctx_pos, ctxa_pos, mask_pos = self._encode_prompt(prompt or "")
         if negative_prompt:
-            ctx_neg, mask_neg = self._encode_prompt(negative_prompt)
+            ctx_neg, ctxa_neg, mask_neg = self._encode_prompt(negative_prompt)
         else:
-            ctx_neg, mask_neg = jnp.zeros_like(ctx_pos), jnp.zeros_like(mask_pos)
+            ctx_neg, ctxa_neg, mask_neg = (jnp.zeros_like(ctx_pos),
+                                           jnp.zeros_like(ctxa_pos),
+                                           jnp.zeros_like(mask_pos))
 
         # --- base tokens (pure noise) ---
         base_grid = self.get_latents((1, cfg_t.in_channels, lat_f, lat_h, lat_w),
@@ -538,6 +592,7 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
         do_cfg = guidance_scale > 1.0
         nb = 2 if do_cfg else 1
         ctx_b = jnp.concatenate([ctx_neg, ctx_pos], 0) if do_cfg else ctx_pos
+        ctxa_b = jnp.concatenate([ctxa_neg, ctxa_pos], 0) if do_cfg else ctxa_pos
         mask_b = jnp.concatenate([mask_neg, mask_pos], 0) if do_cfg else mask_pos
         coords_b = jnp.tile(coords, (nb, 1, 1))
 
@@ -548,10 +603,11 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
             import functools
 
             @functools.partial(jax.jit, static_argnames=("vshape", "fps_"))
-            def fwd(state, tok, atok, t_tok, t_a, ctx, cmask, vc, vshape, fps_):
+            def fwd(state, tok, atok, t_tok, t_a, ctx, ctxa, cmask, vc, vshape, fps_):
                 m = nnx.merge(graphdef, state)
                 return m(tok, atok, t_tok, ctx, video_shape=vshape, fps=fps_,
-                         t_audio=t_a, ctx_mask=cmask, video_coords=vc)
+                         t_audio=t_a, ctx_audio=ctxa, ctx_mask=cmask,
+                         video_coords=vc)
 
             self._jit_cache[key] = fwd
         model_dtype = self.transformer.dtype
@@ -566,7 +622,8 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
             tok_b = jnp.tile(tokens.astype(model_dtype), (nb, 1, 1))
             atok_b = jnp.tile(a_tokens.astype(model_dtype), (nb, 1, 1))
             v_out, a_out = fwd(tf_state, tok_b, atok_b, t_tok, t_a_b,
-                               ctx_b.astype(model_dtype), mask_b, coords_b,
+                               ctx_b.astype(model_dtype),
+                               ctxa_b.astype(model_dtype), mask_b, coords_b,
                                vshape, float(fps))
             if do_cfg:
                 v = v_out[:1] + guidance_scale * (v_out[1:2] - v_out[:1])

@@ -542,6 +542,20 @@ converter_registry.add("tae_vae", _TAE_CONVERTER)
 converter_registry.add("tiny_wan_vae", _TAE_CONVERTER)
 
 converter_registry.add(
+    "ltx2_connectors",
+    KeyConverter(
+        renames=[
+            (r"\.ff\.net\.0\.proj\.", ".ff.fc1."),
+            (r"\.ff\.net\.2\.", ".ff.fc2."),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(to_q|to_k|to_v|to_out|fc1|fc2|text_proj_in)\.weight$",
+             r"\1.kernel"),
+        ],
+        strip_prefixes=("model.", "module.", "connectors."),
+    ),
+)
+
+converter_registry.add(
     "seedvr",
     KeyConverter(
         renames=[

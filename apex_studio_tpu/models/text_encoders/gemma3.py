@@ -158,7 +158,12 @@ class Gemma3TextEncoder(nnx.Module):
         input_ids: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray] = None,
         normalize_last: bool = True,
+        output_hidden_states: bool = False,
     ) -> jnp.ndarray:
+        """With ``output_hidden_states``, returns [B, L, D, n_states] stacked
+        as HF does (embedding output, then each layer's output, the last one
+        post-final-norm) — the LTX-2 connector stack consumes all of them
+        (reference engine/ltx2/shared/__init__.py:193 hidden_states_all)."""
         cfg = self.cfg
         b, s = input_ids.shape
         x = jnp.take(self.embed_tokens.value, input_ids, axis=0).astype(self.dtype)
@@ -180,11 +185,17 @@ class Gemma3TextEncoder(nnx.Module):
         mask_g = jnp.logical_and(causal[None, None], pad)
         mask_l = jnp.logical_and(band[None, None], pad)
 
+        collected = [x] if output_hidden_states else None
         for layer in self.layers[: len(self.layers) - cfg.skip_last_layers]:
             if layer.is_global:
                 x = layer(x, cos_g, sin_g, mask_g)
             else:
                 x = layer(x, cos_l, sin_l, mask_l)
+            if output_hidden_states:
+                collected.append(x)
         if cfg.skip_last_layers == 0 and normalize_last:
             x = self.norm(x)
+        if output_hidden_states:
+            collected[-1] = x  # HF: the final entry is the post-norm output
+            return jnp.stack(collected, axis=-1)
         return x

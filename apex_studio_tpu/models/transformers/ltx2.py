@@ -361,6 +361,7 @@ class LTX2VideoTransformer3D(nnx.Module):
         video_shape: Tuple[int, int, int],  # latent (T, H, W)
         fps: float = 25.0,
         t_audio: Optional[jnp.ndarray] = None,
+        ctx_audio: Optional[jnp.ndarray] = None,  # per-stream text (connectors)
         ctx_mask: Optional[jnp.ndarray] = None,
         video_coords: Optional[jnp.ndarray] = None,  # [B,3,S] override
         skip_video_self_attn_blocks: Optional[Tuple[int, ...]] = None,
@@ -392,10 +393,14 @@ class LTX2VideoTransformer3D(nnx.Module):
         x = self.proj_in(x.astype(self.dtype))
         xa = self.audio_proj_in(xa.astype(self.dtype))
         ctx = ctx.astype(self.dtype)
+        # With the ltx2.connectors helper, each stream gets its own connector
+        # output (reference model.py:2070 _project_prompt_embeddings); without
+        # it both caption projections read the same packed hidden states.
+        ctx_a_src = ctx if ctx_audio is None else ctx_audio.astype(self.dtype)
         ctx_v = self.caption_projection_2(
             nnx.silu(self.caption_projection_1(ctx)))
         ctx_a = self.audio_caption_projection_2(
-            nnx.silu(self.audio_caption_projection_1(ctx)))
+            nnx.silu(self.audio_caption_projection_1(ctx_a_src)))
         ctx_bias = None
         if ctx_mask is not None:
             neg = jnp.asarray(-1e30, jnp.float32)

@@ -150,13 +150,19 @@ class TextEncoder:
             import inspect
 
             graphdef, state = nnx.split(model)
-            takes_norm_flag = "normalize_last" in inspect.signature(
-                type(model).__call__
-            ).parameters
+            params = inspect.signature(type(model).__call__).parameters
+            takes_norm_flag = "normalize_last" in params
+            want_all = output == "hidden_states_all"
+            if want_all and "output_hidden_states" not in params:
+                raise ValueError(
+                    f"{self.base} does not expose all hidden states "
+                    "(hidden_states_all output)")
 
             @jax.jit
             def fwd(state, ids, mask):
                 m = nnx.merge(graphdef, state)
+                if want_all:
+                    return m(ids, attention_mask=mask, output_hidden_states=True)
                 if takes_norm_flag:
                     return m(ids, attention_mask=mask, normalize_last=(output == "normed"))
                 return m(ids, attention_mask=mask)
