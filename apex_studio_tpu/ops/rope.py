@@ -24,8 +24,12 @@ def rope_freqs_1d(positions, dim: int, theta: float = 10000.0) -> Tuple[jnp.ndar
     """
     inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
     if not isinstance(positions, jnp.ndarray) or isinstance(positions, np.ndarray):
+        # Stay in numpy: jnp ops on concrete values inside a jit trace produce
+        # tracers (constants lifted into the graph), which breaks callers that
+        # build host-side tables at trace time (e.g. framepack RoPE-by-index).
+        # Numpy results fold into the compiled program as constants either way.
         angles = np.asarray(positions, np.float64)[..., None] * inv
-        return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+        return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
     angles = positions.astype(jnp.float32)[..., None] * jnp.asarray(inv, jnp.float32)
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -47,6 +51,9 @@ def precompute_axial_freqs(
         c, s = rope_freqs_1d(ids[..., i], d, theta)
         cos_parts.append(c)
         sin_parts.append(s)
+    if all(isinstance(c, np.ndarray) for c in cos_parts):
+        # Concrete inputs keep a pure-numpy pipeline (see rope_freqs_1d).
+        return np.concatenate(cos_parts, axis=-1), np.concatenate(sin_parts, axis=-1)
     return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
 
 
