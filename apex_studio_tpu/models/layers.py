@@ -11,13 +11,21 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
 from apex_studio_tpu.ops.norms import layer_norm as _layer_norm
 from apex_studio_tpu.ops.norms import rms_norm as _rms_norm
+
+
+def _int8_compute_enabled() -> bool:
+    """W8A8 opt-in (quantize/residency.py stores the int8 kernels; this flag
+    chooses int8 MXU compute over dequant-to-bf16). Trace-time static."""
+    return os.environ.get("APEX_INT8_COMPUTE", "0") == "1"
 
 
 class Linear(nnx.Module):
@@ -45,12 +53,39 @@ class Linear(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel.value
         if self.kernel_scale is not None:
+            if _int8_compute_enabled():
+                return self._w8a8(x)
             # Dequantize into the matmul; XLA fuses convert+scale into the
             # MXU operand load, so no bf16 weight copy lands in HBM.
             k = k.astype(self.dtype) * self.kernel_scale.value.astype(self.dtype)
         else:
             k = k.astype(self.dtype)
         y = x.astype(self.dtype) @ k
+        if self.bias is not None:
+            y = y + self.bias.value.astype(self.dtype)
+        return y
+
+    def _w8a8(self, x: jnp.ndarray) -> jnp.ndarray:
+        """int8 MXU compute for int8-resident kernels (APEX_INT8_COMPUTE=1).
+
+        Dynamic symmetric per-token activation quantization against the
+        per-output-channel weight scales (the standard W8A8 recipe; the
+        reference's GGUF Q8_0 variants play the same role on CUDA via
+        llama.cpp-style int8 dots). s8 x s8 -> s32 rides the MXU's
+        double-rate int8 path on v5e+; rescale happens once per output tile
+        in f32. Read at trace time — set the env before engines jit.
+        """
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+        xq = jnp.clip(jnp.rint(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq,
+            self.kernel.value,
+            dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * sx * self.kernel_scale.value.astype(jnp.float32)
+        y = y.astype(self.dtype)
         if self.bias is not None:
             y = y + self.bias.value.astype(self.dtype)
         return y

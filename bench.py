@@ -40,6 +40,9 @@ Env knobs:
   APEX_BENCH_HYV15=0            skip the video benchmark
   APEX_BENCH_FLUX=0             skip the image benchmark (cache seeding /
                                 retrying the video leg alone)
+  APEX_BENCH_W8A8=0             skip the W8A8 extra leg (int8 MXU compute via
+                                APEX_INT8_COMPUTE — models/layers.py _w8a8;
+                                runs last, only with >=300s budget left)
   APEX_BENCH_BUDGET_S=N         wall-clock budget (default 1200); stages
                                 degrade (fewer reps -> single step -> skip)
                                 to emit whatever tier was reached in time
@@ -366,6 +369,29 @@ def main() -> None:
             )
         except Exception as e:  # never lose the primary metric
             result["hyv15_error"] = f"{type(e).__name__}: {e}"[:300]
+        print(json.dumps(result), flush=True)
+
+    # Extra leg: same Flux config with int8 MXU compute (W8A8). Runs last so
+    # it can only ever add information, never cost the graded metrics budget.
+    if (
+        os.environ.get("APEX_BENCH_W8A8", "1") != "0"
+        and os.environ.get("APEX_BENCH_FLUX", "1") != "0"
+        and _remaining() > (60.0 if tiny else 300.0)
+    ):
+        os.environ["APEX_INT8_COMPUTE"] = "1"
+        try:
+            f8 = bench_flux(tiny)
+            result.update(
+                {
+                    "flux_w8a8_sec_per_image": round(f8["sec_per_image"], 4),
+                    "flux_w8a8_sec_per_step": round(f8["sec_per_step"], 4),
+                    "flux_w8a8_model_tflops": round(f8["achieved_tflops"], 1),
+                }
+            )
+        except Exception as e:
+            result["w8a8_error"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            os.environ.pop("APEX_INT8_COMPUTE", None)
         print(json.dumps(result), flush=True)
 
 

@@ -164,3 +164,29 @@ class TestVaeEncodeCache:
         c.store(payload, np.ones((1, 4, 1, 2, 2), np.float32))
         hit = c.load(payload)
         assert hit is not None and hit[0].shape == (1, 4, 1, 2, 2)
+
+
+def test_w8a8_int8_compute_path(monkeypatch):
+    """APEX_INT8_COMPUTE=1 switches int8-resident Linears to int8 MXU dots
+    (dynamic per-token activation quant); must stay close to the
+    dequant-to-bf16 path and work under jit."""
+    from apex_studio_tpu.models.layers import Linear
+    from apex_studio_tpu.quantize.residency import apply_int8_residency
+
+    lin = Linear(256, 4096, rngs=nnx.Rngs(0), dtype=jnp.float32,
+                 param_dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 256)), jnp.float32)
+    ref = lin(x)
+    apply_int8_residency(lin, min_numel=1)
+    deq = lin(x)  # weight-only int8 path
+    monkeypatch.setenv("APEX_INT8_COMPUTE", "1")
+    w8a8 = jax.jit(lambda x: lin(x))(x)
+    monkeypatch.delenv("APEX_INT8_COMPUTE")
+
+    assert w8a8.shape == ref.shape
+    for got, tol in ((deq, 0.02), (w8a8, 0.03)):
+        rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+        assert rel < tol, rel
+    # activation-quant noise on top of weight quant stays small
+    rel = np.linalg.norm(np.asarray(w8a8 - deq)) / np.linalg.norm(np.asarray(deq))
+    assert rel < 0.015, rel
