@@ -17,8 +17,9 @@ SAM2 image-segmentation stack:
 The module mirrors the official checkpoint key nesting so the converter in
 loaders/converters.py ("sam2") loads published weights; tests exercise tiny
 random configs (checkpoints cannot be fetched in this environment). Video
-tracking reuses the image predictor per frame, re-prompted from the previous
-frame's mask (mask/segment.py); the SAM2 memory bank is a follow-up.
+tracking runs the memory-bank path (memory encoder + memory attention, this
+file :468 and mask/predictor.py:174); per-frame re-prompting from the previous
+mask (mask/segment.py) remains as the fallback tracker.
 """
 
 from __future__ import annotations
