@@ -8,13 +8,12 @@ HuggingFace transformers"), the segmentation backbone here is a transformers
 SegFormer/UperNet checkpoint; the ADE20K palette rendering is ported
 directly.
 
-Also registers the reference's dependency-gated families with the same
-degradation behavior:
-- ``normalbae`` needs timm's tf_efficientnet_b5 (normalbae/nets/submodules/
-  encoder.py:13 ``import timm``) — unavailable here, so it raises with a
-  pointer to the available ``normal_midas`` alternative,
-- ``mediapipe_face`` needs the mediapipe package (reference
-  mediapipe_face/mediapipe_face_common.py) — same gating.
+Also hosts DensePose (runs the published TorchScript export through the
+first-party torchvision-op shim, ``torch_shim.py``) and the reference's
+dependency-gated families with the same degradation behavior (e.g.
+``mediapipe_face`` needs the mediapipe package, reference
+mediapipe_face/mediapipe_face_common.py). ``normalbae``/``dsine`` live in
+their own first-party JAX modules (normalbae.py, dsine.py).
 """
 
 from __future__ import annotations
@@ -192,24 +191,105 @@ class OneFormerPreprocessor(BasePreprocessor):
 
 
 @preprocessor_registry.register("densepose", aliases=("DenseposeDetector",))
-class DensePosePreprocessor(_GatedPreprocessor):
-    """Gated on torchvision: the reference runs a torchscript export whose
-    graph calls the ``torchvision::nms`` builtin (densepose/__init__.py:1
-    "import torchvision  # Fix issue Unknown builtin op: torchvision::nms"),
-    so the model cannot execute without the torchvision op registry."""
+class DensePosePreprocessor(BasePreprocessor):
+    """DensePose IUV surface maps from the published TorchScript export
+    (reference ``src/preprocess/densepose/__init__.py``: R50-FPN model from
+    LayerNorm/DensePose-TorchScript-with-hint-image, body-part labels drawn
+    with a viridis/parula colormap).
+
+    The reference imports torchvision only for the ``torchvision::nms``
+    builtin the scripted graph calls; here ``torch_shim`` registers pure-torch
+    ``nms``/``roi_align`` ops instead, so the same export runs without the
+    wheel. Postprocessing (per-box label/UV resampling + masked colormap)
+    follows densepose.py:284-360.
+    """
 
     name = "densepose"
-    required = "torchvision"
-    hint = "Use 'pose2d'/'dwpose' for body conditioning maps."
+    hf_repo = "LayerNorm/DensePose-TorchScript-with-hint-image"
+    filename = "densepose_r50_fpn_dl.torchscript"
+    params_schema = {"detect_resolution": 512, "cmap": "viridis"}
+    N_PART_LABELS = 24
+
+    def __init__(self, model_path: Optional[str] = None):
+        self._model = None
+        self._model_path = model_path
 
     def setup(self) -> None:
-        try:
-            import torchvision  # noqa: F401
-        except ImportError:
-            super().setup()
-        raise RuntimeError(
-            "densepose: torchvision present but the torchscript IUV surface "
-            "model is not bundled; use 'pose2d'/'dwpose'")
+        import torch
+
+        from apex_studio_tpu.preprocess.torch_shim import install_torchvision_ops
+        from apex_studio_tpu.preprocess.weights import resolve_preprocessor_file
+
+        if not install_torchvision_ops():
+            raise RuntimeError(
+                "densepose: could not provide torchvision::nms/roi_align ops")
+        path = self._model_path or resolve_preprocessor_file(
+            self.filename, hf_repo=self.hf_repo)
+        self._model = torch.jit.load(str(path), map_location="cpu").eval()
+
+    def _resample_instance(self, box_xyxy, coarse, fine, u, v):
+        """One detection → (x, y, w, h, labels [h,w] uint8, uv [2,h,w])."""
+        import torch
+        import torch.nn.functional as F
+
+        x0, y0, x1, y1 = [float(t) for t in box_xyxy]
+        x, y = int(x0), int(y0)
+        w, h = max(int(x1 - x0), 1), max(int(y1 - y0), 1)
+        coarse_up = F.interpolate(coarse, (h, w), mode="bilinear",
+                                  align_corners=False).argmax(dim=1)
+        labels = (
+            F.interpolate(fine, (h, w), mode="bilinear", align_corners=False)
+            .argmax(dim=1) * (coarse_up > 0).long()
+        )[0]
+        u_up = F.interpolate(u, (h, w), mode="bilinear", align_corners=False)[0]
+        v_up = F.interpolate(v, (h, w), mode="bilinear", align_corners=False)[0]
+        idx = labels.clamp(min=0)
+        uv = torch.stack([
+            torch.gather(u_up.permute(1, 2, 0), 2, idx[..., None])[..., 0],
+            torch.gather(v_up.permute(1, 2, 0), 2, idx[..., None])[..., 0],
+        ])
+        uv = uv * (labels > 0)[None]
+        return x, y, w, h, labels.to(torch.uint8).numpy(), uv.numpy()
+
+    def process_frame(self, frame: Frame, detect_resolution: int = 512,
+                      cmap: str = "viridis", **_) -> Frame:
+        import cv2
+        import torch
+
+        h0, w0 = frame.shape[:2]
+        k = float(detect_resolution) / float(min(h0, w0))
+        ht, wt = int(round(h0 * k)), int(round(w0 * k))
+        interp = cv2.INTER_CUBIC if k > 1 else cv2.INTER_AREA
+        img = cv2.resize(np.asarray(frame)[..., :3], (wt, ht), interpolation=interp)
+        pad_h, pad_w = (-ht) % 64, (-wt) % 64
+        img = np.pad(img, [[0, pad_h], [0, pad_w], [0, 0]], mode="edge")
+
+        canvas = np.zeros((img.shape[0], img.shape[1], 3), np.uint8)
+        with torch.no_grad():
+            t_img = torch.from_numpy(img).permute(2, 0, 1)
+            boxes, coarse, fine, u, v = self._model(t_img)
+        cv_map = (cv2.COLORMAP_VIRIDIS if cmap == "viridis"
+                  else cv2.COLORMAP_PARULA)
+        for i in range(len(boxes)):
+            x, y, w, h, labels, _uv = self._resample_instance(
+                boxes[i], coarse[i:i + 1], fine[i:i + 1], u[i:i + 1], v[i:i + 1])
+            scaled = np.clip(labels.astype(np.float32)
+                             * (255.0 / self.N_PART_LABELS), 0, 255).astype(np.uint8)
+            vis = cv2.applyColorMap(scaled, cv_map)
+            ys, ye = max(y, 0), min(y + h, canvas.shape[0])
+            xs, xe = max(x, 0), min(x + w, canvas.shape[1])
+            if ye <= ys or xe <= xs:
+                continue
+            sub = vis[ys - y:ye - y, xs - x:xe - x]
+            m = labels[ys - y:ye - y, xs - x:xe - x] > 0
+            canvas[ys:ye, xs:xe][m] = sub[m]
+        out = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
+        if cmap == "viridis":
+            # reference paints the background the viridis zero color
+            bg = (out == 0).all(axis=-1)
+            out[bg] = (68, 1, 84)
+        out = out[:ht, :wt]
+        return cv2.resize(out, (w0, h0), interpolation=cv2.INTER_NEAREST)
 
 
 @preprocessor_registry.register("metric3d", aliases=("Metric3DDetector",))
