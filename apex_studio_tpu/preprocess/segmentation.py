@@ -292,35 +292,22 @@ class DensePosePreprocessor(BasePreprocessor):
         return cv2.resize(out, (w0, h0), interpolation=cv2.INTER_NEAREST)
 
 
-@preprocessor_registry.register("metric3d", aliases=("Metric3DDetector",))
-class Metric3DPreprocessor(_GatedPreprocessor):
-    """Gated on mmcv/mmengine (reference metric3d vendored mono/ stack)."""
-
-    name = "metric3d"
-    required = "mmcv"
-    hint = ("Use 'depth_anything_v2' (first-party JAX), 'midas' or 'zoe' "
-            "for depth maps.")
-
-    def setup(self) -> None:
-        try:
-            import mmcv  # noqa: F401
-        except ImportError:
-            super().setup()
-
-
 @preprocessor_registry.register("diffusion_edge",
                                 aliases=("DiffusionEdgeDetector",))
 class DiffusionEdgePreprocessor(_GatedPreprocessor):
-    """Gated on taming-transformers (reference diffusion_edge vendored
-    first-stage VQ model + denoising UNet)."""
+    """Gated on pywt + fvcore (the reference vendors taming/ and
+    denoising_diffusion_pytorch/ inside diffusion_edge/, but its inference
+    chain imports fvcore's CfgNode (model.py:14) and pywt wavelets
+    (denoising_diffusion_pytorch/wavelet.py) — neither is bundled here)."""
 
     name = "diffusion_edge"
-    required = "taming"
+    required = "pywt"
     hint = "Use 'teed', 'hed' or 'pidinet' for learned edge maps."
 
     def setup(self) -> None:
         try:
-            import taming  # noqa: F401
+            import fvcore  # noqa: F401
+            import pywt  # noqa: F401
         except ImportError:
             super().setup()
 
