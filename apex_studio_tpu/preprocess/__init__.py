@@ -21,3 +21,4 @@ from apex_studio_tpu.preprocess import pose2d  # noqa: F401
 from apex_studio_tpu.preprocess import normalbae  # noqa: F401
 from apex_studio_tpu.preprocess import dsine  # noqa: F401
 from apex_studio_tpu.preprocess import metric3d  # noqa: F401
+from apex_studio_tpu.preprocess import leres  # noqa: F401

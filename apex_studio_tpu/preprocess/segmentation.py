@@ -329,11 +329,3 @@ class MeshGraphormerPreprocessor(_GatedPreprocessor):
             super().setup()
 
 
-@preprocessor_registry.register("leres", aliases=("LeresDetector",))
-class LeResPreprocessor(_GatedPreprocessor):
-    """Gated: LeReS's ResNeXt101 AdelaiDepth checkpoint stack is not bundled
-    (reference leres/ vendored pix2pix + multi-scale refinement)."""
-
-    name = "leres"
-    required = "leres checkpoints"
-    hint = "Use 'depth_anything_v2', 'midas' or 'zoe' for depth maps."
