@@ -74,6 +74,9 @@ class Metric3DConfig:
     max_depth: float = 200.0
     regress_scale: float = 100.0
     crop_size: Tuple[int, int] = (616, 1064)
+    # giant2 extras: SwiGLU FFN + pre-norm multi-scale feature taps
+    ffn: str = "mlp"
+    multi_output: bool = False
 
     @classmethod
     def small(cls) -> "Metric3DConfig":
@@ -85,6 +88,13 @@ class Metric3DConfig:
                    feature_channels=(256, 512, 1024, 1024),
                    decoder_channels=(128, 256, 512, 1024, 1024),
                    hidden_dim=128, iters=8)
+
+    @classmethod
+    def giant2(cls) -> "Metric3DConfig":
+        return cls(embed_dim=1536, depth=40, num_heads=24,
+                   feature_channels=(384, 768, 1536, 1536),
+                   decoder_channels=(192, 384, 768, 1536, 1536),
+                   hidden_dim=192, iters=8, ffn="swiglu", multi_output=True)
 
     @classmethod
     def tiny(cls) -> "Metric3DConfig":
@@ -108,10 +118,27 @@ class Metric3DConfig:
 # ---------------------------------------------------------------------------
 
 
+class _SwiGLUFFN(nnx.Module):
+    """SwiGLUFFNFused (ViT_DINO_reg.py:335/390, giant2's ffn_layer='swiglu'):
+    hidden = round8(in * mlp_ratio * 2/3), fused w12 gate+value projection."""
+
+    def __init__(self, d: int, mlp_ratio: float, *, rngs: nnx.Rngs):
+        hidden = (int(d * mlp_ratio * 2 / 3) + 7) // 8 * 8
+        kw = dict(dtype=jnp.float32, param_dtype=jnp.float32, rngs=rngs)
+        self.w12 = Linear(d, 2 * hidden, **kw)
+        self.w3 = Linear(hidden, d, **kw)
+
+    def __call__(self, x):
+        x1, x2 = jnp.split(self.w12(x), 2, axis=-1)
+        return self.w3(nnx.silu(x1) * x2)
+
+
 class _M3DViT(nnx.Module):
-    """DINOv2 with register tokens, final-norm output with cls+registers kept
-    (ViT_DINO_reg.py forward_features, multi_output=False path: every pyramid
-    slot reads the same normed final hidden states)."""
+    """DINOv2 with register tokens (ViT_DINO_reg.py forward_features).
+
+    multi_output=False (small/large): every pyramid slot reads the same
+    final-norm hidden states. multi_output=True (giant2): pre-norm taps every
+    depth/4 blocks, no final norm (the chunked multi-output branch)."""
 
     def __init__(self, cfg: Metric3DConfig, *, rngs: nnx.Rngs):
         d = cfg.embed_dim
@@ -126,6 +153,9 @@ class _M3DViT(nnx.Module):
         blk_cfg = cfg._dav2()
         self.blocks = nnx.List([_VitBlock(blk_cfg, rngs=rngs)
                                 for _ in range(cfg.depth)])
+        if cfg.ffn == "swiglu":
+            for blk in self.blocks:
+                blk.mlp = _SwiGLUFFN(d, cfg.mlp_ratio, rngs=rngs)
         self.norm = LayerNorm(d)
 
     def _interp_pos(self, gh: int, gw: int) -> jnp.ndarray:
@@ -139,10 +169,11 @@ class _M3DViT(nnx.Module):
                                 antialias=False)
         return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, -1)], axis=1)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: NHWC float (H, W multiples of patch_size) → [B, 1+R+N, D]."""
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """x: NHWC float (H, W multiples of patch_size) → 4 x [B, 1+R+N, D]."""
         b, H, W, _ = x.shape
-        p = self.cfg.patch_size
+        cfg = self.cfg
+        p = cfg.patch_size
         gh, gw = H // p, W // p
         tok = self.patch_embed(x).reshape(b, gh * gw, -1)
         cls = jnp.broadcast_to(self.cls_token.value, (b, 1, tok.shape[-1]))
@@ -151,9 +182,18 @@ class _M3DViT(nnx.Module):
             self.register_tokens.value,
             (b,) + self.register_tokens.value.shape[1:])
         tok = jnp.concatenate([tok[:, :1], reg, tok[:, 1:]], axis=1)
+        if cfg.multi_output:
+            every = len(self.blocks) // 4
+            feats = []
+            for i, blk in enumerate(self.blocks):
+                tok = blk(tok)
+                if (i + 1) % every == 0:
+                    feats.append(tok)  # pre-norm taps (multi_output branch)
+            return feats[:4]
         for blk in self.blocks:
             tok = blk(tok)
-        return self.norm(tok)
+        tok = self.norm(tok)
+        return [tok, tok, tok, tok]
 
 
 # ---------------------------------------------------------------------------
@@ -216,9 +256,11 @@ class _EncoderFeature(nnx.Module):
         self.read_1 = _Token2Feature(d, ch[1], 2, n_learn, rngs=rngs)
         self.read_0 = _Token2Feature(d, ch[0], 7 / 2, n_learn, rngs=rngs)
 
-    def __call__(self, patch, learn):
-        return (self.read_3(patch, learn), self.read_2(patch, learn),
-                self.read_1(patch, learn), self.read_0(patch, learn))
+    def __call__(self, pairs):
+        """pairs: 4 x (patch, learn), earliest backbone tap first; read_3
+        consumes the deepest tap (EncoderFeature.forward, decoder5.py:1012)."""
+        return (self.read_3(*pairs[3]), self.read_2(*pairs[2]),
+                self.read_1(*pairs[1]), self.read_0(*pairs[0]))
 
 
 class _ConvBlock(nnx.Module):
@@ -464,9 +506,9 @@ class RAFTDepthNormalDecoder(nnx.Module):
         kappa = jax.nn.elu(x[..., 3:4]) + 1.0 + 0.01
         return jnp.concatenate([x[..., :3] / n, kappa], axis=-1)
 
-    def __call__(self, patch: jnp.ndarray, learn: jnp.ndarray):
+    def __call__(self, pairs):
         cfg = self.cfg
-        x, x2, x1, x0 = self.token2feature(patch, learn)
+        x, x2, x1, x0 = self.token2feature(pairs)
         ref = self.decoder_mono(x, x2, x1)  # (B, h4, w4, used+2)
         feat = ref[..., :-2]
         depth_conf = ref[..., -2:-1]
@@ -535,12 +577,15 @@ class Metric3DModel(nnx.Module):
         H' = H * factor / 4-equivalent of the reference layout."""
         cfg = self.cfg
         b, H, W, _ = x.shape
-        tok = self.encoder(x)
+        feats = self.encoder(x)
         gh, gw = H // cfg.patch_size, W // cfg.patch_size
         n_learn = 1 + cfg.num_register_tokens
-        patch = tok[:, n_learn:].reshape(b, gh, gw, cfg.embed_dim)
-        learn = tok[:, :n_learn].reshape(b, 1, 1, n_learn * cfg.embed_dim)
-        return self.decoder(patch, learn)
+        pairs = [
+            (tok[:, n_learn:].reshape(b, gh, gw, cfg.embed_dim),
+             tok[:, :n_learn].reshape(b, 1, 1, n_learn * cfg.embed_dim))
+            for tok in feats
+        ]
+        return self.decoder(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -578,7 +623,8 @@ def convert_metric3d_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             r = re.sub(r"^blocks\.\d+\.(\d+)\.", r"blocks.\1.", r)
             r = r.replace("patch_embed.proj.weight", "patch_embed.kernel")
             r = r.replace("patch_embed.proj.bias", "patch_embed.bias")
-            for lin in ("attn.qkv", "attn.proj", "mlp.fc1", "mlp.fc2"):
+            for lin in ("attn.qkv", "attn.proj", "mlp.fc1", "mlp.fc2",
+                        "mlp.w12", "mlp.w3"):
                 r = r.replace(f"{lin}.weight", f"{lin}.kernel")
             out[f"encoder.{r}"] = v
             continue
@@ -656,8 +702,8 @@ class Metric3DPreprocessor(BasePreprocessor):
         sd = load_preprocessor_weights(
             f"metric_depth_vit_{self._variant}_800k", hf_repo=self.hf_repo,
             hf_filename=f"metric_depth_vit_{self._variant}_800k.pth")
-        cfg = (Metric3DConfig.large() if self._variant == "large"
-               else Metric3DConfig.small())
+        cfg = {"large": Metric3DConfig.large, "giant2": Metric3DConfig.giant2,
+               "small": Metric3DConfig.small}[self._variant]()
         self._model = Metric3DModel(cfg, rngs=nnx.Rngs(0))
         apply_state_dict(self._model, convert_metric3d_keys(sd), strict=False)
 

@@ -150,3 +150,59 @@ def test_metric3d_preprocessor_end_to_end():
     assert normal_map.shape == (80, 100, 3)
     assert preprocessor_registry.get("metric3d") is Metric3DPreprocessor
     assert preprocessor_registry.get("Metric3DDetector") is Metric3DPreprocessor
+
+
+def test_metric3d_giant2_style_parity(ref_mods):
+    """giant2 path: SwiGLU FFN + pre-norm multi-output feature taps."""
+    vit_mod, dec_mod = ref_mods
+    from functools import partial
+
+    from apex_studio_tpu.loaders.state_mapping import apply_state_dict
+    from apex_studio_tpu.preprocess.metric3d import (
+        Metric3DConfig,
+        Metric3DModel,
+        convert_metric3d_keys,
+    )
+
+    cfg = Metric3DConfig.tiny()
+    cfg.num_anchors = 256
+    cfg.crop_size = (56, 56)
+    cfg.depth = 4          # divisible by 4 → one tap per block
+    cfg.ffn = "swiglu"
+    cfg.multi_output = True
+    torch.manual_seed(1)
+    ref_enc = vit_mod.DinoVisionTransformer(
+        img_size=56, patch_size=14, embed_dim=cfg.embed_dim, depth=cfg.depth,
+        num_heads=cfg.num_heads, mlp_ratio=4,
+        block_fn=partial(vit_mod.Block, attn_class=vit_mod.MemEffAttention),
+        num_register_tokens=cfg.num_register_tokens,
+        ffn_layer="swiglu", multi_output=True,
+    ).eval()
+    ref_dec = dec_mod.RAFTDepthNormalDPT5(_ref_decoder_cfg(cfg)).eval()
+    with torch.no_grad():
+        for p in list(ref_enc.parameters()) + list(ref_dec.parameters()):
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    sd = {("encoder." + k): v.numpy() for k, v in ref_enc.state_dict().items()}
+    sd.update({("decoder." + k): v.numpy()
+               for k, v in ref_dec.state_dict().items()})
+    ours = Metric3DModel(cfg, rngs=nnx.Rngs(0))
+    missing, unexpected = apply_state_dict(
+        ours, convert_metric3d_keys(sd), strict=False)
+    real_missing = [m for m in missing if "depth_expectation" not in m
+                    and ".norm." not in m]  # final norm unused in multi_output
+    assert not unexpected, unexpected[:8]
+    assert not real_missing, real_missing[:8]
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        feats = ref_enc(torch.from_numpy(x))
+        out = ref_dec(feats)
+    depth, conf, normal = ours(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(depth).transpose(0, 3, 1, 2), out["prediction"].numpy(),
+        atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(normal).transpose(0, 3, 1, 2),
+        out["prediction_normal"].numpy(), atol=2e-3, rtol=1e-3)
