@@ -27,9 +27,17 @@ def _load_any(path: Path) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+    # unwrap trainer containers: metric3d uses model_state_dict, leres'
+    # res101.pth nests under depth_model, generic trainers use state_dict
+    for container in ("state_dict", "model_state_dict", "depth_model"):
+        if isinstance(sd, dict) and container in sd and isinstance(
+                sd[container], dict):
+            sd = sd[container]
+    return {
+        k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in sd.items()
+        if hasattr(v, "numpy") or isinstance(v, (np.ndarray, list, tuple, float, int))
+    }
 
 
 def find_local(stem: str, root: Optional[Path] = None) -> Optional[Path]:
