@@ -236,11 +236,16 @@ class WanTransformer3DModel(nnx.Module):
         return x.reshape(b, (t // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
 
     def unpatchify(self, tokens: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        """proj_out feature order is [pt, ph, pw, C] — channel FASTEST — per the
+        reference's reshape (model.py:1870: `.reshape(b, f', h', w', p_t, p_h,
+        p_w, -1).permute(0, 7, 1, 4, 2, 5, 3, 6)`). Real Wan checkpoints bake
+        this into proj_out.weight, so the convention is load-bearing
+        (tests/test_parity_wan_dit.py)."""
         pt, ph, pw = self.cfg.patch_size
         c = self.cfg.out_channels
         b = tokens.shape[0]
-        x = tokens.reshape(b, t // pt, h // ph, w // pw, c, pt, ph, pw)
-        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        x = tokens.reshape(b, t // pt, h // ph, w // pw, pt, ph, pw, c)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
         return x.reshape(b, c, t, h, w)
 
     def rope_tables(self, t_tok: int, h_tok: int, w_tok: int):

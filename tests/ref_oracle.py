@@ -1,0 +1,368 @@
+"""Import the REFERENCE's vendored torch DiT modules as numeric oracles.
+
+The reference transformer families (``/root/reference/apps/api/src/transformer``)
+import a handful of diffusers symbols. diffusers is not installed here, so this
+module provides a minimal *faithful* stand-in for exactly the pieces those
+models exercise numerically (FeedForward/GELU, FP32LayerNorm, Timesteps/
+TimestepEmbedding/PixArtAlphaTextProjection, ConfigMixin plumbing); everything
+else (LoRA/PEFT hooks, cache mixins) is inert. The reference's own attention
+math (``src/attention/functions.py`` sdpa backend) and efficiency ops run
+unmodified — the oracle's numerics are the reference's, not ours.
+
+``import_ref_module("src.transformer.wan.base.model")`` installs the shims,
+synthesizes the ``src``/``src.transformer`` parent packages WITHOUT executing
+``src/transformer/__init__.py`` (whose auto-discovery would import all ~25
+families), and returns the module.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+import math
+import sys
+import types
+from dataclasses import dataclass
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+REF = "/root/reference/apps/api"
+
+
+# ---------------------------------------------------------------- diffusers
+
+
+def _get_activation(name: str) -> nn.Module:
+    name = name.lower()
+    if name == "silu" or name == "swish":
+        return nn.SiLU()
+    if name == "gelu":
+        return nn.GELU()
+    if name in ("gelu_tanh", "gelu-approximate"):
+        return nn.GELU(approximate="tanh")
+    if name == "mish":
+        return nn.Mish()
+    if name == "relu":
+        return nn.ReLU()
+    raise ValueError(f"activation {name}")
+
+
+def get_timestep_embedding(
+    timesteps: torch.Tensor,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = False,
+    downscale_freq_shift: float = 1,
+    scale: float = 1,
+    max_period: int = 10000,
+) -> torch.Tensor:
+    """DDPM sinusoid, matching diffusers.models.embeddings (the reference
+    vendors a bit-identical copy at src/transformer/qwenimage/base/model.py:46)."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * torch.arange(
+        0, half_dim, dtype=torch.float32, device=timesteps.device
+    )
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = torch.exp(exponent).to(timesteps.dtype)
+    emb = timesteps[:, None].float() * emb[None, :]
+    emb = scale * emb
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+    if embedding_dim % 2 == 1:
+        emb = F.pad(emb, (0, 1, 0, 0))
+    return emb
+
+
+class Timesteps(nn.Module):
+    def __init__(self, num_channels: int, flip_sin_to_cos: bool,
+                 downscale_freq_shift: float, scale: int = 1):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+        self.scale = scale
+
+    def forward(self, timesteps):
+        return get_timestep_embedding(
+            timesteps, self.num_channels, flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift, scale=self.scale)
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_channels: int, time_embed_dim: int, act_fn: str = "silu",
+                 out_dim: int = None, post_act_fn=None, cond_proj_dim=None,
+                 sample_proj_bias=True):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim, bias=sample_proj_bias)
+        self.cond_proj = (nn.Linear(cond_proj_dim, in_channels, bias=False)
+                          if cond_proj_dim is not None else None)
+        self.act = _get_activation(act_fn)
+        out = out_dim if out_dim is not None else time_embed_dim
+        self.linear_2 = nn.Linear(time_embed_dim, out, bias=sample_proj_bias)
+        self.post_act = _get_activation(post_act_fn) if post_act_fn else None
+
+    def forward(self, sample, condition=None):
+        if condition is not None:
+            sample = sample + self.cond_proj(condition)
+        sample = self.linear_1(sample)
+        if self.act is not None:
+            sample = self.act(sample)
+        sample = self.linear_2(sample)
+        if self.post_act is not None:
+            sample = self.post_act(sample)
+        return sample
+
+
+class PixArtAlphaTextProjection(nn.Module):
+    def __init__(self, in_features, hidden_size, out_features=None,
+                 act_fn="gelu_tanh"):
+        super().__init__()
+        if out_features is None:
+            out_features = hidden_size
+        self.linear_1 = nn.Linear(in_features, hidden_size, bias=True)
+        self.act_1 = _get_activation(act_fn)
+        self.linear_2 = nn.Linear(hidden_size, out_features, bias=True)
+
+    def forward(self, caption):
+        return self.linear_2(self.act_1(self.linear_1(caption)))
+
+
+class GELU(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int, approximate: str = "none",
+                 bias: bool = True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+        self.approximate = approximate
+
+    def forward(self, hidden_states):
+        return F.gelu(self.proj(hidden_states), approximate=self.approximate)
+
+
+class GEGLU(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int, bias: bool = True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2, bias=bias)
+
+    def forward(self, hidden_states):
+        hidden_states, gate = self.proj(hidden_states).chunk(2, dim=-1)
+        return hidden_states * F.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """diffusers.models.attention.FeedForward with the activation variants the
+    reference families use (net.0 = activation(+proj), net.1 = dropout,
+    net.2 = linear — the key layout the repo converters expect)."""
+
+    def __init__(self, dim: int, dim_out=None, mult: int = 4, dropout: float = 0.0,
+                 activation_fn: str = "geglu", final_dropout: bool = False,
+                 inner_dim=None, bias: bool = True):
+        super().__init__()
+        inner_dim = inner_dim if inner_dim is not None else int(dim * mult)
+        dim_out = dim_out if dim_out is not None else dim
+        if activation_fn == "gelu":
+            act = GELU(dim, inner_dim, bias=bias)
+        elif activation_fn == "gelu-approximate":
+            act = GELU(dim, inner_dim, approximate="tanh", bias=bias)
+        elif activation_fn == "geglu":
+            act = GEGLU(dim, inner_dim, bias=bias)
+        elif activation_fn in ("linear-silu", "swiglu"):
+            raise NotImplementedError(activation_fn)
+        else:
+            raise ValueError(activation_fn)
+        self.net = nn.ModuleList([act, nn.Dropout(dropout),
+                                  nn.Linear(inner_dim, dim_out, bias=bias)])
+        if final_dropout:
+            self.net.append(nn.Dropout(dropout))
+
+    def forward(self, hidden_states, *args, **kwargs):
+        for module in self.net:
+            hidden_states = module(hidden_states)
+        return hidden_states
+
+
+class FP32LayerNorm(nn.LayerNorm):
+    def forward(self, inputs):
+        origin_dtype = inputs.dtype
+        return F.layer_norm(
+            inputs.float(), self.normalized_shape,
+            self.weight.float() if self.weight is not None else None,
+            self.bias.float() if self.bias is not None else None,
+            self.eps,
+        ).to(origin_dtype)
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim, eps: float, elementwise_affine: bool = True,
+                 bias: bool = False):
+        super().__init__()
+        self.eps = eps
+        self.weight = nn.Parameter(torch.ones(dim)) if elementwise_affine else None
+        self.bias = nn.Parameter(torch.zeros(dim)) if (elementwise_affine and bias) else None
+
+    def forward(self, hidden_states):
+        input_dtype = hidden_states.dtype
+        variance = hidden_states.to(torch.float32).pow(2).mean(-1, keepdim=True)
+        hidden_states = hidden_states.to(torch.float32) * torch.rsqrt(variance + self.eps)
+        if self.weight is not None:
+            hidden_states = hidden_states.to(input_dtype) * self.weight
+            if self.bias is not None:
+                hidden_states = hidden_states + self.bias
+        else:
+            hidden_states = hidden_states.to(input_dtype)
+        return hidden_states
+
+
+class Attention(nn.Module):
+    """Placeholder type for isinstance/type-hint uses; the wan/qwen families
+    define their own attention modules and only reference this name."""
+
+
+class AttentionModuleMixin:
+    fused_projections = False
+
+    def set_processor(self, processor=None):
+        if processor is None:
+            processor = self._default_processor_cls()
+        self.processor = processor
+
+    def get_processor(self):
+        return getattr(self, "processor", None)
+
+
+class CacheMixin:
+    pass
+
+
+class ModelMixin(nn.Module):
+    _supports_gradient_checkpointing = False
+
+    @property
+    def dtype(self) -> torch.dtype:
+        return next(self.parameters()).dtype
+
+    @property
+    def device(self) -> torch.device:
+        return next(self.parameters()).device
+
+
+class _FrozenConfig(dict):
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+class ConfigMixin:
+    def register_to_config(self, **kwargs):
+        existing = dict(getattr(self, "_internal_dict", {}))
+        existing.update(kwargs)
+        self._internal_dict = _FrozenConfig(existing)
+
+    @property
+    def config(self):
+        return getattr(self, "_internal_dict", _FrozenConfig())
+
+
+def register_to_config(init):
+    import functools
+    import inspect
+
+    sig = inspect.signature(init)
+
+    @functools.wraps(init)
+    def wrapped(self, *args, **kwargs):
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        cfg = {k: v for k, v in bound.arguments.items()
+               if k not in ("self",) and not k.startswith("_")}
+        cfg.pop("kwargs", None)
+        ConfigMixin.register_to_config(self, **cfg)
+        return init(self, *args, **kwargs)
+
+    return wrapped
+
+
+@dataclass
+class Transformer2DModelOutput:
+    sample: torch.Tensor
+
+
+def _module(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_diffusers_shim() -> None:
+    if "diffusers" in sys.modules:
+        return
+    logging_mod = _module("diffusers.utils.logging",
+                          get_logger=logging.getLogger)
+    utils = _module(
+        "diffusers.utils",
+        USE_PEFT_BACKEND=False,
+        logging=logging_mod,
+        scale_lora_layers=lambda *a, **k: None,
+        unscale_lora_layers=lambda *a, **k: None,
+        is_torch_version=lambda *a, **k: True,
+        deprecate=lambda *a, **k: None,
+    )
+    cfg_mod = _module("diffusers.configuration_utils",
+                      ConfigMixin=ConfigMixin,
+                      register_to_config=register_to_config)
+    loaders = _module("diffusers.loaders",
+                      FromOriginalModelMixin=type("FromOriginalModelMixin", (), {}),
+                      PeftAdapterMixin=type("PeftAdapterMixin", (), {}))
+    attention = _module("diffusers.models.attention",
+                        FeedForward=FeedForward, GELU=GELU, GEGLU=GEGLU,
+                        Attention=Attention,
+                        AttentionModuleMixin=AttentionModuleMixin)
+    embeddings = _module("diffusers.models.embeddings",
+                         Timesteps=Timesteps,
+                         TimestepEmbedding=TimestepEmbedding,
+                         PixArtAlphaTextProjection=PixArtAlphaTextProjection,
+                         get_timestep_embedding=get_timestep_embedding)
+    normalization = _module("diffusers.models.normalization",
+                            FP32LayerNorm=FP32LayerNorm, RMSNorm=RMSNorm)
+    outputs = _module("diffusers.models.modeling_outputs",
+                      Transformer2DModelOutput=Transformer2DModelOutput)
+    modeling_utils = _module("diffusers.models.modeling_utils",
+                             ModelMixin=ModelMixin)
+    cache_utils = _module("diffusers.models.cache_utils", CacheMixin=CacheMixin)
+    models = _module("diffusers.models",
+                     attention=attention, embeddings=embeddings,
+                     normalization=normalization,
+                     modeling_outputs=outputs, modeling_utils=modeling_utils,
+                     cache_utils=cache_utils)
+    root = _module("diffusers", utils=utils, configuration_utils=cfg_mod,
+                   loaders=loaders, models=models,
+                   ConfigMixin=ConfigMixin, ModelMixin=ModelMixin)
+    root.__path__ = []  # mark as package
+
+
+def install_ref_parents() -> None:
+    """Make ``src.*`` importable from the reference tree WITHOUT running
+    ``src/transformer/__init__.py`` (auto-imports every family)."""
+    if "loguru" not in sys.modules:
+        lg = types.ModuleType("loguru")
+        lg.logger = logging.getLogger("ref")
+        sys.modules["loguru"] = lg
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name, sub in (("src", "src"), ("src.transformer", "src/transformer")):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [f"{REF}/{sub}"]
+            sys.modules[name] = m
+
+
+def import_ref_module(name: str):
+    install_diffusers_shim()
+    install_ref_parents()
+    return importlib.import_module(name)

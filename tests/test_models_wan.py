@@ -67,10 +67,17 @@ class TestWanTransformer:
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
 
     def test_patchify_roundtrip(self, tiny_wan):
+        """Input features are conv-ordered [C, pt, ph, pw]; the output side is
+        checkpoint-ordered [pt, ph, pw, C] (reference model.py:1870, validated
+        against the torch oracle in test_parity_wan_dit.py) — so the roundtrip
+        holds after regrouping the token features."""
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 8, 8))
         tokens = tiny_wan.patchify(x)
-        assert tokens.shape == (1, 2 * 4 * 4, 4 * 1 * 2 * 2)
-        back = tiny_wan.unpatchify(tokens, 2, 8, 8)
+        n_tok = 2 * 4 * 4
+        assert tokens.shape == (1, n_tok, 4 * 1 * 2 * 2)
+        # [C, pt, ph, pw] → [pt, ph, pw, C]
+        out_order = tokens.reshape(1, n_tok, 4, 1, 2, 2).transpose(0, 1, 3, 4, 5, 2)
+        back = tiny_wan.unpatchify(out_order.reshape(1, n_tok, -1), 2, 8, 8)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
 
     def test_i2v_image_conditioning(self):
