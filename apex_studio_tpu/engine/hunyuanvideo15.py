@@ -157,7 +157,7 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         lat_t = (num_frames - 1) // t_scale + 1
         lat_h, lat_w = height // s_scale, width // s_scale
         x = self.get_latents((1, lat_c, lat_t, lat_h, lat_w), seed=seed, latents=latents)
-        cond, mask_ch, image_embeds = self._prepare_cond(
+        cond, mask_ch, image_embeds, img_zeroed = self._prepare_cond(
             _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
         )
         safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
@@ -175,7 +175,8 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         # update in ONE dispatch per step, latents donated (reference eager
         # loop: engine/hunyuanvideo15/shared/__init__.py:26 + i2v.py:341).
         key = ("hyv15_step", (1, cfg_t.in_channels, lat_t, lat_h, lat_w),
-               text.shape[1], text2.shape[1], has_img, use_cfg, use_rescale)
+               text.shape[1], text2.shape[1], has_img, img_zeroed, use_cfg,
+               use_rescale)
         step = self._jit_cache.get(key)
         if step is None:
             from apex_studio_tpu.engine.fused import build_euler_step
@@ -183,7 +184,10 @@ class HunyuanVideo15T2VEngine(BaseEngine):
             def apply(m, x, aux, t_vec, cond, mask_ch, text, text_mask, text2,
                       text2_mask, ntext, ntext_mask, ntext2, ntext2_mask, g, g_re, *img):
                 x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(m.dtype)
-                img_kw = {"image_embeds": img[0]} if img else {}
+                img_kw = (
+                    {"image_embeds": img[0], "image_stream_zeroed": img_zeroed}
+                    if img else {}
+                )
                 v = m(x_in, t_vec, text, text_mask, text2, text2_mask, **img_kw)
                 v = v.astype(jnp.float32)
                 if use_cfg:
@@ -256,11 +260,20 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         frames_nchw = jnp.transpose(video, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
         return self.tensor_to_frames(frames_nchw)
 
+    # t2v keeps the 729 vision slots in context as bare cond-type-2 tokens
+    # (reference shared/__init__.py:66 vision_num_semantic_tokens + the
+    # model's is_t2v zeroed-stream branch) — dropping them would change every
+    # softmax vs the published model.
+    VISION_TOKENS = 729
+
     def _prepare_cond(self, image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c):
-        """t2v: zero cond latents + zero mask channel; no vision stream."""
+        """t2v: zero cond latents + zero mask channel; zeroed vision stream."""
         cond = jnp.zeros((1, cfg_t.in_channels - lat_c - 1, lat_t, lat_h, lat_w), jnp.float32)
         mask_ch = jnp.zeros((1, 1, lat_t, lat_h, lat_w), jnp.float32)
-        return cond, mask_ch, None
+        image_embeds = jnp.zeros(
+            (1, self.VISION_TOKENS, cfg_t.image_embed_dim), jnp.float32
+        )
+        return cond, mask_ch, image_embeds, True
 
 
 @register_engine("hunyuanvideo15", "i2v")
@@ -312,7 +325,11 @@ class HunyuanVideo15I2VEngine(HunyuanVideo15T2VEngine):
         mask_ch = mask_ch.at[:, :, 0].set(1.0)
         try:
             image_embeds = self.encode_image_siglip(image)
+            img_zeroed = False
         except KeyError:
-            logger.warning("no image_encoder helper in manifest; i2v runs without vision tokens")
-            image_embeds = None
-        return cond, mask_ch, image_embeds
+            logger.warning("no image_encoder helper in manifest; i2v falls back "
+                           "to the t2v zeroed vision stream")
+            image_embeds = jnp.zeros(
+                (1, self.VISION_TOKENS, cfg_t.image_embed_dim), jnp.float32)
+            img_zeroed = True
+        return cond, mask_ch, image_embeds, img_zeroed

@@ -253,14 +253,30 @@ class HunyuanVideo15Transformer3DModel(nnx.Module):
         return cos[:, :, None, :], sin[:, :, None, :]
 
     def patchify(self, x: jnp.ndarray) -> jnp.ndarray:
-        # patch (1,1,1): [B,C,T,H,W] → [B, T·H·W, C]
+        """[B,C,T,H,W] → [B, N, C·pt·p·p], conv-ordered features [C, pt, ph, pw]
+        (x_embedder is Conv3d(kernel=stride=patch) in the reference; the actual
+        patch size comes from the published config.json at load time)."""
+        pt, p = self.cfg.patch_size_t, self.cfg.patch_size
         b, c, t, h, w = x.shape
-        return x.reshape(b, c, t * h * w).transpose(0, 2, 1)
+        if pt == 1 and p == 1:
+            return x.reshape(b, c, t * h * w).transpose(0, 2, 1)
+        x = x.reshape(b, c, t // pt, pt, h // p, p, w // p, p)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        return x.reshape(b, (t // pt) * (h // p) * (w // p), c * pt * p * p)
 
     def unpatchify(self, tokens: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        """proj_out features are channel-SLOWEST [C, pt, ph, pw] per the
+        reference (hunyuanvideo15/base/model.py:1144 `.reshape(b, f', h', w',
+        -1, p_t, p_h, p_w).permute(0, 4, 1, 5, 2, 6, 3, 7)`) — note this is the
+        opposite of wan's channel-fastest order."""
+        pt, p = self.cfg.patch_size_t, self.cfg.patch_size
         b = tokens.shape[0]
         c = self.cfg.out_channels
-        return tokens.transpose(0, 2, 1).reshape(b, c, t, h, w)
+        if pt == 1 and p == 1:
+            return tokens.transpose(0, 2, 1).reshape(b, c, t, h, w)
+        x = tokens.reshape(b, t // pt, h // p, w // p, c, pt, p, p)
+        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        return x.reshape(b, c, t, h, w)
 
     def __call__(
         self,
@@ -271,6 +287,7 @@ class HunyuanVideo15Transformer3DModel(nnx.Module):
         text_2: Optional[jnp.ndarray] = None,      # [B, Lb, 1472] byT5 glyph
         text_2_mask: Optional[jnp.ndarray] = None,
         image_embeds: Optional[jnp.ndarray] = None,  # [B, Li, 1152] SigLIP
+        image_stream_zeroed: bool = False,  # static: t2v zero-vision branch
     ) -> jnp.ndarray:
         cfg = self.cfg
         b, c, tt, hh, ww = x.shape
@@ -295,8 +312,17 @@ class HunyuanVideo15Transformer3DModel(nnx.Module):
                 y = y * text_2_mask.astype(y.dtype)[..., None]
             streams.insert(0, y)  # byT5 ahead of mllm (reference packing order)
         if image_embeds is not None:
-            z = self.img_linear_1(self.img_norm_in(image_embeds.astype(self.dtype)))
-            z = self.img_norm_out(self.img_linear_2(nnx.gelu(z, approximate=False))) + ctype[2]
+            if image_stream_zeroed:
+                # t2v: the reference keeps the vision slots in context but
+                # zeroes the PROJECTED stream before adding the cond-type
+                # embedding (model.py:1033 is_t2v branch) — so the tokens are
+                # exactly the bare cond-type-2 embedding, not proj(0)+emb.
+                z = jnp.broadcast_to(
+                    ctype[2], (x.shape[0], image_embeds.shape[1], cfg.dim)
+                )
+            else:
+                z = self.img_linear_1(self.img_norm_in(image_embeds.astype(self.dtype)))
+                z = self.img_norm_out(self.img_linear_2(nnx.gelu(z, approximate=False))) + ctype[2]
             streams.insert(0, z)  # image first
 
         # Static packing: [image, byt5, mllm]; padding stays zeroed and

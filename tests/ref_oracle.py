@@ -151,6 +151,17 @@ class GEGLU(nn.Module):
         return hidden_states * F.gelu(gate)
 
 
+class LinearActivation(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int, bias: bool = True,
+                 activation: str = "silu"):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+        self.activation = _get_activation(activation)
+
+    def forward(self, hidden_states):
+        return self.activation(self.proj(hidden_states))
+
+
 class FeedForward(nn.Module):
     """diffusers.models.attention.FeedForward with the activation variants the
     reference families use (net.0 = activation(+proj), net.1 = dropout,
@@ -168,8 +179,8 @@ class FeedForward(nn.Module):
             act = GELU(dim, inner_dim, approximate="tanh", bias=bias)
         elif activation_fn == "geglu":
             act = GEGLU(dim, inner_dim, bias=bias)
-        elif activation_fn in ("linear-silu", "swiglu"):
-            raise NotImplementedError(activation_fn)
+        elif activation_fn == "linear-silu":
+            act = LinearActivation(dim, inner_dim, bias=bias, activation="silu")
         else:
             raise ValueError(activation_fn)
         self.net = nn.ModuleList([act, nn.Dropout(dropout),
@@ -215,9 +226,103 @@ class RMSNorm(nn.Module):
         return hidden_states
 
 
+class AttnProcessor2_0:
+    """diffusers default sdpa processor (subset: no spatial-norm/group-norm
+    paths, which none of the reference DiTs use)."""
+
+    def __call__(self, attn, hidden_states, encoder_hidden_states=None,
+                 attention_mask=None, **kwargs):
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        batch, seq, _ = hidden_states.shape
+        query = attn.to_q(hidden_states)
+        key = attn.to_k(ctx)
+        value = attn.to_v(ctx)
+        inner = key.shape[-1]
+        head_dim = inner // attn.heads
+        query = query.view(batch, -1, attn.heads, head_dim).transpose(1, 2)
+        key = key.view(batch, -1, attn.heads, head_dim).transpose(1, 2)
+        value = value.view(batch, -1, attn.heads, head_dim).transpose(1, 2)
+        if attn.norm_q is not None:
+            query = attn.norm_q(query)
+        if attn.norm_k is not None:
+            key = attn.norm_k(key)
+        out = F.scaled_dot_product_attention(
+            query, key, value, attn_mask=attention_mask, dropout_p=0.0,
+            is_causal=False)
+        out = out.transpose(1, 2).reshape(batch, -1, attn.heads * head_dim)
+        out = out.to(query.dtype)
+        out = attn.to_out[0](out)
+        return attn.to_out[1](out)
+
+
 class Attention(nn.Module):
-    """Placeholder type for isinstance/type-hint uses; the wan/qwen families
-    define their own attention modules and only reference this name."""
+    """Faithful subset of diffusers.models.attention_processor.Attention
+    covering the constructor surface the reference DiTs use (to_q/k/v,
+    added-kv projections, per-head qk RMSNorm, to_out/to_add_out, processor
+    dispatch)."""
+
+    def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                 dim_head=64, dropout=0.0, bias=False, qk_norm=None,
+                 added_kv_proj_dim=None, added_proj_bias=True, out_bias=True,
+                 out_dim=None, context_pre_only=None, pre_only=False,
+                 eps=1e-5, processor=None, scale_qk=True, **_unused):
+        super().__init__()
+        self.inner_dim = out_dim if out_dim is not None else dim_head * heads
+        self.heads = out_dim // dim_head if out_dim is not None else heads
+        self.query_dim = query_dim
+        self.out_dim = out_dim if out_dim is not None else query_dim
+        self.context_pre_only = context_pre_only
+        cross_attention_dim = (query_dim if cross_attention_dim is None
+                               else cross_attention_dim)
+
+        if qk_norm is None:
+            self.norm_q = self.norm_k = None
+        elif qk_norm == "rms_norm":
+            self.norm_q = RMSNorm(dim_head, eps=eps)
+            self.norm_k = RMSNorm(dim_head, eps=eps)
+        elif qk_norm == "rms_norm_across_heads":
+            self.norm_q = RMSNorm(dim_head * heads, eps=eps)
+            self.norm_k = RMSNorm(dim_head * heads, eps=eps)
+        else:
+            raise ValueError(qk_norm)
+
+        self.to_q = nn.Linear(query_dim, self.inner_dim, bias=bias)
+        self.to_k = nn.Linear(cross_attention_dim, self.inner_dim, bias=bias)
+        self.to_v = nn.Linear(cross_attention_dim, self.inner_dim, bias=bias)
+
+        self.add_q_proj = self.add_k_proj = self.add_v_proj = None
+        self.norm_added_q = self.norm_added_k = None
+        if added_kv_proj_dim is not None:
+            self.add_k_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                        bias=added_proj_bias)
+            self.add_v_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                        bias=added_proj_bias)
+            if context_pre_only is not None:
+                self.add_q_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                            bias=added_proj_bias)
+            if qk_norm == "rms_norm":
+                self.norm_added_q = RMSNorm(dim_head, eps=eps)
+                self.norm_added_k = RMSNorm(dim_head, eps=eps)
+
+        if not pre_only:
+            self.to_out = nn.ModuleList(
+                [nn.Linear(self.inner_dim, self.out_dim, bias=out_bias),
+                 nn.Dropout(dropout)])
+        if added_kv_proj_dim is not None and context_pre_only is False:
+            self.to_add_out = nn.Linear(self.inner_dim, self.out_dim,
+                                        bias=out_bias)
+
+        self.processor = processor if processor is not None else AttnProcessor2_0()
+
+    def forward(self, hidden_states, encoder_hidden_states=None,
+                attention_mask=None, **kwargs):
+        return self.processor(self, hidden_states,
+                              encoder_hidden_states=encoder_hidden_states,
+                              attention_mask=attention_mask, **kwargs)
+
+
+class AttentionMixin:
+    pass
 
 
 class AttentionModuleMixin:
@@ -230,6 +335,84 @@ class AttentionModuleMixin:
 
     def get_processor(self):
         return getattr(self, "processor", None)
+
+
+class CombinedTimestepTextProjEmbeddings(nn.Module):
+    def __init__(self, embedding_dim, pooled_projection_dim):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=0)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256,
+                                                   time_embed_dim=embedding_dim)
+        self.text_embedder = PixArtAlphaTextProjection(
+            pooled_projection_dim, embedding_dim, act_fn="silu")
+
+    def forward(self, timestep, pooled_projection):
+        timesteps_proj = self.time_proj(timestep)
+        timesteps_emb = self.timestep_embedder(
+            timesteps_proj.to(dtype=pooled_projection.dtype))
+        return timesteps_emb + self.text_embedder(pooled_projection)
+
+
+def get_1d_rotary_pos_embed(dim, pos, theta=10000.0, use_real=False,
+                            linear_factor=1.0, ntk_factor=1.0,
+                            repeat_interleave_real=True,
+                            freqs_dtype=torch.float32):
+    assert dim % 2 == 0
+    if isinstance(pos, int):
+        pos = torch.arange(pos)
+    theta = theta * ntk_factor
+    freqs = (1.0 / (theta ** (torch.arange(0, dim, 2, dtype=freqs_dtype,
+                                           device=pos.device)[: dim // 2] / dim))
+             / linear_factor)
+    freqs = torch.outer(pos, freqs)
+    if use_real and repeat_interleave_real:
+        cos = freqs.cos().repeat_interleave(2, dim=1).float()
+        sin = freqs.sin().repeat_interleave(2, dim=1).float()
+        return cos, sin
+    if use_real:
+        cos = torch.cat([freqs.cos(), freqs.cos()], dim=-1).float()
+        sin = torch.cat([freqs.sin(), freqs.sin()], dim=-1).float()
+        return cos, sin
+    return torch.polar(torch.ones_like(freqs), freqs)
+
+
+class AdaLayerNormZero(nn.Module):
+    def __init__(self, embedding_dim, num_embeddings=None,
+                 norm_type="layer_norm", bias=True):
+        super().__init__()
+        assert num_embeddings is None
+        self.emb = None
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, 6 * embedding_dim, bias=bias)
+        assert norm_type == "layer_norm"
+        self.norm = nn.LayerNorm(embedding_dim, elementwise_affine=False,
+                                 eps=1e-6)
+
+    def forward(self, x, timestep=None, class_labels=None, hidden_dtype=None,
+                emb=None):
+        emb = self.linear(self.silu(emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            emb.chunk(6, dim=1))
+        x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormContinuous(nn.Module):
+    def __init__(self, embedding_dim, conditioning_embedding_dim,
+                 elementwise_affine=True, eps=1e-5, bias=True,
+                 norm_type="layer_norm"):
+        super().__init__()
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(conditioning_embedding_dim, embedding_dim * 2,
+                                bias=bias)
+        assert norm_type == "layer_norm"
+        self.norm = nn.LayerNorm(embedding_dim, eps, elementwise_affine, bias)
+
+    def forward(self, x, conditioning_embedding):
+        emb = self.linear(self.silu(conditioning_embedding).to(x.dtype))
+        scale, shift = torch.chunk(emb, 2, dim=1)
+        return self.norm(x) * (1 + scale)[:, None, :] + shift[:, None, :]
 
 
 class CacheMixin:
@@ -321,22 +504,32 @@ def install_diffusers_shim() -> None:
                       PeftAdapterMixin=type("PeftAdapterMixin", (), {}))
     attention = _module("diffusers.models.attention",
                         FeedForward=FeedForward, GELU=GELU, GEGLU=GEGLU,
-                        Attention=Attention,
+                        LinearActivation=LinearActivation,
+                        Attention=Attention, AttentionMixin=AttentionMixin,
                         AttentionModuleMixin=AttentionModuleMixin)
+    attention_processor = _module("diffusers.models.attention_processor",
+                                  Attention=Attention,
+                                  AttnProcessor2_0=AttnProcessor2_0)
     embeddings = _module("diffusers.models.embeddings",
                          Timesteps=Timesteps,
                          TimestepEmbedding=TimestepEmbedding,
                          PixArtAlphaTextProjection=PixArtAlphaTextProjection,
-                         get_timestep_embedding=get_timestep_embedding)
+                         CombinedTimestepTextProjEmbeddings=CombinedTimestepTextProjEmbeddings,
+                         get_timestep_embedding=get_timestep_embedding,
+                         get_1d_rotary_pos_embed=get_1d_rotary_pos_embed)
     normalization = _module("diffusers.models.normalization",
-                            FP32LayerNorm=FP32LayerNorm, RMSNorm=RMSNorm)
+                            FP32LayerNorm=FP32LayerNorm, RMSNorm=RMSNorm,
+                            AdaLayerNormZero=AdaLayerNormZero,
+                            AdaLayerNormContinuous=AdaLayerNormContinuous)
     outputs = _module("diffusers.models.modeling_outputs",
                       Transformer2DModelOutput=Transformer2DModelOutput)
     modeling_utils = _module("diffusers.models.modeling_utils",
                              ModelMixin=ModelMixin)
     cache_utils = _module("diffusers.models.cache_utils", CacheMixin=CacheMixin)
     models = _module("diffusers.models",
-                     attention=attention, embeddings=embeddings,
+                     attention=attention,
+                     attention_processor=attention_processor,
+                     embeddings=embeddings,
                      normalization=normalization,
                      modeling_outputs=outputs, modeling_utils=modeling_utils,
                      cache_utils=cache_utils)
