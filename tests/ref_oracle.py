@@ -354,6 +354,54 @@ class CombinedTimestepTextProjEmbeddings(nn.Module):
         return timesteps_emb + self.text_embedder(pooled_projection)
 
 
+class CombinedTimestepGuidanceTextProjEmbeddings(nn.Module):
+    def __init__(self, embedding_dim, pooled_projection_dim):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=0)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256,
+                                                   time_embed_dim=embedding_dim)
+        self.guidance_embedder = TimestepEmbedding(in_channels=256,
+                                                   time_embed_dim=embedding_dim)
+        self.text_embedder = PixArtAlphaTextProjection(
+            pooled_projection_dim, embedding_dim, act_fn="silu")
+
+    def forward(self, timestep, guidance, pooled_projection):
+        timesteps_emb = self.timestep_embedder(
+            self.time_proj(timestep).to(dtype=pooled_projection.dtype))
+        guidance_emb = self.guidance_embedder(
+            self.time_proj(guidance).to(dtype=pooled_projection.dtype))
+        time_guidance_emb = timesteps_emb + guidance_emb
+        return time_guidance_emb + self.text_embedder(pooled_projection)
+
+
+def apply_rotary_emb(x, freqs_cis, use_real=True, use_real_unbind_dim=-1,
+                     sequence_dim=2):
+    """diffusers.models.embeddings.apply_rotary_emb (real cos/sin path)."""
+    if use_real:
+        cos, sin = freqs_cis
+        if sequence_dim == 2:
+            cos = cos[None, None, :, :]
+            sin = sin[None, None, :, :]
+        elif sequence_dim == 1:
+            cos = cos[None, :, None, :]
+            sin = sin[None, :, None, :]
+        cos, sin = cos.to(x.device), sin.to(x.device)
+        if use_real_unbind_dim == -1:
+            # interleaved pairs: (x0, x1) -> (-x1, x0)
+            x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+            x_rotated = torch.stack([-x_imag, x_real], dim=-1).flatten(-2)
+        elif use_real_unbind_dim == -2:
+            x_real, x_imag = x.reshape(*x.shape[:-1], 2, -1).unbind(-2)
+            x_rotated = torch.cat([-x_imag, x_real], dim=-1)
+        else:
+            raise ValueError(use_real_unbind_dim)
+        return (x.float() * cos + x_rotated.float() * sin).to(x.dtype)
+    x_rotated = torch.view_as_complex(x.float().reshape(*x.shape[:-1], -1, 2))
+    freqs_cis = freqs_cis.unsqueeze(2)
+    return torch.view_as_real(x_rotated * freqs_cis).flatten(3).type_as(x)
+
+
 def get_1d_rotary_pos_embed(dim, pos, theta=10000.0, use_real=False,
                             linear_factor=1.0, ntk_factor=1.0,
                             repeat_interleave_real=True,
@@ -396,6 +444,22 @@ class AdaLayerNormZero(nn.Module):
             emb.chunk(6, dim=1))
         x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormZeroSingle(nn.Module):
+    def __init__(self, embedding_dim, norm_type="layer_norm", bias=True):
+        super().__init__()
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, 3 * embedding_dim, bias=bias)
+        assert norm_type == "layer_norm"
+        self.norm = nn.LayerNorm(embedding_dim, elementwise_affine=False,
+                                 eps=1e-6)
+
+    def forward(self, x, emb=None):
+        emb = self.linear(self.silu(emb))
+        shift_msa, scale_msa, gate_msa = emb.chunk(3, dim=1)
+        x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return x, gate_msa
 
 
 class AdaLayerNormContinuous(nn.Module):
@@ -501,7 +565,10 @@ def install_diffusers_shim() -> None:
                       register_to_config=register_to_config)
     loaders = _module("diffusers.loaders",
                       FromOriginalModelMixin=type("FromOriginalModelMixin", (), {}),
-                      PeftAdapterMixin=type("PeftAdapterMixin", (), {}))
+                      PeftAdapterMixin=type("PeftAdapterMixin", (), {}),
+                      FluxTransformer2DLoadersMixin=type(
+                          "FluxTransformer2DLoadersMixin", (), {}))
+    _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
     attention = _module("diffusers.models.attention",
                         FeedForward=FeedForward, GELU=GELU, GEGLU=GEGLU,
                         LinearActivation=LinearActivation,
@@ -515,11 +582,14 @@ def install_diffusers_shim() -> None:
                          TimestepEmbedding=TimestepEmbedding,
                          PixArtAlphaTextProjection=PixArtAlphaTextProjection,
                          CombinedTimestepTextProjEmbeddings=CombinedTimestepTextProjEmbeddings,
+                         CombinedTimestepGuidanceTextProjEmbeddings=CombinedTimestepGuidanceTextProjEmbeddings,
                          get_timestep_embedding=get_timestep_embedding,
-                         get_1d_rotary_pos_embed=get_1d_rotary_pos_embed)
+                         get_1d_rotary_pos_embed=get_1d_rotary_pos_embed,
+                         apply_rotary_emb=apply_rotary_emb)
     normalization = _module("diffusers.models.normalization",
                             FP32LayerNorm=FP32LayerNorm, RMSNorm=RMSNorm,
                             AdaLayerNormZero=AdaLayerNormZero,
+                            AdaLayerNormZeroSingle=AdaLayerNormZeroSingle,
                             AdaLayerNormContinuous=AdaLayerNormContinuous)
     outputs = _module("diffusers.models.modeling_outputs",
                       Transformer2DModelOutput=Transformer2DModelOutput)
@@ -553,6 +623,11 @@ def install_ref_parents() -> None:
             m = types.ModuleType(name)
             m.__path__ = [f"{REF}/{sub}"]
             sys.modules[name] = m
+    tf_pkg = sys.modules["src.transformer"]
+    if not hasattr(tf_pkg, "TRANSFORMERS_REGISTRY"):
+        base = importlib.import_module("src.transformer.base")
+        tf_pkg.TRANSFORMERS_REGISTRY = base.TRANSFORMERS_REGISTRY
+        tf_pkg.get_transformer = base.get_transformer
 
 
 def import_ref_module(name: str):
