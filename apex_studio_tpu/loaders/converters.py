@@ -327,6 +327,31 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "hidream",
+    KeyConverter(
+        # HiDream-I1 diffusers layout (reference transformer/hidream/base/
+        # model.py:531) → our paths; parity-tested end to end in
+        # tests/test_parity_hidream_dit.py.
+        renames=[
+            (r"^x_embedder\.proj\.", "x_embedder."),
+            (r"^t_embedder\.timestep_embedder\.linear_1\.", "t_in_1."),
+            (r"^t_embedder\.timestep_embedder\.linear_2\.", "t_in_2."),
+            (r"^p_embedder\.pooled_embedder\.linear_1\.", "p_in_1."),
+            (r"^p_embedder\.pooled_embedder\.linear_2\.", "p_in_2."),
+            (r"^caption_projection\.(\d+)\.linear\.", r"caption_projection.\1."),
+            (r"^(double|single)_stream_blocks\.(\d+)\.block\.", r"\1_stream_blocks.\2."),
+            (r"^final_layer\.adaLN_modulation\.1\.", "final_adaln."),
+            (r"\.adaLN_modulation\.1\.", ".adaln."),
+            (r"^final_layer\.linear\.", "proj_out."),
+            (r"\.ff_i\.gate\.weight$", ".ff_i.gate_weight"),
+            (r"(to_q|to_k|to_v|to_out|to_q_t|to_k_t|to_v_t|to_out_t|w1|w2|w3|"
+             r"x_embedder|t_in_\d|p_in_\d|caption_projection\.\d+|adaln|"
+             r"final_adaln|proj_out)\.weight$", r"\1.kernel"),
+        ],
+    ),
+)
+
+converter_registry.add(
     "qwenimage",
     KeyConverter(
         renames=[

@@ -43,7 +43,7 @@ class HiDreamConfig:
     caption_dim: int = 4096           # T5 & Llama feature dim
     num_routed_experts: int = 4
     num_activated_experts: int = 2
-    axes_dims_rope: Tuple[int, int] = (32, 32)
+    axes_dims_rope: Tuple[int, ...] = (64, 32, 32)  # sums to head_dim 128
     llama_layers: Tuple[int, ...] = ()
     rope_theta: float = 10000.0
 
@@ -63,7 +63,14 @@ class HiDreamConfig:
 
 
 class _SwiGLU(nnx.Module):
-    def __init__(self, dim: int, hidden: int, *, dtype, rngs):
+    """LLaMA-style SwiGLU: the nominal hidden width is shrunk to 2/3 and
+    rounded UP to a multiple of 256 (reference HiDreamImageFeedForwardSwiGLU,
+    model.py:38-42) — real HiDream-I1 checkpoints bake this into w1/w2/w3."""
+
+    def __init__(self, dim: int, hidden: int, *, dtype, rngs,
+                 multiple_of: int = 256):
+        hidden = int(2 * hidden / 3)
+        hidden = multiple_of * ((hidden + multiple_of - 1) // multiple_of)
         kw = dict(use_bias=False, dtype=dtype, param_dtype=dtype, rngs=rngs)
         self.w1 = Linear(dim, hidden, **kw)
         self.w2 = Linear(hidden, dim, **kw)
@@ -231,8 +238,10 @@ class HiDreamImageTransformer2DModel(nnx.Module):
         self.p_in_1 = Linear(cfg.text_emb_dim, d, **kw)
         self.p_in_2 = Linear(d, d, **kw)
         n_proj = len(cfg.llama_layers) + 1  # + the T5 projection (last)
+        # TextProjection is bias-free in the reference (model.py:316)
+        pkw = dict(kw, use_bias=False)
         self.caption_projection = nnx.List(
-            [Linear(cfg.caption_dim, d, **kw) for _ in range(n_proj)])
+            [Linear(cfg.caption_dim, d, **pkw) for _ in range(n_proj)])
         self.double_stream_blocks = nnx.List(
             [_DoubleBlock(cfg, dtype=dtype, rngs=rngs)
              for _ in range(cfg.num_layers)])
@@ -253,18 +262,24 @@ class HiDreamImageTransformer2DModel(nnx.Module):
         ])
 
     def patchify(self, x):
+        """Token features are [p1, p2, C] — channel FASTEST — matching the
+        reference pipeline's packing (model.py:690 `.permute(0, 2, 3, 1)`),
+        which is the layout x_embedder's checkpoint weights expect."""
         p = self.cfg.patch_size
         b, c, h, w = x.shape
         x = x.reshape(b, c, h // p, p, w // p, p)
-        x = x.transpose(0, 2, 4, 1, 3, 5)
-        return x.reshape(b, (h // p) * (w // p), c * p * p)
+        x = x.transpose(0, 2, 4, 3, 5, 1)
+        return x.reshape(b, (h // p) * (w // p), p * p * c)
 
     def unpatchify(self, tok, h, w):
+        """Output features are [p1, p2, C] per the reference's inference
+        unpatchify (model.py:634 `.reshape(1, pH, pW, p1, p2, C).permute(0,
+        5, 1, 3, 2, 4)`)."""
         p = self.cfg.patch_size
         c = self.cfg.out_channels
         b = tok.shape[0]
-        x = tok.reshape(b, h // p, w // p, c, p, p)
-        x = x.transpose(0, 3, 1, 4, 2, 5)
+        x = tok.reshape(b, h // p, w // p, p, p, c)
+        x = x.transpose(0, 5, 1, 3, 2, 4)
         return x.reshape(b, c, h, w)
 
     def __call__(self, x, t, t5_ctx, llama_ctx, pooled):
@@ -291,12 +306,19 @@ class HiDreamImageTransformer2DModel(nnx.Module):
         initial_txt = jnp.concatenate([t5_proj, llama_proj[-1]], axis=1)
         n_init = initial_txt.shape[1]
 
-        # joint rope: image tokens on the 2-axis grid, text ids zero
+        # joint rope over (batch/0, row, col) ids — the published config uses
+        # 3 axes (e.g. 64+32+32=128) with the leading axis pinned to 0, like
+        # flux (reference patchify img_ids, model.py:664); text ids are zero.
+        n_axes = len(cfg.axes_dims_rope)
         ids_img = np.stack(np.meshgrid(np.arange(gh), np.arange(gw),
                                        indexing="ij"), axis=-1).reshape(1, -1, 2)
+        if n_axes == 3:
+            ids_img = np.concatenate(
+                [np.zeros((1, ids_img.shape[1], 1), ids_img.dtype), ids_img],
+                axis=-1)
         n_txt = n_init + llama_proj[0].shape[1]
         ids = np.concatenate(
-            [ids_img, np.zeros((1, n_txt, 2), ids_img.dtype)], axis=1)
+            [ids_img, np.zeros((1, n_txt, n_axes), ids_img.dtype)], axis=1)
         cos, sin = precompute_axial_freqs(jnp.asarray(ids, jnp.float32),
                                           cfg.axes_dims_rope, cfg.rope_theta)
         rope = (cos[:, :, None, :], sin[:, :, None, :])

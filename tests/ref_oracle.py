@@ -151,6 +151,42 @@ class GEGLU(nn.Module):
         return hidden_states * F.gelu(gate)
 
 
+class ApproximateGELU(nn.Module):
+    def __init__(self, dim_in: int, dim_out: int, bias: bool = True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+
+    def forward(self, x):
+        x = self.proj(x)
+        return x * torch.sigmoid(1.702 * x)
+
+
+class BaseOutput(dict):
+    """Minimal diffusers BaseOutput: attribute + mapping access."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        for k, v in kwargs.items():
+            object.__setattr__(self, k, v)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+def _dispatch_attention_fn(query, key, value, attn_mask=None, dropout_p=0.0,
+                           is_causal=False, backend=None, parallel_config=None,
+                           **kwargs):
+    """diffusers dispatch_attention_fn native path: tensors are [B, S, H, D]."""
+    query, key, value = (x.transpose(1, 2) for x in (query, key, value))
+    out = F.scaled_dot_product_attention(
+        query, key, value, attn_mask=attn_mask, dropout_p=dropout_p,
+        is_causal=is_causal)
+    return out.transpose(1, 2)
+
+
 class LinearActivation(nn.Module):
     def __init__(self, dim_in: int, dim_out: int, bias: bool = True,
                  activation: str = "silu"):
@@ -314,6 +350,12 @@ class Attention(nn.Module):
 
         self.processor = processor if processor is not None else AttnProcessor2_0()
 
+    def set_processor(self, processor):
+        self.processor = processor
+
+    def get_processor(self):
+        return self.processor
+
     def forward(self, hidden_states, encoder_hidden_states=None,
                 attention_mask=None, **kwargs):
         return self.processor(self, hidden_states,
@@ -323,6 +365,159 @@ class Attention(nn.Module):
 
 class AttentionMixin:
     pass
+
+
+class AttentionProcessor:
+    """Base-class placeholder (only used in type hints / isinstance)."""
+
+
+class SpatialNorm(nn.Module):
+    def __init__(self, f_channels, zq_channels):
+        super().__init__()
+        self.norm_layer = nn.GroupNorm(num_channels=f_channels, num_groups=32,
+                                       eps=1e-6, affine=True)
+        self.conv_y = nn.Conv2d(zq_channels, f_channels, 1)
+        self.conv_b = nn.Conv2d(zq_channels, f_channels, 1)
+
+    def forward(self, f, zq):
+        zq = F.interpolate(zq, size=f.shape[-2:], mode="nearest")
+        return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+
+class MochiAttention(nn.Module):
+    """Faithful subset of diffusers MochiAttention (asymmetric img/txt dims,
+    per-head RMSNorm, optional context output)."""
+
+    def __init__(self, query_dim, added_kv_proj_dim, processor, heads=8,
+                 dim_head=64, bias=False, added_proj_bias=True, out_dim=None,
+                 out_context_dim=None, out_bias=True, context_pre_only=False,
+                 eps=1e-5):
+        super().__init__()
+        self.inner_dim = out_dim if out_dim is not None else dim_head * heads
+        self.out_dim = out_dim if out_dim is not None else query_dim
+        self.out_context_dim = (out_context_dim if out_context_dim
+                                else added_kv_proj_dim)
+        self.context_pre_only = context_pre_only
+        self.heads = out_dim // dim_head if out_dim is not None else heads
+        self.norm_q = RMSNorm(dim_head, eps, True)
+        self.norm_k = RMSNorm(dim_head, eps, True)
+        self.norm_added_q = RMSNorm(dim_head, eps, True)
+        self.norm_added_k = RMSNorm(dim_head, eps, True)
+        self.to_q = nn.Linear(query_dim, self.inner_dim, bias=bias)
+        self.to_k = nn.Linear(query_dim, self.inner_dim, bias=bias)
+        self.to_v = nn.Linear(query_dim, self.inner_dim, bias=bias)
+        self.add_k_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                    bias=added_proj_bias)
+        self.add_v_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                    bias=added_proj_bias)
+        if self.context_pre_only is not None:
+            self.add_q_proj = nn.Linear(added_kv_proj_dim, self.inner_dim,
+                                        bias=added_proj_bias)
+        self.to_out = nn.ModuleList(
+            [nn.Linear(self.inner_dim, self.out_dim, bias=out_bias),
+             nn.Dropout(0.0)])
+        if not self.context_pre_only:
+            self.to_add_out = nn.Linear(self.inner_dim, self.out_context_dim,
+                                        bias=out_bias)
+        self.processor = processor
+
+    def forward(self, hidden_states, encoder_hidden_states=None, **kwargs):
+        return self.processor(self, hidden_states,
+                              encoder_hidden_states=encoder_hidden_states,
+                              **kwargs)
+
+
+class PatchEmbed(nn.Module):
+    """diffusers PatchEmbed subset: conv projection, optional LN, no pos embed
+    when pos_embed_type is None (the mochi configuration)."""
+
+    def __init__(self, height=224, width=224, patch_size=16, in_channels=3,
+                 embed_dim=768, layer_norm=False, flatten=True, bias=True,
+                 interpolation_scale=1, pos_embed_type="sincos",
+                 pos_embed_max_size=None):
+        super().__init__()
+        self.flatten = flatten
+        self.layer_norm = layer_norm
+        self.proj = nn.Conv2d(in_channels, embed_dim, kernel_size=(patch_size,
+                              patch_size), stride=patch_size, bias=bias)
+        if layer_norm:
+            self.norm = nn.LayerNorm(embed_dim, elementwise_affine=False,
+                                     eps=1e-6)
+        else:
+            self.norm = None
+        assert pos_embed_type is None, "only the no-pos-embed path is shimmed"
+
+    def forward(self, latent):
+        latent = self.proj(latent)
+        if self.flatten:
+            latent = latent.flatten(2).transpose(1, 2)
+        if self.norm is not None:
+            latent = self.norm(latent)
+        return latent
+
+
+class MochiCombinedTimestepCaptionEmbedding(nn.Module):
+    def __init__(self, embedding_dim, pooled_projection_dim, text_embed_dim,
+                 time_embed_dim=256, num_attention_heads=8):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=time_embed_dim,
+                                   flip_sin_to_cos=True,
+                                   downscale_freq_shift=0.0)
+        self.timestep_embedder = TimestepEmbedding(
+            in_channels=time_embed_dim, time_embed_dim=embedding_dim)
+        self.pooler = MochiAttentionPool(
+            num_attention_heads=num_attention_heads,
+            embed_dim=text_embed_dim, output_dim=embedding_dim)
+        self.caption_proj = nn.Linear(text_embed_dim, pooled_projection_dim)
+
+    def forward(self, timestep, encoder_hidden_states, encoder_attention_mask,
+                hidden_dtype=None):
+        time_proj = self.time_proj(timestep)
+        conditioning = self.timestep_embedder(time_proj.to(dtype=hidden_dtype))
+        pooled_projections = self.pooler(encoder_hidden_states,
+                                         encoder_attention_mask)
+        caption_proj = self.caption_proj(encoder_hidden_states)
+        conditioning = conditioning + pooled_projections
+        return conditioning, caption_proj
+
+
+class MochiAttentionPool(nn.Module):
+    """diffusers MochiAttentionPool: masked softmax attention pooling with a
+    mean-pooled query token."""
+
+    def __init__(self, num_attention_heads, embed_dim, output_dim=None):
+        super().__init__()
+        self.output_dim = output_dim or embed_dim
+        self.num_attention_heads = num_attention_heads
+        self.to_kv = nn.Linear(embed_dim, 2 * embed_dim)
+        self.to_q = nn.Linear(embed_dim, embed_dim)
+        self.to_out = nn.Linear(embed_dim, self.output_dim)
+
+    @staticmethod
+    def pool_tokens(x, mask, *, keepdim=False):
+        assert x.size(1) == mask.size(1)
+        mask = mask[:, :, None].to(dtype=x.dtype)
+        mask = mask / mask.sum(dim=1, keepdim=True).clamp(min=1)
+        return (x * mask).sum(dim=1, keepdim=keepdim)
+
+    def forward(self, x, mask):
+        D = x.size(2)
+        attn_mask = mask[:, None, None, :].bool()
+        attn_mask = F.pad(attn_mask, (1, 0), value=True)
+        x_pool = self.pool_tokens(x, mask, keepdim=True)
+        x = torch.cat([x_pool, x], dim=1)
+        kv = self.to_kv(x)
+        q = self.to_q(x[:, 0])
+        q = q.unsqueeze(2)
+        head_dim = D // self.num_attention_heads
+        q = q.view(-1, self.num_attention_heads, 1, head_dim)
+        kv = kv.view(x.size(0), x.size(1), 2, self.num_attention_heads,
+                     head_dim).permute(2, 0, 3, 1, 4)
+        k, v = kv.unbind(0)
+        x = F.scaled_dot_product_attention(
+            q, k, v, attn_mask=attn_mask, dropout_p=0.0)
+        x = x.reshape(x.size(0), D)
+        return self.to_out(x)
 
 
 class AttentionModuleMixin:
@@ -462,6 +657,180 @@ class AdaLayerNormZeroSingle(nn.Module):
         return x, gate_msa
 
 
+class PixArtAlphaCombinedTimestepSizeEmbeddings(nn.Module):
+    def __init__(self, embedding_dim, size_emb_dim,
+                 use_additional_conditions=False):
+        super().__init__()
+        self.outdim = size_emb_dim
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=0)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256,
+                                                   time_embed_dim=embedding_dim)
+        self.use_additional_conditions = use_additional_conditions
+        assert not use_additional_conditions, "size-conditioned path unused"
+
+    def forward(self, timestep, resolution=None, aspect_ratio=None,
+                batch_size=None, hidden_dtype=None):
+        timesteps_proj = self.time_proj(timestep)
+        return self.timestep_embedder(timesteps_proj.to(dtype=hidden_dtype))
+
+
+class AdaLayerNormSingle(nn.Module):
+    """diffusers AdaLayerNormSingle (PixArt-sigma style, used by LTX)."""
+
+    def __init__(self, embedding_dim, use_additional_conditions=False):
+        super().__init__()
+        self.emb = PixArtAlphaCombinedTimestepSizeEmbeddings(
+            embedding_dim, size_emb_dim=embedding_dim // 3,
+            use_additional_conditions=use_additional_conditions)
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, 6 * embedding_dim, bias=True)
+
+    def forward(self, timestep, added_cond_kwargs=None, batch_size=None,
+                hidden_dtype=None):
+        added_cond_kwargs = added_cond_kwargs or {
+            "resolution": None, "aspect_ratio": None}
+        embedded_timestep = self.emb(timestep, **added_cond_kwargs,
+                                     batch_size=batch_size,
+                                     hidden_dtype=hidden_dtype)
+        return self.linear(self.silu(embedded_timestep)), embedded_timestep
+
+
+class AdaLayerNorm(nn.Module):
+    """diffusers AdaLayerNorm, continuous-embedding variant (num_embeddings
+    None), as used by CogVideoX for its norm_out."""
+
+    def __init__(self, embedding_dim, num_embeddings=None, output_dim=None,
+                 norm_elementwise_affine=False, norm_eps=1e-5, chunk_dim=0):
+        super().__init__()
+        self.chunk_dim = chunk_dim
+        output_dim = output_dim or embedding_dim * 2
+        assert num_embeddings is None
+        self.emb = None
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, output_dim)
+        self.norm = nn.LayerNorm(output_dim // 2, norm_eps,
+                                 norm_elementwise_affine)
+
+    def forward(self, x, timestep=None, temb=None):
+        temb = self.linear(self.silu(temb))
+        if self.chunk_dim == 1:
+            shift, scale = temb.chunk(2, dim=1)
+            shift = shift[:, None, :]
+            scale = scale[:, None, :]
+        else:
+            scale, shift = temb.chunk(2, dim=0)
+        return self.norm(x) * (1 + scale) + shift
+
+
+class CogVideoXLayerNormZero(nn.Module):
+    def __init__(self, conditioning_dim, embedding_dim, elementwise_affine=True,
+                 eps=1e-5, bias=True):
+        super().__init__()
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(conditioning_dim, 6 * embedding_dim, bias=bias)
+        self.norm = nn.LayerNorm(embedding_dim, eps=eps,
+                                 elementwise_affine=elementwise_affine)
+
+    def forward(self, hidden_states, encoder_hidden_states, temb):
+        shift, scale, gate, enc_shift, enc_scale, enc_gate = self.linear(
+            self.silu(temb)).chunk(6, dim=1)
+        hidden_states = self.norm(hidden_states) * (
+            1 + scale)[:, None, :] + shift[:, None, :]
+        encoder_hidden_states = self.norm(encoder_hidden_states) * (
+            1 + enc_scale)[:, None, :] + enc_shift[:, None, :]
+        return hidden_states, encoder_hidden_states, gate[:, None, :], enc_gate[:, None, :]
+
+
+class CombinedTimestepLabelEmbeddings(nn.Module):
+    def __init__(self, num_classes, embedding_dim, class_dropout_prob=0.1):
+        super().__init__()
+        self.time_proj = Timesteps(num_channels=256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=1)
+        self.timestep_embedder = TimestepEmbedding(in_channels=256,
+                                                   time_embed_dim=embedding_dim)
+
+    def forward(self, timestep, class_labels=None, hidden_dtype=None):
+        timesteps_proj = self.time_proj(timestep)
+        return self.timestep_embedder(timesteps_proj.to(dtype=hidden_dtype))
+
+
+class CogVideoXPatchEmbed(nn.Module):
+    """diffusers CogVideoXPatchEmbed subset: joint [text|video] embedding with
+    2D (temporal_patch_size 1, conv2d) or 3D patching, no learned pos embed
+    when use_positional_embeddings=False (CogVideoX-1.5 / fun configuration)
+    and the static sincos path otherwise."""
+
+    def __init__(self, patch_size=2, patch_size_t=None, in_channels=16,
+                 embed_dim=1920, text_embed_dim=4096, bias=True,
+                 sample_width=90, sample_height=60, sample_frames=49,
+                 temporal_compression_ratio=4, max_text_seq_length=226,
+                 spatial_interpolation_scale=1.875,
+                 temporal_interpolation_scale=1.0,
+                 use_positional_embeddings=True,
+                 use_learned_positional_embeddings=True):
+        super().__init__()
+        self.patch_size = patch_size
+        self.patch_size_t = patch_size_t
+        assert not use_positional_embeddings and \
+            not use_learned_positional_embeddings, \
+            "only the rope configuration is shimmed"
+        if patch_size_t is None:
+            self.proj = nn.Conv2d(in_channels, embed_dim,
+                                  kernel_size=(patch_size, patch_size),
+                                  stride=patch_size, bias=bias)
+        else:
+            self.proj = nn.Linear(
+                in_channels * patch_size * patch_size * patch_size_t,
+                embed_dim, bias=bias)
+        self.text_proj = nn.Linear(text_embed_dim, embed_dim)
+
+    def forward(self, text_embeds, image_embeds):
+        text_embeds = self.text_proj(text_embeds)
+        batch_size, num_frames, channels, height, width = image_embeds.shape
+        if self.patch_size_t is None:
+            image_embeds = image_embeds.reshape(-1, channels, height, width)
+            image_embeds = self.proj(image_embeds)
+            image_embeds = image_embeds.view(batch_size, num_frames,
+                                             *image_embeds.shape[1:])
+            image_embeds = image_embeds.flatten(3).transpose(2, 3)
+            image_embeds = image_embeds.flatten(1, 2)
+        else:
+            p = self.patch_size
+            p_t = self.patch_size_t
+            image_embeds = image_embeds.permute(0, 1, 3, 4, 2)
+            image_embeds = image_embeds.reshape(
+                batch_size, num_frames // p_t, p_t, height // p, p,
+                width // p, p, channels)
+            image_embeds = image_embeds.permute(
+                0, 1, 3, 5, 7, 2, 4, 6).flatten(4, 7).flatten(1, 3)
+            image_embeds = self.proj(image_embeds)
+        return torch.cat([text_embeds, image_embeds], dim=1)
+
+
+class FluxPosEmbed(nn.Module):
+    """diffusers FluxPosEmbed (also vendored at reference flux/base/model.py:331)."""
+
+    def __init__(self, theta, axes_dim):
+        super().__init__()
+        self.theta = theta
+        self.axes_dim = axes_dim
+
+    def forward(self, ids):
+        n_axes = ids.shape[-1]
+        cos_out, sin_out = [], []
+        pos = ids.float()
+        for i in range(n_axes):
+            cos, sin = get_1d_rotary_pos_embed(
+                self.axes_dim[i], pos[:, i], theta=self.theta,
+                repeat_interleave_real=True, use_real=True,
+                freqs_dtype=torch.float64)
+            cos_out.append(cos)
+            sin_out.append(sin)
+        return (torch.cat(cos_out, dim=-1).to(ids.device),
+                torch.cat(sin_out, dim=-1).to(ids.device))
+
+
 class AdaLayerNormContinuous(nn.Module):
     def __init__(self, embedding_dim, conditioning_embedding_dim,
                  elementwise_affine=True, eps=1e-5, bias=True,
@@ -558,39 +927,92 @@ def install_diffusers_shim() -> None:
         scale_lora_layers=lambda *a, **k: None,
         unscale_lora_layers=lambda *a, **k: None,
         is_torch_version=lambda *a, **k: True,
+        is_torch_npu_available=lambda: False,
+        is_torchvision_available=lambda: False,
         deprecate=lambda *a, **k: None,
+        BaseOutput=BaseOutput,
     )
     cfg_mod = _module("diffusers.configuration_utils",
                       ConfigMixin=ConfigMixin,
                       register_to_config=register_to_config)
+    _FromOriginal = type("FromOriginalModelMixin", (), {})
     loaders = _module("diffusers.loaders",
-                      FromOriginalModelMixin=type("FromOriginalModelMixin", (), {}),
+                      FromOriginalModelMixin=_FromOriginal,
                       PeftAdapterMixin=type("PeftAdapterMixin", (), {}),
                       FluxTransformer2DLoadersMixin=type(
                           "FluxTransformer2DLoadersMixin", (), {}))
+    _module("diffusers.loaders.single_file_model",
+            FromOriginalModelMixin=_FromOriginal)
     _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
+    _module("diffusers.utils.import_utils",
+            is_torch_npu_available=lambda: False,
+            is_torch_version=lambda *a, **k: True,
+            is_torchvision_available=lambda: False)
+    _module("diffusers.models.attention_dispatch",
+            dispatch_attention_fn=_dispatch_attention_fn,
+            _CAN_USE_FLEX_ATTN=False)
+    _module("diffusers.models.activations",
+            GEGLU=GEGLU, GELU=GELU, ApproximateGELU=ApproximateGELU)
+    _module("diffusers.models.lora", LoRACompatibleLinear=nn.Linear)
+    def _any_args(name):
+        def init(self, *a, **k):
+            pass
+        return type(name, (), {"__init__": init})
+
+    _module("diffusers.models._modeling_parallel",
+            ContextParallelInput=_any_args("ContextParallelInput"),
+            ContextParallelOutput=_any_args("ContextParallelOutput"))
+    _module("diffusers.models.transformers",
+            transformer_bria=_module("diffusers.models.transformers.transformer_bria",
+                                     BriaAttnProcessor=AttnProcessor2_0))
+    _module("diffusers.utils.accelerate_utils",
+            apply_forward_hook=lambda fn: fn)
+    def _chunked_ff(ff, hidden_states, chunk_dim, chunk_size):
+        if chunk_size is None:
+            return ff(hidden_states)
+        return torch.cat(
+            [ff(c) for c in hidden_states.split(chunk_size, dim=chunk_dim)],
+            dim=chunk_dim)
+
     attention = _module("diffusers.models.attention",
                         FeedForward=FeedForward, GELU=GELU, GEGLU=GEGLU,
+                        _chunked_feed_forward=_chunked_ff,
                         LinearActivation=LinearActivation,
                         Attention=Attention, AttentionMixin=AttentionMixin,
                         AttentionModuleMixin=AttentionModuleMixin)
     attention_processor = _module("diffusers.models.attention_processor",
                                   Attention=Attention,
-                                  AttnProcessor2_0=AttnProcessor2_0)
+                                  AttentionProcessor=AttentionProcessor,
+                                  AttnProcessor2_0=AttnProcessor2_0,
+                                  MochiAttention=MochiAttention,
+                                  SpatialNorm=SpatialNorm,
+                                  LoRAAttnAddedKVProcessor=AttentionProcessor,
+                                  LoRAAttnProcessor=AttentionProcessor,
+                                  LoRAAttnProcessor2_0=AttentionProcessor,
+                                  LoRAXFormersAttnProcessor=AttentionProcessor)
     embeddings = _module("diffusers.models.embeddings",
                          Timesteps=Timesteps,
                          TimestepEmbedding=TimestepEmbedding,
                          PixArtAlphaTextProjection=PixArtAlphaTextProjection,
                          CombinedTimestepTextProjEmbeddings=CombinedTimestepTextProjEmbeddings,
                          CombinedTimestepGuidanceTextProjEmbeddings=CombinedTimestepGuidanceTextProjEmbeddings,
+                         PixArtAlphaCombinedTimestepSizeEmbeddings=PixArtAlphaCombinedTimestepSizeEmbeddings,
+                         MochiCombinedTimestepCaptionEmbedding=MochiCombinedTimestepCaptionEmbedding,
+                         PatchEmbed=PatchEmbed,
+                         CogVideoXPatchEmbed=CogVideoXPatchEmbed,
+                         FluxPosEmbed=FluxPosEmbed,
                          get_timestep_embedding=get_timestep_embedding,
                          get_1d_rotary_pos_embed=get_1d_rotary_pos_embed,
                          apply_rotary_emb=apply_rotary_emb)
     normalization = _module("diffusers.models.normalization",
                             FP32LayerNorm=FP32LayerNorm, RMSNorm=RMSNorm,
+                            AdaLayerNorm=AdaLayerNorm,
                             AdaLayerNormZero=AdaLayerNormZero,
                             AdaLayerNormZeroSingle=AdaLayerNormZeroSingle,
-                            AdaLayerNormContinuous=AdaLayerNormContinuous)
+                            AdaLayerNormSingle=AdaLayerNormSingle,
+                            AdaLayerNormContinuous=AdaLayerNormContinuous,
+                            CogVideoXLayerNormZero=CogVideoXLayerNormZero,
+                            CombinedTimestepLabelEmbeddings=CombinedTimestepLabelEmbeddings)
     outputs = _module("diffusers.models.modeling_outputs",
                       Transformer2DModelOutput=Transformer2DModelOutput)
     modeling_utils = _module("diffusers.models.modeling_utils",
