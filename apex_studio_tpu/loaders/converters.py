@@ -1375,8 +1375,9 @@ converter_registry.add(
             (r"\.norm1\.linear\.", ".norm1_linear."),
             (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
             (r"\.norm\.linear\.", ".norm_linear."),  # single-block adaLN
-            (r"\.attn\.to_out\.0\.", ".to_out."),
-            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.attn\.to_out\.0\.", ".attn.to_out."),
+            # double blocks keep attention nested under .attn (FluxJointAttention);
+            # single blocks host the projections directly
             (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
             (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
             (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),
@@ -1398,8 +1399,9 @@ converter_registry.add(
             (r"\.norm1\.linear\.", ".norm1_linear."),
             (r"\.norm1_context\.linear\.", ".norm1_context_linear."),
             (r"\.norm\.linear\.", ".norm_linear."),  # single-block adaLN
-            (r"\.attn\.to_out\.0\.", ".to_out."),
-            (r"(transformer_blocks\.\d+)\.attn\.", r"\1."),
+            (r"\.attn\.to_out\.0\.", ".attn.to_out."),
+            # double blocks keep attention nested under .attn; single blocks
+            # host the projections directly
             (r"(single_transformer_blocks\.\d+)\.attn\.", r"\1."),
             (r"\.ff(_context)?\.net\.0\.proj\.", r".ff\1.fc1."),
             (r"\.ff(_context)?\.net\.2\.", r".ff\1.fc2."),

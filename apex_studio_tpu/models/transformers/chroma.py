@@ -98,14 +98,26 @@ class ChromaApproximator(nnx.Module):
         return self.out_proj(x)
 
 
+def _mod_row_embedding(num_rows: int, dim: int) -> jnp.ndarray:
+    """The reference's mod_proj buffer (model.py:193) calls
+    get_timestep_embedding(torch.arange(n)*1000, ...) with an INTEGER tensor,
+    and diffusers' `emb = torch.exp(exponent).to(timesteps.dtype)` then
+    truncates every frequency to int64 — so freqs collapse to [1, 0, 0, ...].
+    Chroma's approximator was distilled against this degenerate encoding, so
+    checkpoints require it verbatim."""
+    half = dim // 2
+    freqs = np.trunc(np.exp(-np.log(10000.0) * np.arange(half) / half))
+    angles = (np.arange(num_rows, dtype=np.float64) * 1000.0)[:, None] * freqs
+    emb = np.concatenate([np.cos(angles), np.sin(angles)], axis=-1)
+    return jnp.asarray(emb, jnp.float32)
+
+
 def chroma_input_vec(t: jnp.ndarray, num_channels: int, num_rows: int) -> jnp.ndarray:
     """[B] timesteps in [0,1] → [B, num_rows, 4·num_channels] (model.py:204)."""
     b = t.shape[0]
     t_proj = timestep_embedding(t.astype(jnp.float32) * 1000.0, num_channels)
     g_proj = timestep_embedding(jnp.zeros((b,), jnp.float32), num_channels)
-    mod = timestep_embedding(
-        jnp.arange(num_rows, dtype=jnp.float32) * 1000.0, 2 * num_channels
-    )  # [rows, 2C]
+    mod = _mod_row_embedding(num_rows, 2 * num_channels)  # [rows, 2C]
     tg = jnp.concatenate([t_proj, g_proj], axis=-1)  # [B, 2C]
     tg = jnp.tile(tg[:, None], (1, num_rows, 1))
     return jnp.concatenate([tg, jnp.tile(mod[None], (b, 1, 1))], axis=-1)

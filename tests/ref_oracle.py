@@ -187,6 +187,20 @@ def _dispatch_attention_fn(query, key, value, attn_mask=None, dropout_p=0.0,
     return out.transpose(1, 2)
 
 
+class SwiGLU(nn.Module):
+    """diffusers SwiGLU: fused [hidden|gate] projection, hidden * silu(gate)."""
+
+    def __init__(self, dim_in: int, dim_out: int, bias: bool = True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2, bias=bias)
+        self.activation = nn.SiLU()
+
+    def forward(self, hidden_states):
+        hidden_states = self.proj(hidden_states)
+        hidden_states, gate = hidden_states.chunk(2, dim=-1)
+        return hidden_states * self.activation(gate)
+
+
 class LinearActivation(nn.Module):
     def __init__(self, dim_in: int, dim_out: int, bias: bool = True,
                  activation: str = "silu"):
@@ -217,6 +231,8 @@ class FeedForward(nn.Module):
             act = GEGLU(dim, inner_dim, bias=bias)
         elif activation_fn == "linear-silu":
             act = LinearActivation(dim, inner_dim, bias=bias, activation="silu")
+        elif activation_fn == "swiglu":
+            act = SwiGLU(dim, inner_dim, bias=bias)
         else:
             raise ValueError(activation_fn)
         self.net = nn.ModuleList([act, nn.Dropout(dropout),
@@ -297,6 +313,8 @@ class Attention(nn.Module):
     added-kv projections, per-head qk RMSNorm, to_out/to_add_out, processor
     dispatch)."""
 
+    fused_projections = False
+
     def __init__(self, query_dim, cross_attention_dim=None, heads=8,
                  dim_head=64, dropout=0.0, bias=False, qk_norm=None,
                  added_kv_proj_dim=None, added_proj_bias=True, out_bias=True,
@@ -308,6 +326,8 @@ class Attention(nn.Module):
         self.query_dim = query_dim
         self.out_dim = out_dim if out_dim is not None else query_dim
         self.context_pre_only = context_pre_only
+        self.added_kv_proj_dim = added_kv_proj_dim
+        self.pre_only = pre_only
         cross_attention_dim = (query_dim if cross_attention_dim is None
                                else cross_attention_dim)
 
@@ -962,9 +982,16 @@ def install_diffusers_shim() -> None:
     _module("diffusers.models._modeling_parallel",
             ContextParallelInput=_any_args("ContextParallelInput"),
             ContextParallelOutput=_any_args("ContextParallelOutput"))
-    _module("diffusers.models.transformers",
-            transformer_bria=_module("diffusers.models.transformers.transformer_bria",
-                                     BriaAttnProcessor=AttnProcessor2_0))
+    bria = _module("diffusers.models.transformers.transformer_bria")
+
+    def _bria_getattr(name):
+        # Resolve from the reference's own vendored fibo processor
+        # (src/transformer/fibo/base/attention.py — identical math).
+        mod = importlib.import_module("src.transformer.fibo.base.attention")
+        return getattr(mod, name, None) or mod.BriaFiboAttnProcessor
+
+    bria.__getattr__ = _bria_getattr
+    _module("diffusers.models.transformers", transformer_bria=bria)
     _module("diffusers.utils.accelerate_utils",
             apply_forward_hook=lambda fn: fn)
     def _chunked_ff(ff, hidden_states, chunk_dim, chunk_size):
@@ -977,7 +1004,7 @@ def install_diffusers_shim() -> None:
     attention = _module("diffusers.models.attention",
                         FeedForward=FeedForward, GELU=GELU, GEGLU=GEGLU,
                         _chunked_feed_forward=_chunked_ff,
-                        LinearActivation=LinearActivation,
+                        LinearActivation=LinearActivation, SwiGLU=SwiGLU,
                         Attention=Attention, AttentionMixin=AttentionMixin,
                         AttentionModuleMixin=AttentionModuleMixin)
     attention_processor = _module("diffusers.models.attention_processor",
