@@ -31,7 +31,7 @@ from flax import nnx
 from apex_studio_tpu.models.layers import Linear, TimestepEmbedder
 from apex_studio_tpu.models.registry import transformer_registry
 from apex_studio_tpu.ops import attention as attention_op
-from apex_studio_tpu.ops.norms import rms_norm
+from apex_studio_tpu.ops.norms import layer_norm, rms_norm
 
 
 @dataclasses.dataclass
@@ -45,7 +45,7 @@ class MochiConfig:
     text_embed_dim: int = 4096
     pooled_projection_dim: int = 1536
     time_embed_dim: int = 256
-    ff_mult: int = 4  # inner = mult·dim (video) / mult·pooled_dim (text)
+    ff_mult: int = 4  # nominal; actual inner = (mult·dim·2)//3 (LLaMA-style)
 
     @property
     def dim(self) -> int:
@@ -87,7 +87,11 @@ class MochiAttentionPool(nnx.Module):
         )
         q = self.to_q(mean).reshape(b, 1, self.heads, self.head_dim)
         kv = self.to_kv(jnp.concatenate([mean, txt], axis=1))
-        k, v = jnp.split(kv.reshape(b, n + 1, self.heads, 2 * self.head_dim), 2, axis=-1)
+        # to_kv packs [k(D) | v(D)] as two D-sized halves (diffusers
+        # MochiAttentionPool `.unflatten(2, (2, -1))`), NOT per-head pairs
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(b, n + 1, self.heads, self.head_dim)
+        v = v.reshape(b, n + 1, self.heads, self.head_dim)
         bias = jnp.where(
             jnp.concatenate([jnp.ones((b, 1), mask.dtype), mask], axis=1).astype(bool),
             0.0, -1e9,
@@ -105,16 +109,28 @@ class MochiRoPE(nnx.Module):
             init(rngs.params(), (3, heads, head_dim // 2), jnp.float32)
         )
 
+    # spatial positions are bin CENTERS of a grid rescaled to the 192x192
+    # token target area (reference MochiRoPE._get_positions, model.py:298:
+    # scale = sqrt(target_area/(h*w)); centers of linspace(-d*scale/2,
+    # d*scale/2, d+1)) — the learned pos_frequencies were trained against
+    # exactly these coordinates
+    TARGET_AREA = 192 * 192
+
     def tables(self, t: int, h: int, w: int):
+        scale = (self.TARGET_AREA / (h * w)) ** 0.5
+
+        def centers(num):
+            return scale * (np.arange(num, dtype=np.float64) + 0.5 - num / 2.0)
+
         ids = np.stack(
             np.meshgrid(
-                np.arange(t, dtype=np.float32),
-                np.arange(h, dtype=np.float32) - h / 2.0,
-                np.arange(w, dtype=np.float32) - w / 2.0,
+                np.arange(t, dtype=np.float64),
+                centers(h),
+                centers(w),
                 indexing="ij",
             ),
             axis=-1,
-        ).reshape(-1, 3)
+        ).reshape(-1, 3).astype(np.float32)
         angles = jnp.einsum("nd,dhf->nhf", jnp.asarray(ids), self.pos_frequencies.value)
         return jnp.cos(angles), jnp.sin(angles)  # [N, H, D/2]
 
@@ -139,7 +155,10 @@ class MochiJointAttention(nnx.Module):
         self.add_k_proj = Linear(td, d, **kw)
         self.add_v_proj = Linear(td, d, **kw)
         self.to_out = Linear(d, d, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-        self.to_add_out = None if last else Linear(d, td, **kw)
+        # to_add_out carries a bias in the reference (MochiAttention
+        # out_bias=True default; model.py:185 leaves it unset)
+        self.to_add_out = None if last else Linear(
+            d, td, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.norm_q = nnx.Param(jnp.ones((cfg.attention_head_dim,), jnp.float32))
         self.norm_k = nnx.Param(jnp.ones((cfg.attention_head_dim,), jnp.float32))
         self.norm_added_q = nnx.Param(jnp.ones((cfg.attention_head_dim,), jnp.float32))
@@ -176,8 +195,10 @@ class MochiBlock(nnx.Module):
         self.mod_x = Linear(d, 4 * d, **kw)
         self.mod_y = Linear(d, (4 if not last else 1) * td, **kw)
         self.attn = MochiJointAttention(cfg, last, **kw)
-        self.ff_x = MochiSwiGLU(d, cfg.ff_mult * d, **kw)
-        self.ff_y = None if last else MochiSwiGLU(td, cfg.ff_mult * td, **kw)
+        # reference model.py:169: ff_inner = (4·dim·2)//3 per stream — real
+        # Mochi checkpoints bake this into proj_in/proj_out shapes
+        self.ff_x = MochiSwiGLU(d, (cfg.ff_mult * d * 2) // 3, **kw)
+        self.ff_y = None if last else MochiSwiGLU(td, (cfg.ff_mult * td * 2) // 3, **kw)
         self.last = last
 
     def __call__(self, vid, txt, temb, cos, sin):
@@ -190,16 +211,20 @@ class MochiBlock(nnx.Module):
         else:
             sa_y, ga_y, sm_y, gm_y = jnp.split(mods_y, 4, axis=-1)
 
-        v_n = rms_norm(vid) * (1 + sa_x)
-        t_n = rms_norm(txt) * (1 + sa_y)
+        # block norms use eps=1e-6 (reference MochiTransformerBlock eps
+        # default, model.py:164); only the attention qk norms are 1e-5
+        v_n = rms_norm(vid, eps=1e-6) * (1 + sa_x)
+        t_n = rms_norm(txt, eps=1e-6) * (1 + sa_y)
         a_v, a_t = self.attn(v_n, t_n, cos, sin)
-        vid = vid + jnp.tanh(ga_x) * rms_norm(a_v)
+        vid = vid + jnp.tanh(ga_x) * rms_norm(a_v, eps=1e-6)
         if a_t is not None:
-            txt = txt + jnp.tanh(ga_y) * rms_norm(a_t)
+            txt = txt + jnp.tanh(ga_y) * rms_norm(a_t, eps=1e-6)
 
-        vid = vid + jnp.tanh(gm_x) * rms_norm(self.ff_x(rms_norm(vid) * (1 + sm_x)))
+        vid = vid + jnp.tanh(gm_x) * rms_norm(
+            self.ff_x(rms_norm(vid, eps=1e-6) * (1 + sm_x)), eps=1e-6)
         if self.ff_y is not None:
-            txt = txt + jnp.tanh(gm_y) * rms_norm(self.ff_y(rms_norm(txt) * (1 + sm_y)))
+            txt = txt + jnp.tanh(gm_y) * rms_norm(
+                self.ff_y(rms_norm(txt, eps=1e-6) * (1 + sm_y)), eps=1e-6)
         return vid, txt
 
 
@@ -222,7 +247,9 @@ class MochiTransformer3DModel(nnx.Module):
         self.blocks = nnx.List(
             [MochiBlock(cfg, last=i == cfg.num_layers - 1, **kw) for i in range(cfg.num_layers)]
         )
-        self.norm_out_linear = Linear(cfg.dim, cfg.dim, **kw)
+        # AdaLayerNormContinuous: linear(silu(temb)) -> (scale, shift), scale
+        # FIRST, over a no-affine LayerNorm (reference model.py:437)
+        self.norm_out_linear = Linear(cfg.dim, 2 * cfg.dim, **kw)
         self.proj_out = Linear(cfg.dim, p * p * cfg.out_channels, **kw)
 
     @staticmethod
@@ -246,11 +273,15 @@ class MochiTransformer3DModel(nnx.Module):
         return x.transpose(0, 2, 3, 5, 1, 4, 6).reshape(b, t * (h // p) * (w // p), c * p * p)
 
     def unpack_latents(self, tokens: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        """proj_out features are checkpoint-ordered [p1, p2, C] — channel
+        FASTEST (reference model.py:524 `.reshape(B, F, H', W', p, p, -1)
+        .permute(0, 6, 1, 2, 4, 3, 5)`); the input side stays conv-ordered
+        [C, p, p]. Validated in tests/test_parity_mochi_dit.py."""
         p = self.cfg.patch_size
         b, n, d = tokens.shape
         c = d // (p * p)
-        x = tokens.reshape(b, t, h // p, w // p, c, p, p)
-        return x.transpose(0, 4, 1, 2, 5, 3, 6).reshape(b, c, t, h, w)
+        x = tokens.reshape(b, t, h // p, w // p, p, p, c)
+        return x.transpose(0, 6, 1, 2, 4, 3, 5).reshape(b, c, t, h, w)
 
     def __call__(
         self,
@@ -274,6 +305,7 @@ class MochiTransformer3DModel(nnx.Module):
         for blk in self.blocks:
             vid, txt = blk(vid, txt, temb, cos, sin)
 
-        scale = self.norm_out_linear(nnx.silu(temb))[:, None, :]
-        vid = rms_norm(vid) * (1 + scale)
+        scale, shift = jnp.split(
+            self.norm_out_linear(nnx.silu(temb))[:, None, :], 2, axis=-1)
+        vid = layer_norm(vid, eps=1e-6) * (1 + scale) + shift
         return self.unpack_latents(self.proj_out(vid), t, h, w)

@@ -328,6 +328,7 @@ class Attention(nn.Module):
         self.context_pre_only = context_pre_only
         self.added_kv_proj_dim = added_kv_proj_dim
         self.pre_only = pre_only
+        self.is_cross_attention = cross_attention_dim is not None
         cross_attention_dim = (query_dim if cross_attention_dim is None
                                else cross_attention_dim)
 
@@ -339,6 +340,9 @@ class Attention(nn.Module):
         elif qk_norm == "rms_norm_across_heads":
             self.norm_q = RMSNorm(dim_head * heads, eps=eps)
             self.norm_k = RMSNorm(dim_head * heads, eps=eps)
+        elif qk_norm == "layer_norm":
+            self.norm_q = nn.LayerNorm(dim_head, eps=eps)
+            self.norm_k = nn.LayerNorm(dim_head, eps=eps)
         else:
             raise ValueError(qk_norm)
 
