@@ -327,6 +327,53 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "stepvideo",
+    KeyConverter(
+        # StepVideo layout (reference transformer/stepvideo/base/model.py:35)
+        # → our paths; parity-tested in tests/test_parity_stepvideo_dit.py.
+        renames=[
+            (r"^adaln_single\.emb\.timestep_embedder\.linear_(\d)\.", r"t_linear_\1."),
+            (r"^adaln_single\.linear\.", "adaln_linear."),
+            (r"^caption_projection\.linear_(\d)\.", r"caption_linear_\1."),
+            (r"^pos_embed\.proj\.", "pos_embed."),
+            (r"^transformer_blocks\.(\d+)\.", r"blocks.\1."),
+            (r"\.attn1\.(wqkv|wo|q_norm|k_norm)\.", r".\1."),
+            (r"\.attn2\.wq\.", ".c_wq."),
+            (r"\.attn2\.wkv\.", ".c_wkv."),
+            (r"\.attn2\.wo\.", ".c_wo."),
+            (r"\.attn2\.q_norm\.", ".cq_norm."),
+            (r"\.attn2\.k_norm\.", ".ck_norm."),
+            (r"\.ff\.net\.0\.proj\.", ".ff_in."),
+            (r"\.ff\.net\.2\.", ".ff_out."),
+            (r"(wqkv|wo|c_wq|c_wkv|c_wo|ff_in|ff_out|pos_embed|proj_out|"
+             r"t_linear_\d|adaln_linear|caption_linear_\d|clip_projection)"
+             r"\.weight$", r"\1.kernel"),
+        ],
+    ),
+)
+
+converter_registry.add(
+    "kandinsky5",
+    KeyConverter(
+        # Kandinsky-5 layout (reference transformer/kandinsky5/base/model.py:592)
+        # → our paths; parity-tested in tests/test_parity_kandinsky5_dit.py.
+        renames=[
+            (r"^time_embeddings\.in_layer\.", "time_in."),
+            (r"^time_embeddings\.out_layer\.", "time_out."),
+            (r"^text_embeddings\.in_layer\.", "text_in."),
+            (r"^text_embeddings\.norm\.", "text_norm."),
+            (r"^pooled_text_embeddings\.in_layer\.", "pooled_in."),
+            (r"^pooled_text_embeddings\.norm\.", "pooled_norm."),
+            (r"^visual_embeddings\.in_layer\.", "visual_in."),
+            (r"^out_layer\.modulation\.out_layer\.", "out_modulation.out_layer."),
+            (r"^out_layer\.out_layer\.", "out_layer."),
+            (r"(to_query|to_key|to_value|in_layer|out_layer|time_in|time_out|"
+             r"text_in|pooled_in|visual_in)\.weight$", r"\1.kernel"),
+        ],
+    ),
+)
+
+converter_registry.add(
     "hidream",
     KeyConverter(
         # HiDream-I1 diffusers layout (reference transformer/hidream/base/

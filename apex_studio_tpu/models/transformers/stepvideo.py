@@ -239,16 +239,22 @@ class StepVideoModel(nnx.Module):
             self.caption_linear_1(self.caption_norm(text.astype(self.dtype))),
             approximate=True))
         bias = None
+        n_txt = ctx.shape[1]
         if self.clip_projection is not None and clip_text is not None:
             clip = self.clip_projection(clip_text.astype(self.dtype))
             ctx = jnp.concatenate([clip, ctx], axis=1)
-            if text_mask is not None:
-                text_mask = jnp.concatenate(
-                    [jnp.ones((b, clip.shape[1]), text_mask.dtype), text_mask],
-                    axis=1)
+        # The reference truncates the cross-attn kv stream to the TEXT mask
+        # length and marks the first sum(mask) positions valid
+        # (model.py:128 prepare_attn_mask: kv_seqlens = mask.sum;
+        # encoder_hidden_states[:, :max(kv_seqlens)]) — clip tokens ride
+        # first, the text tail beyond sum(mask)-Lc is dropped.
+        ctx = ctx[:, :n_txt]
         if text_mask is not None:
+            kv_len = jnp.sum(text_mask.astype(jnp.int32), axis=1)  # [B]
+            pos = jnp.arange(n_txt)[None, :]
+            valid = pos < kv_len[:, None]
             neg = jnp.asarray(-1e30, jnp.float32)
-            bias = jnp.where(text_mask[:, None, None, :].astype(bool), 0.0, neg)
+            bias = jnp.where(valid[:, None, None, :], 0.0, neg)
 
         rope_cos, rope_sin = rope3d_tables(cfg.rope_ch_split, f, h_tok, w_tok)
         for blk in self.blocks:

@@ -977,7 +977,11 @@ def install_diffusers_shim() -> None:
             _CAN_USE_FLEX_ATTN=False)
     _module("diffusers.models.activations",
             GEGLU=GEGLU, GELU=GELU, ApproximateGELU=ApproximateGELU)
-    _module("diffusers.models.lora", LoRACompatibleLinear=nn.Linear)
+    class _LoRACompatibleLinear(nn.Linear):
+        def forward(self, hidden_states, scale=1.0):
+            return super().forward(hidden_states)
+
+    _module("diffusers.models.lora", LoRACompatibleLinear=_LoRACompatibleLinear)
     def _any_args(name):
         def init(self, *a, **k):
             pass
