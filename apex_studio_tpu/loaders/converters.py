@@ -1472,6 +1472,7 @@ converter_registry.add(
             (r"^t_embedder\.mlp\.2\.", "t_linear_2."),
             (r"^y_embedder\.y_proj\.0\.", "y_linear_1."),
             (r"^y_embedder\.y_proj\.2\.", "y_linear_2."),
+            (r"^final_layer\.adaLN_modulation\.1\.", "final_adaLN_linear."),
             (r"\.adaLN_modulation\.1\.", ".adaLN_linear."),
             (r"\.cross_attn\.q_linear\.", ".q_linear."),
             (r"\.cross_attn\.kv_linear\.", ".kv_linear."),
@@ -1480,7 +1481,6 @@ converter_registry.add(
             (r"\.cross_attn\.k_norm\.", ".cross_k_norm."),
             (r"\.attn\.", "."),
             (r"\.ffn\.w(\d)\.", r".ffn_w\1."),
-            (r"^final_layer\.adaLN_modulation\.1\.", "final_adaLN_linear."),
             (r"^final_layer\.linear\.", "final_linear."),
             (r"(qkv|proj|cross_proj|q_linear|kv_linear|ffn_w\d|adaLN_linear|final_adaLN_linear|final_linear|t_linear_\d|y_linear_\d)\.weight$",
              r"\1.kernel"),

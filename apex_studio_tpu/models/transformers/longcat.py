@@ -228,11 +228,15 @@ class LongCatVideoTransformer3DModel(nnx.Module):
         return x.reshape(b, (t // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
 
     def unpatchify(self, tokens: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        """final_linear features are checkpoint-ordered [pt, ph, pw, C] —
+        channel FASTEST (reference model.py:533 rearrange
+        `(T_p H_p W_p C_out)`); the input side stays conv-ordered [C, pt, ph,
+        pw]. Validated in tests/test_parity_longcat_dit.py."""
         b = tokens.shape[0]
         pt, ph, pw = self.cfg.patch_size
         c = self.cfg.out_channels
-        x = tokens.reshape(b, t // pt, h // ph, w // pw, c, pt, ph, pw)
-        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        x = tokens.reshape(b, t // pt, h // ph, w // pw, pt, ph, pw, c)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
         return x.reshape(b, c, t, h, w)
 
     def rope_tables(self, t_tok: int, h_tok: int, w_tok: int):
