@@ -289,11 +289,14 @@ class MagiTransformer3DModel(nnx.Module):
         return x.reshape(b, (t // pt) * (h // p) * (w // p), c * pt * p * p)
 
     def unpatchify(self, tok: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+        """proj_out features are checkpoint-ordered [pt, ph, pw, C] — channel
+        FASTEST (reference model.py:208 rearrange `(pT pH pW C)`); the input
+        side stays conv-ordered (Conv3d patch_embedding)."""
         pt, p = self.cfg.t_patch_size, self.cfg.patch_size
         c = self.cfg.out_channels
         b = tok.shape[0]
-        x = tok.reshape(b, t // pt, h // p, w // p, c, pt, p, p)
-        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        x = tok.reshape(b, t // pt, h // p, w // p, pt, p, p, c)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
         return x.reshape(b, c, t, h, w)
 
     @staticmethod
