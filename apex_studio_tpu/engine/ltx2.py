@@ -568,7 +568,9 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
             ccoords = self.transformer.video_coords(z.shape[2], lat_h, lat_w, fps,
                                                     batch=1)
             # shift the time axis by the keyframe's pixel timestamp
-            ccoords = ccoords.at[:, 0].add(float(pixel_idx) / float(fps))
+            # (video_coords now returns host numpy for the f64 rope path)
+            ccoords = np.array(ccoords)
+            ccoords[:, 0] += float(pixel_idx) / float(fps)
             d = float(np.clip(1.0 - strength, 0.0, 1.0))
             cmask = jnp.full((1, ctoks.shape[1]), d, jnp.float32)
             cnoise = jnp.asarray(rng.standard_normal(ctoks.shape), jnp.float32)
@@ -576,7 +578,7 @@ class LTX2KeyframeVideoBase(LTX2TI2VEngine):
             tokens = jnp.concatenate([tokens, cinit], axis=1)
             clean = jnp.concatenate([clean, ctoks], axis=1)
             dmask = jnp.concatenate([dmask, cmask], axis=1)
-            coords = jnp.concatenate([coords, ccoords], axis=2)
+            coords = np.concatenate([np.asarray(coords), ccoords], axis=2)
 
         a_lats = self.get_latents((1, cfg_t.audio_in_channels, audio_f),
                                   seed=None if seed is None else seed + 1)

@@ -91,14 +91,29 @@ def ltx2_rope(coords: jnp.ndarray, dim: int, theta: float,
     """
     axes = coords.shape[1]
     n = dim // (axes * 2)
-    frac = jnp.stack(
-        [coords[:, i].astype(jnp.float32) / max_pos[i] for i in range(axes)], axis=-1
-    )  # [B, S, A]
-    indices = theta ** jnp.linspace(0.0, 1.0, n, dtype=jnp.float32) * (math.pi / 2)
+    if isinstance(coords, np.ndarray):
+        # Host path in float64: the reference computes its tables with
+        # rope_double_precision=True (model.py:1662) — at theta^1·π/2 ≈ 1.5e4
+        # rad, f32 angle rounding shifts the high-freq entries by ~1.5e-3.
+        xp, cast = np, (lambda a: jnp.asarray(a, jnp.float32))
+        frac = np.stack(
+            [coords[:, i].astype(np.float64) / max_pos[i] for i in range(axes)],
+            axis=-1)
+        # the reference computes theta**linspace in f64 then ROUNDS the freqs
+        # to f32 before the (f64) angle product (model.py:1488
+        # `.to(dtype=torch.float32)`) — replicate bit-for-bit
+        indices = (theta ** np.linspace(0.0, 1.0, n, dtype=np.float64)
+                   * (math.pi / 2)).astype(np.float32).astype(np.float64)
+    else:
+        xp, cast = jnp, (lambda a: a)
+        frac = jnp.stack(
+            [coords[:, i].astype(jnp.float32) / max_pos[i] for i in range(axes)],
+            axis=-1)  # [B, S, A]
+        indices = theta ** jnp.linspace(0.0, 1.0, n, dtype=jnp.float32) * (math.pi / 2)
     freqs = indices[None, None, None, :] * (frac[..., None] * 2.0 - 1.0)  # [B,S,A,n]
-    freqs = jnp.swapaxes(freqs, -1, -2).reshape(*freqs.shape[:2], axes * n)
-    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)
-    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)
+    freqs = xp.swapaxes(freqs, -1, -2).reshape(*freqs.shape[:2], axes * n)
+    cos = cast(xp.repeat(xp.cos(freqs), 2, axis=-1))
+    sin = cast(xp.repeat(xp.sin(freqs), 2, axis=-1))
     pad = dim - cos.shape[-1]
     if pad:
         cos = jnp.concatenate([jnp.ones_like(cos[..., :pad]), cos], axis=-1)
@@ -332,8 +347,9 @@ class LTX2VideoTransformer3D(nnx.Module):
                 start, end = start / fps, end / fps
             mids.append((start + end) / 2.0)
         coords = np.stack(mids).reshape(3, -1)
-        return jnp.asarray(np.broadcast_to(coords[None], (batch, *coords.shape)),
-                           jnp.float32)
+        # stay in numpy f64: ltx2_rope's host path matches the reference's
+        # double-precision rope tables
+        return np.broadcast_to(coords[None], (batch, *coords.shape))
 
     def audio_coords(self, t_lat: int, batch: int = 1) -> jnp.ndarray:
         """→ [B, 1, S] latent-frame midpoint timestamps in seconds."""
@@ -343,8 +359,7 @@ class LTX2VideoTransformer3D(nnx.Module):
         start = np.clip(gf * s + cfg.causal_offset - s, 0, None)
         end = np.clip((gf + 1) * s + cfg.causal_offset - s, 0, None)
         secs = ((start + end) / 2.0) * cfg.audio_hop_length / cfg.audio_sampling_rate
-        return jnp.asarray(np.broadcast_to(secs[None, None], (batch, 1, len(gf))),
-                           jnp.float32)
+        return np.broadcast_to(secs[None, None], (batch, 1, len(gf)))
 
     def _temb(self, mod_layer: AdaLNSingle, t: jnp.ndarray, batch: int):
         mod, emb = mod_layer(t.reshape(-1) * self.cfg.timestep_scale_multiplier)
@@ -397,10 +412,12 @@ class LTX2VideoTransformer3D(nnx.Module):
         # output (reference model.py:2070 _project_prompt_embeddings); without
         # it both caption projections read the same packed hidden states.
         ctx_a_src = ctx if ctx_audio is None else ctx_audio.astype(self.dtype)
+        # PixArtAlphaTextProjection's default activation is gelu-tanh
+        # (reference model.py:1683 leaves act_fn unset)
         ctx_v = self.caption_projection_2(
-            nnx.silu(self.caption_projection_1(ctx)))
+            nnx.gelu(self.caption_projection_1(ctx), approximate=True))
         ctx_a = self.audio_caption_projection_2(
-            nnx.silu(self.audio_caption_projection_1(ctx_a_src)))
+            nnx.gelu(self.audio_caption_projection_1(ctx_a_src), approximate=True))
         ctx_bias = None
         if ctx_mask is not None:
             neg = jnp.asarray(-1e30, jnp.float32)

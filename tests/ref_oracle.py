@@ -176,6 +176,14 @@ class BaseOutput(dict):
             raise AttributeError(name) from e
 
 
+def _is_torch_version(op, version):
+    from packaging.version import Version
+    cur = Version(torch.__version__.split("+")[0])
+    other = Version(version)
+    return {"<": cur < other, "<=": cur <= other, ">": cur > other,
+            ">=": cur >= other, "==": cur == other, "!=": cur != other}[op]
+
+
 def _dispatch_attention_fn(query, key, value, attn_mask=None, dropout_p=0.0,
                            is_causal=False, backend=None, parallel_config=None,
                            **kwargs):
@@ -374,6 +382,27 @@ class Attention(nn.Module):
 
         self.processor = processor if processor is not None else AttnProcessor2_0()
 
+    def prepare_attention_mask(self, attention_mask, target_length,
+                               batch_size, out_dim=3):
+        """diffusers Attention.prepare_attention_mask: pad to target length
+        and expand per-head."""
+        head_size = self.heads
+        if attention_mask is None:
+            return attention_mask
+        current_length = attention_mask.shape[-1]
+        if current_length != target_length:
+            attention_mask = F.pad(attention_mask,
+                                   (0, target_length - current_length),
+                                   value=0.0)
+        if out_dim == 3:
+            if attention_mask.shape[0] < batch_size * head_size:
+                attention_mask = attention_mask.repeat_interleave(
+                    head_size, dim=0)
+        elif out_dim == 4:
+            attention_mask = attention_mask.unsqueeze(1)
+            attention_mask = attention_mask.repeat_interleave(head_size, dim=1)
+        return attention_mask
+
     def set_processor(self, processor):
         self.processor = processor
 
@@ -554,6 +583,25 @@ class AttentionModuleMixin:
 
     def get_processor(self):
         return getattr(self, "processor", None)
+
+    def prepare_attention_mask(self, attention_mask, target_length,
+                               batch_size, out_dim=3):
+        head_size = self.heads
+        if attention_mask is None:
+            return attention_mask
+        current_length = attention_mask.shape[-1]
+        if current_length != target_length:
+            attention_mask = F.pad(attention_mask,
+                                   (0, target_length - current_length),
+                                   value=0.0)
+        if out_dim == 3:
+            if attention_mask.shape[0] < batch_size * head_size:
+                attention_mask = attention_mask.repeat_interleave(
+                    head_size, dim=0)
+        elif out_dim == 4:
+            attention_mask = attention_mask.unsqueeze(1)
+            attention_mask = attention_mask.repeat_interleave(head_size, dim=1)
+        return attention_mask
 
 
 class CombinedTimestepTextProjEmbeddings(nn.Module):
@@ -950,7 +998,7 @@ def install_diffusers_shim() -> None:
         logging=logging_mod,
         scale_lora_layers=lambda *a, **k: None,
         unscale_lora_layers=lambda *a, **k: None,
-        is_torch_version=lambda *a, **k: True,
+        is_torch_version=_is_torch_version,
         is_torch_npu_available=lambda: False,
         is_torchvision_available=lambda: False,
         deprecate=lambda *a, **k: None,
@@ -970,7 +1018,7 @@ def install_diffusers_shim() -> None:
     _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
     _module("diffusers.utils.import_utils",
             is_torch_npu_available=lambda: False,
-            is_torch_version=lambda *a, **k: True,
+            is_torch_version=_is_torch_version,
             is_torchvision_available=lambda: False)
     _module("diffusers.models.attention_dispatch",
             dispatch_attention_fn=_dispatch_attention_fn,
