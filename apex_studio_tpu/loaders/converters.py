@@ -327,6 +327,25 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "cosmos",
+    KeyConverter(
+        # Cosmos-2 layout (reference transformer/cosmos/base/model.py:489)
+        # → our paths; parity-tested in tests/test_parity_cosmos_dit.py.
+        renames=[
+            (r"^time_embed\.t_embedder\.linear_(\d)\.", r"t_linear_\1."),
+            (r"^time_embed\.norm\.", "t_norm."),
+            (r"^patch_embed\.proj\.", "patch_embed."),
+            (r"\.attn(\d)\.to_out\.0\.", r".attn\1.to_out."),
+            (r"\.ff\.net\.0\.proj\.", ".ff_in."),
+            (r"\.ff\.net\.2\.", ".ff_out."),
+            (r"(to_q|to_k|to_v|to_out|ff_in|ff_out|patch_embed|proj_out|"
+             r"t_linear_\d|linear_1|linear_2)\.weight$", r"\1.kernel"),
+        ],
+        drop=(r"^learnable_pos_embed", r"\.rope\."),
+    ),
+)
+
+converter_registry.add(
     "stepvideo",
     KeyConverter(
         # StepVideo layout (reference transformer/stepvideo/base/model.py:35)
