@@ -32,7 +32,32 @@ from flax import nnx
 
 from apex_studio_tpu.models.registry import vae_registry
 from apex_studio_tpu.models.vaes.cogvideox_vae import GroupNormCh
-from apex_studio_tpu.models.vaes.wan_vae import CausalConv3d
+from apex_studio_tpu.models.vaes.wan_vae import CausalConv3d as _ZeroPadCausalConv3d
+
+
+class CausalConv3d(_ZeroPadCausalConv3d):
+    """HunyuanVideo causal conv pads with REPLICATE (edge) values — time
+    front-padded (k_t−1), spatial symmetric (reference vae/hunyuanvideo/
+    model.py:65 pad_mode='replicate') — unlike wan's zero padding. Real
+    checkpoints were trained against edge padding, so zero padding corrupts
+    every border voxel."""
+
+    def __call__(self, x: jnp.ndarray, extra_front_trim: int = 0) -> jnp.ndarray:
+        pt, ph, pw = self.pad
+        if pt or ph or pw:
+            x = jnp.pad(
+                x,
+                ((0, 0), (2 * pt - extra_front_trim, 0), (ph, ph), (pw, pw), (0, 0)),
+                mode="edge",
+            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            self.kernel.value.astype(self.dtype),
+            window_strides=self.stride,
+            padding=((0, 0), (0, 0), (0, 0)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + self.bias.value.astype(self.dtype)
 
 
 @dataclasses.dataclass

@@ -292,6 +292,15 @@ class AttnProcessor2_0:
 
     def __call__(self, attn, hidden_states, encoder_hidden_states=None,
                  attention_mask=None, **kwargs):
+        residual = hidden_states
+        input_ndim = hidden_states.ndim
+        if input_ndim == 4:
+            batch, channel, h_, w_ = hidden_states.shape
+            hidden_states = hidden_states.view(batch, channel,
+                                               h_ * w_).transpose(1, 2)
+        if getattr(attn, "group_norm", None) is not None:
+            hidden_states = attn.group_norm(
+                hidden_states.transpose(1, 2)).transpose(1, 2)
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         batch, seq, _ = hidden_states.shape
         query = attn.to_q(hidden_states)
@@ -312,7 +321,12 @@ class AttnProcessor2_0:
         out = out.transpose(1, 2).reshape(batch, -1, attn.heads * head_dim)
         out = out.to(query.dtype)
         out = attn.to_out[0](out)
-        return attn.to_out[1](out)
+        out = attn.to_out[1](out)
+        if input_ndim == 4:
+            out = out.transpose(1, 2).reshape(batch, channel, h_, w_)
+        if getattr(attn, "residual_connection", False):
+            out = out + residual
+        return out
 
 
 class Attention(nn.Module):
@@ -327,8 +341,16 @@ class Attention(nn.Module):
                  dim_head=64, dropout=0.0, bias=False, qk_norm=None,
                  added_kv_proj_dim=None, added_proj_bias=True, out_bias=True,
                  out_dim=None, context_pre_only=None, pre_only=False,
-                 eps=1e-5, processor=None, scale_qk=True, **_unused):
+                 eps=1e-5, processor=None, scale_qk=True,
+                 norm_num_groups=None, residual_connection=False,
+                 upcast_softmax=False, upcast_attention=False,
+                 _from_deprecated_attn_block=False, **_unused):
         super().__init__()
+        self.residual_connection = residual_connection
+        self.group_norm = (nn.GroupNorm(num_channels=query_dim,
+                                        num_groups=norm_num_groups, eps=eps,
+                                        affine=True)
+                           if norm_num_groups is not None else None)
         self.inner_dim = out_dim if out_dim is not None else dim_head * heads
         self.heads = out_dim // dim_head if out_dim is not None else heads
         self.query_dim = query_dim
@@ -979,6 +1001,43 @@ class Transformer2DModelOutput:
     sample: torch.Tensor
 
 
+@dataclass
+class AutoencoderKLOutput:
+    latent_dist: "DiagonalGaussianDistribution"
+
+
+@dataclass
+class DecoderOutput:
+    sample: torch.Tensor
+    commit_loss: object = None
+
+
+class AutoencoderMixin:
+    pass
+
+
+class DiagonalGaussianDistribution:
+    """diffusers.models.autoencoders.vae.DiagonalGaussianDistribution."""
+
+    def __init__(self, parameters, deterministic=False):
+        self.parameters = parameters
+        self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+        self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        self.std = torch.exp(0.5 * self.logvar)
+        self.var = torch.exp(self.logvar)
+        if deterministic:
+            self.var = self.std = torch.zeros_like(self.mean)
+
+    def sample(self, generator=None):
+        noise = torch.randn(self.mean.shape, generator=generator,
+                            dtype=self.parameters.dtype)
+        return self.mean + self.std * noise
+
+    def mode(self):
+        return self.mean
+
+
 def _module(name: str, **attrs) -> types.ModuleType:
     m = types.ModuleType(name)
     for k, v in attrs.items():
@@ -1024,7 +1083,8 @@ def install_diffusers_shim() -> None:
             dispatch_attention_fn=_dispatch_attention_fn,
             _CAN_USE_FLEX_ATTN=False)
     _module("diffusers.models.activations",
-            GEGLU=GEGLU, GELU=GELU, ApproximateGELU=ApproximateGELU)
+            GEGLU=GEGLU, GELU=GELU, ApproximateGELU=ApproximateGELU,
+            get_activation=_get_activation)
     class _LoRACompatibleLinear(nn.Linear):
         def forward(self, hidden_states, scale=1.0):
             return super().forward(hidden_states)
@@ -1097,7 +1157,13 @@ def install_diffusers_shim() -> None:
                             CogVideoXLayerNormZero=CogVideoXLayerNormZero,
                             CombinedTimestepLabelEmbeddings=CombinedTimestepLabelEmbeddings)
     outputs = _module("diffusers.models.modeling_outputs",
-                      Transformer2DModelOutput=Transformer2DModelOutput)
+                      Transformer2DModelOutput=Transformer2DModelOutput,
+                      AutoencoderKLOutput=AutoencoderKLOutput)
+    _module("diffusers.models.autoencoders",
+            vae=_module("diffusers.models.autoencoders.vae",
+                        AutoencoderMixin=AutoencoderMixin,
+                        DecoderOutput=DecoderOutput,
+                        DiagonalGaussianDistribution=DiagonalGaussianDistribution))
     modeling_utils = _module("diffusers.models.modeling_utils",
                              ModelMixin=ModelMixin)
     cache_utils = _module("diffusers.models.cache_utils", CacheMixin=CacheMixin)
