@@ -1125,6 +1125,11 @@ def install_diffusers_shim() -> None:
                         AttentionModuleMixin=AttentionModuleMixin)
     attention_processor = _module("diffusers.models.attention_processor",
                                   Attention=Attention,
+                                  ADDED_KV_ATTENTION_PROCESSORS=(),
+                                  CROSS_ATTENTION_PROCESSORS=(),
+                                  AttnAddedKVProcessor=AttentionProcessor,
+                                  AttnProcessor=AttnProcessor2_0,
+                                  FusedAttnProcessor2_0=AttnProcessor2_0,
                                   AttentionProcessor=AttentionProcessor,
                                   AttnProcessor2_0=AttnProcessor2_0,
                                   MochiAttention=MochiAttention,
