@@ -308,7 +308,39 @@ def bench_hyv15(tiny: bool) -> dict:
     }
 
 
+def _probe_tpu(budget_s: float) -> bool:
+    """jax.devices() hangs forever when the axon relay is down (it dials the
+    local relay port in a retry loop). Probe in a subprocess with a hard
+    timeout so an outage yields an explicit JSON record instead of rc=124
+    with no output."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=budget_s, capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if (os.environ.get("JAX_PLATFORMS", "") == "axon"
+            and os.environ.get("APEX_BENCH_TPU_PROBE", "1") != "0"):
+        budget = float(os.environ.get("APEX_BENCH_TPU_PROBE_S", "240"))
+        if not _probe_tpu(budget):
+            print(json.dumps({
+                "metric": "flux_dev_1024px_sec_per_image_denoise_28steps_int8w",
+                "value": None,
+                "unit": "s/image",
+                "error": f"tpu relay unreachable (jax.devices() probe timed "
+                         f"out after {int(budget)}s); see docs/BENCH_LOG.md "
+                         f"for the last real-chip measurements",
+            }), flush=True)
+            return
+
     import jax
 
     from apex_studio_tpu.utils.compile_cache import enable_compile_cache
