@@ -116,12 +116,24 @@ class MagiRope(nnx.Module):
 
     def tables(self, t_tok: int, h_tok: int, w_tok: int,
                t_offset: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """→ (sin, cos), each (T·H·W, 3·nb). Spatial positions are rescaled
-        to the 16×16 reference grid (model.py:279 multi-resolution rope)."""
+        """→ (sin, cos), each (T·H·W, 3·nb).
+
+        Coordinates follow the reference exactly (module.py:614-637 +
+        model.py:277): spatial axes are CENTERED (± (n−1)/2) then
+        endpoint-rescaled to the 16×16 reference grid by (n/rf − 1)/(n − 1)
+        with rf = sqrt(H·W/256); time positions are plain indices (the AR
+        prefix cut `rope[-(T·H·W):]` ≡ our t_offset)."""
         rescale = math.sqrt((h_tok * w_tok) / (16.0 * 16.0))
+
+        def centered(n: int) -> jnp.ndarray:
+            x = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+            if n > 1:
+                x = x * ((n / rescale - 1.0) / (n - 1.0))
+            return x
+
         tpos = jnp.arange(t_offset, t_offset + t_tok, dtype=jnp.float32)
-        hpos = jnp.arange(h_tok, dtype=jnp.float32) / rescale
-        wpos = jnp.arange(w_tok, dtype=jnp.float32) / rescale
+        hpos = centered(h_tok)
+        wpos = centered(w_tok)
         bands = self.bands.value
         grids = jnp.stack(jnp.meshgrid(tpos, hpos, wpos, indexing="ij"),
                           axis=-1).reshape(-1, 3)
@@ -204,7 +216,12 @@ class MagiBlock(nnx.Module):
         # -- cross attention (per chunk) --------------------------------------
         cq = self.cross_norm_q(self._heads(self.cross_q(nx), heads))
         kv = self.cross_kv(y_xattn.reshape(b * r, -1, y_xattn.shape[-1]))
-        ck, cv = jnp.split(self._heads(kv, 2 * groups), 2, axis=2)
+        # to_kv rows are PER-HEAD interleaved [k_h|v_h] pairs (the reference
+        # views the projection as [total, hn, 2*hd] then splits the last dim —
+        # attention.py:419), not [all-k | all-v]
+        hd = kv.shape[-1] // (2 * groups)
+        kv = kv.reshape(*kv.shape[:2], groups, 2, hd)
+        ck, cv = kv[..., 0, :], kv[..., 1, :]
         ck = self.cross_norm_k(ck)
         cq = cq.reshape(b * r, l, heads, -1)
         ck = jnp.repeat(ck, rep, axis=2)
