@@ -2,8 +2,9 @@
 
 Counterpart of the reference's ``src/engine/hunyuanimage3/t2i.py``: the
 causal-MM MoE backbone denoises image latent tokens behind a tokenized text
-prefix; flow-match Euler sampling with CFG against an empty prompt; 2D
-AutoencoderKL decode.
+prefix; flow-match Euler sampling with CFG against an empty prompt; decode
+through the family's own AutoencoderKLConv3D DC-AE (vae/hunyuanimage3/
+model.py:554 — images ride the T=1 expand/last-frame rules).
 """
 
 from __future__ import annotations
@@ -65,8 +66,8 @@ class HunyuanImage3T2IEngine(BaseEngine):
         nids = jnp.asarray(nids)
         safe_emit_progress(progress_callback, 0.1, "Prompt tokenized")
 
-        s_scale = 2 ** (len(getattr(self.vae.cfg, "block_out_channels",
-                                    (0,) * 4)) - 1)
+        s_scale = getattr(self.vae.cfg, "spatial_scale", None) or 2 ** (
+            len(getattr(self.vae.cfg, "block_out_channels", (0,) * 4)) - 1)
         lat_h, lat_w = height // s_scale, width // s_scale
         cfg_t = self.transformer.cfg
         x = self.get_latents((1, cfg_t.img_in_channels, lat_h, lat_w), seed=seed)

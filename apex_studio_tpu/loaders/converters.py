@@ -1432,6 +1432,28 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "hunyuanimage3_vae",
+    KeyConverter(
+        # HunyuanImage-3.0 3D-conv DC-AE (reference src/vae/hunyuanimage3/
+        # model.py:554 AutoencoderKLConv3D). GroupNorm weight/bias names
+        # already match; only module paths and conv kernels need mapping.
+        renames=[
+            (r"\.down\.(\d+)\.block\.(\d+)\.", r".down_blocks.\1.resnets.\2."),
+            (r"\.down\.(\d+)\.downsample\.", r".down_blocks.\1.downsamplers.0."),
+            (r"\.up\.(\d+)\.block\.(\d+)\.", r".up_blocks.\1.resnets.\2."),
+            (r"\.up\.(\d+)\.upsample\.", r".up_blocks.\1.upsamplers.0."),
+            (r"\.mid\.block_1\.", ".mid_block_1."),
+            (r"\.mid\.attn_1\.", ".mid_attn_1."),
+            (r"\.mid\.block_2\.", ".mid_block_2."),
+            (r"\.(q|k|v|proj_out|conv|conv1|conv2|nin_shortcut|conv_in|conv_out)\.weight$",
+             r".\1.kernel"),
+        ],
+        strip_prefixes=("vae.",),
+        drop=(),
+    ),
+)
+
+converter_registry.add(
     "ovis",
     KeyConverter(
         # Ovis-Image MMDiT (reference src/transformer/ovis/base/model.py:456):

@@ -69,6 +69,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.vaes.magi_vae",
         "apex_studio_tpu.models.transformers.hunyuanimage",
         "apex_studio_tpu.models.vaes.hunyuanimage_vae",
+        "apex_studio_tpu.models.vaes.hunyuanimage3_vae",
         "apex_studio_tpu.models.transformers.ovis",
         "apex_studio_tpu.models.transformers.fibo",
         "apex_studio_tpu.models.transformers.longcat",

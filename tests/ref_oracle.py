@@ -1074,7 +1074,14 @@ def install_diffusers_shim() -> None:
                           "FluxTransformer2DLoadersMixin", (), {}))
     _module("diffusers.loaders.single_file_model",
             FromOriginalModelMixin=_FromOriginal)
-    _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
+    def _randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+        import torch as _t
+
+        return _t.randn(tuple(shape), generator=generator, device=device,
+                        dtype=dtype)
+
+    _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls,
+            randn_tensor=_randn_tensor)
     _module("diffusers.utils.import_utils",
             is_torch_npu_available=lambda: False,
             is_torch_version=_is_torch_version,
