@@ -5,20 +5,29 @@ AutoencoderKLCogVideoX, 1,631 LoC): 8× spatial / 4× temporal compression into
 16 latent channels, first frame kept un-compressed in time (causal "1 + 4k"
 frame contract shared with Wan).
 
-Structure (cited against the diffusers module the reference vendors):
-- CogVideoXCausalConv3d → front-padded time conv (same trick as wan_vae)
-- resnet blocks: GroupNorm(32) → silu → causal conv ×2 + 1×1 shortcut
-- encoder downsampling: temporal avg-pool-by-2 (first frame exempt) followed
-  by a spatially strided conv with asymmetric (0,1),(0,1) padding
-- decoder upsampling: nearest 2× in space, 2× in time (first frame exempt)
-  followed by a conv
+Structure (cited against the reference's vendored module, model.py lines):
+- CogVideoXCausalConv3d (:85) → time padded by REPEATING THE FIRST FRAME
+  (pad_mode "first", fake_context_parallel_forward:160), spatial symmetric
+  zero padding
+- encoder resnets: GroupNorm(32) → silu → causal conv ×2 + 1×1 shortcut
+- DECODER resnets/mid/norm_out use CogVideoXSpatialNorm3D (:178): the norm is
+  GroupNorm(f)·conv_y(zq) + conv_b(zq) where zq is the raw latent, nearest-
+  resized to f's grid with the odd-T first/rest split
+- encoder downsampling: temporal avg-pool-by-2 (first frame exempt when the
+  chunk is odd) then spatially strided conv with (0,1),(0,1) padding
+- decoder upsampling (diffusers CogVideoXUpsample3D): nearest 2× — T==1
+  upsamples space only; odd T exempts frame 0 in time; EVEN T doubles every
+  frame (no exemption) — then a per-frame conv
 - no attention blocks anywhere (unlike Wan's mid attention); mid = 2 resnets
 - no quant convs (use_quant_conv=False in every CogVideoX release)
 - z scaled by ``scaling_factor`` (1.15258426), optional per-channel
   latents_mean/std like the Wan family
 
 The reference streams frames with a fake-context-parallel conv cache; here the
-causal semantics compile as one full-sequence XLA program (TPU-first).
+causal semantics compile as one full-sequence XLA program (TPU-first) — the
+full-sequence rules above are exactly what the chunked loop produces.
+Numerics validated end-to-end against the reference oracle in
+tests/test_parity_cogvideox_vae.py.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from apex_studio_tpu.models.registry import vae_registry
-from apex_studio_tpu.models.vaes.wan_vae import CausalConv3d, Conv2dSame
+from apex_studio_tpu.models.vaes.wan_vae import Conv2dSame
 
 
 @dataclasses.dataclass
@@ -88,21 +97,95 @@ class GroupNormCh(nnx.Module):
         return x32.astype(orig_dtype)
 
 
+class CogCausalConv3d(nnx.Module):
+    """Causal 3D conv with pad_mode="first": the time axis is front-padded by
+    REPEATING THE FIRST FRAME k_t−1 times (reference model.py:160); spatial
+    padding is symmetric zeros. NDHWC/DHWIO."""
+
+    def __init__(self, cin: int, cout: int, kernel: int = 3, *, dtype, rngs: nnx.Rngs):
+        init = nnx.initializers.lecun_normal()
+        self.kernel = nnx.Param(
+            init(rngs.params(), (kernel, kernel, kernel, cin, cout), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((cout,), jnp.float32))
+        self.k = kernel
+        self.dtype = dtype
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.k
+        if k > 1:
+            front = jnp.repeat(x[:, :1], k - 1, axis=1)
+            x = jnp.concatenate([front, x], axis=1)
+            x = jnp.pad(x, ((0, 0), (0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            self.kernel.value.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + self.bias.value.astype(y.dtype)
+
+
+def _nearest_time_hw(z: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+    """Nearest-resize [B,T,H,W,C] to (t,h,w). Integer up-factors reduce to
+    repeats (identical to torch nearest); otherwise jax.image.resize."""
+    b, tz, hz, wz, c = z.shape
+    if t % tz == 0 and h % hz == 0 and w % wz == 0:
+        z = jnp.repeat(z, t // tz, axis=1)
+        z = jnp.repeat(z, h // hz, axis=2)
+        return jnp.repeat(z, w // wz, axis=3)
+    return jax.image.resize(z, (b, t, h, w, c), method="nearest")
+
+
+class CogSpatialNorm3D(nnx.Module):
+    """CogVideoXSpatialNorm3D (reference model.py:178): GroupNorm of f scaled
+    and shifted by 1×1×1 causal convs of the nearest-resized latent zq, with
+    the odd-T first/rest split."""
+
+    def __init__(self, f_ch: int, zq_ch: int, groups: int, *, dtype, rngs: nnx.Rngs):
+        self.norm_layer = GroupNormCh(groups, f_ch, rngs=rngs)
+        self.conv_y = CogCausalConv3d(zq_ch, f_ch, kernel=1, dtype=dtype, rngs=rngs)
+        self.conv_b = CogCausalConv3d(zq_ch, f_ch, kernel=1, dtype=dtype, rngs=rngs)
+
+    def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
+        t, h, w = f.shape[1:4]
+        if t > 1 and t % 2 == 1:
+            z_first = _nearest_time_hw(zq[:, :1], 1, h, w)
+            z_rest = _nearest_time_hw(zq[:, 1:], t - 1, h, w)
+            zq = jnp.concatenate([z_first, z_rest], axis=1)
+        else:
+            zq = _nearest_time_hw(zq, t, h, w)
+        return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+
 class CogResnetBlock3D(nnx.Module):
-    def __init__(self, cin: int, cout: int, groups: int, *, dtype, rngs: nnx.Rngs):
-        self.norm1 = GroupNormCh(groups, cin, rngs=rngs)
-        self.conv1 = CausalConv3d(cin, cout, dtype=dtype, rngs=rngs)
-        self.norm2 = GroupNormCh(groups, cout, rngs=rngs)
-        self.conv2 = CausalConv3d(cout, cout, dtype=dtype, rngs=rngs)
+    """GroupNorm (encoder) or latent-conditioned SpatialNorm3D (decoder,
+    spatial_norm_dim set) → silu → first-padded causal conv, ×2 + shortcut."""
+
+    def __init__(self, cin: int, cout: int, groups: int,
+                 spatial_norm_dim: Optional[int] = None, *, dtype, rngs: nnx.Rngs):
+        if spatial_norm_dim is None:
+            self.norm1 = GroupNormCh(groups, cin, rngs=rngs)
+            self.norm2 = GroupNormCh(groups, cout, rngs=rngs)
+        else:
+            self.norm1 = CogSpatialNorm3D(cin, spatial_norm_dim, groups,
+                                          dtype=dtype, rngs=rngs)
+            self.norm2 = CogSpatialNorm3D(cout, spatial_norm_dim, groups,
+                                          dtype=dtype, rngs=rngs)
+        self.spatial = spatial_norm_dim is not None
+        self.conv1 = CogCausalConv3d(cin, cout, dtype=dtype, rngs=rngs)
+        self.conv2 = CogCausalConv3d(cout, cout, dtype=dtype, rngs=rngs)
         self.conv_shortcut = (
-            CausalConv3d(cin, cout, kernel=1, padding=0, dtype=dtype, rngs=rngs)
+            CogCausalConv3d(cin, cout, kernel=1, dtype=dtype, rngs=rngs)
             if cin != cout
             else None
         )
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = self.conv1(nnx.silu(self.norm1(x)))
-        h = self.conv2(nnx.silu(self.norm2(h)))
+    def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        n1 = self.norm1(x, zq) if self.spatial else self.norm1(x)
+        h = self.conv1(nnx.silu(n1))
+        n2 = self.norm2(h, zq) if self.spatial else self.norm2(h)
+        h = self.conv2(nnx.silu(n2))
         skip = x if self.conv_shortcut is None else self.conv_shortcut(x)
         return skip + h
 
@@ -136,9 +219,15 @@ class CogUpsample3D(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.compress_time and x.shape[1] > 1:
-            head, rest = x[:, :1], x[:, 1:]
-            rest = jnp.repeat(rest, 2, axis=1)
-            x = jnp.concatenate([head, rest], axis=1)
+            if x.shape[1] % 2 == 1:
+                # odd T: frame 0 upsamples in space only
+                head, rest = x[:, :1], x[:, 1:]
+                rest = jnp.repeat(rest, 2, axis=1)
+                x = jnp.concatenate([head, rest], axis=1)
+            else:
+                # even T: EVERY frame doubles (diffusers CogVideoXUpsample3D
+                # has no first-frame exemption on the even path)
+                x = jnp.repeat(x, 2, axis=1)
         x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
         return self.conv(x)
 
@@ -169,10 +258,12 @@ class CogDownBlock3D(nnx.Module):
 
 class CogUpBlock3D(nnx.Module):
     def __init__(self, cin: int, cout: int, num_layers: int, groups: int,
-                 upsample: bool, compress_time: bool, *, dtype, rngs: nnx.Rngs):
+                 upsample: bool, compress_time: bool, spatial_norm_dim: int,
+                 *, dtype, rngs: nnx.Rngs):
         res, cur = [], cin
         for _ in range(num_layers):
-            res.append(CogResnetBlock3D(cur, cout, groups, dtype=dtype, rngs=rngs))
+            res.append(CogResnetBlock3D(cur, cout, groups, spatial_norm_dim,
+                                        dtype=dtype, rngs=rngs))
             cur = cout
         self.resnets = nnx.List(res)
         self.upsamplers = (
@@ -181,23 +272,25 @@ class CogUpBlock3D(nnx.Module):
             else None
         )
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
         for r in self.resnets:
-            x = r(x)
+            x = r(x, zq)
         if self.upsamplers is not None:
             x = self.upsamplers[0](x)
         return x
 
 
 class CogMidBlock3D(nnx.Module):
-    def __init__(self, dim: int, groups: int, *, dtype, rngs: nnx.Rngs):
+    def __init__(self, dim: int, groups: int,
+                 spatial_norm_dim: Optional[int] = None, *, dtype, rngs: nnx.Rngs):
         self.resnets = nnx.List(
-            [CogResnetBlock3D(dim, dim, groups, dtype=dtype, rngs=rngs) for _ in range(2)]
+            [CogResnetBlock3D(dim, dim, groups, spatial_norm_dim,
+                              dtype=dtype, rngs=rngs) for _ in range(2)]
         )
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for r in self.resnets:
-            x = r(x)
+            x = r(x, zq)
         return x
 
 
@@ -205,7 +298,7 @@ class CogEncoder3D(nnx.Module):
     def __init__(self, cfg: CogVideoXVAEConfig, *, dtype, rngs: nnx.Rngs):
         chans = cfg.block_out_channels
         g = cfg.norm_num_groups
-        self.conv_in = CausalConv3d(cfg.in_channels, chans[0], dtype=dtype, rngs=rngs)
+        self.conv_in = CogCausalConv3d(cfg.in_channels, chans[0], dtype=dtype, rngs=rngs)
         n_temporal = {4: 2, 2: 1, 1: 0}.get(cfg.temporal_compression_ratio, 2)
         blocks, cur = [], chans[0]
         for i, cout in enumerate(chans):
@@ -220,7 +313,7 @@ class CogEncoder3D(nnx.Module):
         self.down_blocks = nnx.List(blocks)
         self.mid_block = CogMidBlock3D(cur, g, dtype=dtype, rngs=rngs)
         self.norm_out = GroupNormCh(g, cur, rngs=rngs)
-        self.conv_out = CausalConv3d(cur, 2 * cfg.latent_channels, dtype=dtype, rngs=rngs)
+        self.conv_out = CogCausalConv3d(cur, 2 * cfg.latent_channels, dtype=dtype, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.conv_in(x)
@@ -234,8 +327,10 @@ class CogDecoder3D(nnx.Module):
     def __init__(self, cfg: CogVideoXVAEConfig, *, dtype, rngs: nnx.Rngs):
         chans = tuple(reversed(cfg.block_out_channels))
         g = cfg.norm_num_groups
-        self.conv_in = CausalConv3d(cfg.latent_channels, chans[0], dtype=dtype, rngs=rngs)
-        self.mid_block = CogMidBlock3D(chans[0], g, dtype=dtype, rngs=rngs)
+        zc = cfg.latent_channels
+        self.conv_in = CogCausalConv3d(zc, chans[0], dtype=dtype, rngs=rngs)
+        self.mid_block = CogMidBlock3D(chans[0], g, spatial_norm_dim=zc,
+                                       dtype=dtype, rngs=rngs)
         n_temporal = {4: 2, 2: 1, 1: 0}.get(cfg.temporal_compression_ratio, 2)
         blocks, cur = [], chans[0]
         for i, cout in enumerate(chans):
@@ -245,20 +340,21 @@ class CogDecoder3D(nnx.Module):
                     upsample=i != len(chans) - 1,
                     # the deepest up blocks expand time (mirrors diffusers i < level)
                     compress_time=i < n_temporal,
+                    spatial_norm_dim=zc,
                     dtype=dtype, rngs=rngs,
                 )
             )
             cur = cout
         self.up_blocks = nnx.List(blocks)
-        self.norm_out = GroupNormCh(g, cur, rngs=rngs)
-        self.conv_out = CausalConv3d(cur, cfg.out_channels, dtype=dtype, rngs=rngs)
+        self.norm_out = CogSpatialNorm3D(cur, zc, g, dtype=dtype, rngs=rngs)
+        self.conv_out = CogCausalConv3d(cur, cfg.out_channels, dtype=dtype, rngs=rngs)
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         x = self.conv_in(z)
-        x = self.mid_block(x)
+        x = self.mid_block(x, z)
         for blk in self.up_blocks:
-            x = blk(x)
-        return self.conv_out(nnx.silu(self.norm_out(x)))
+            x = blk(x, z)
+        return self.conv_out(nnx.silu(self.norm_out(x, z)))
 
 
 @vae_registry.register("cogvideo.base", aliases=("cogvideox", "AutoencoderKLCogVideoX"))

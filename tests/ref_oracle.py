@@ -329,6 +329,145 @@ class AttnProcessor2_0:
         return out
 
 
+class MochiVaeAttnProcessor2_0:
+    """diffusers Mochi-VAE sdpa processor: single-frame inputs bypass
+    attention through to_v/to_out; otherwise causal sdpa with l2 qk norm."""
+
+    def __call__(self, attn, hidden_states, encoder_hidden_states=None,
+                 attention_mask=None, **kwargs):
+        residual = hidden_states
+        is_single_frame = hidden_states.shape[1] == 1
+
+        batch_size, sequence_length, _ = (
+            hidden_states.shape if encoder_hidden_states is None
+            else encoder_hidden_states.shape)
+        if attention_mask is not None:
+            attention_mask = attn.prepare_attention_mask(
+                attention_mask, sequence_length, batch_size)
+            attention_mask = attention_mask.view(
+                batch_size, attn.heads, -1, attention_mask.shape[-1])
+
+        if is_single_frame:
+            hidden_states = attn.to_v(hidden_states)
+            hidden_states = attn.to_out[0](hidden_states)
+            hidden_states = attn.to_out[1](hidden_states)
+            if attn.residual_connection:
+                hidden_states = hidden_states + residual
+            return hidden_states / attn.rescale_output_factor
+
+        query = attn.to_q(hidden_states)
+        if encoder_hidden_states is None:
+            encoder_hidden_states = hidden_states
+        key = attn.to_k(encoder_hidden_states)
+        value = attn.to_v(encoder_hidden_states)
+
+        inner_dim = key.shape[-1]
+        head_dim = inner_dim // attn.heads
+        query = query.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+        key = key.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+        value = value.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+        if attn.norm_q is not None:
+            query = attn.norm_q(query)
+        if attn.norm_k is not None:
+            key = attn.norm_k(key)
+        out = F.scaled_dot_product_attention(
+            query, key, value, attn_mask=attention_mask, dropout_p=0.0,
+            is_causal=attn.is_causal)
+        out = out.transpose(1, 2).reshape(batch_size, -1,
+                                          attn.heads * head_dim)
+        out = out.to(query.dtype)
+        out = attn.to_out[0](out)
+        out = attn.to_out[1](out)
+        if attn.residual_connection:
+            out = out + residual
+        return out / attn.rescale_output_factor
+
+
+class CogVideoXDownsample3D(nn.Module):
+    """diffusers.models.downsampling.CogVideoXDownsample3D: optional odd-first
+    temporal avg-pool, asymmetric (0,1,0,1) spatial pad, strided 2D conv."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=2,
+                 padding=0, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride=stride, padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, x):
+        if self.compress_time:
+            batch_size, channels, frames, height, width = x.shape
+            x = x.permute(0, 3, 4, 1, 2).reshape(
+                batch_size * height * width, channels, frames)
+            if x.shape[-1] % 2 == 1:
+                x_first, x_rest = x[..., 0], x[..., 1:]
+                if x_rest.shape[-1] > 0:
+                    x_rest = F.avg_pool1d(x_rest, kernel_size=2, stride=2)
+                x = torch.cat([x_first[..., None], x_rest], dim=-1)
+            else:
+                x = F.avg_pool1d(x, kernel_size=2, stride=2)
+            x = x.reshape(batch_size, height, width, channels,
+                          x.shape[-1]).permute(0, 3, 4, 1, 2)
+
+        x = F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+        batch_size, channels, frames, height, width = x.shape
+        x = x.permute(0, 2, 1, 3, 4).reshape(
+            batch_size * frames, channels, height, width)
+        x = self.conv(x)
+        x = x.reshape(batch_size, frames, x.shape[1], x.shape[2],
+                      x.shape[3]).permute(0, 2, 1, 3, 4)
+        return x
+
+
+class CogVideoXUpsample3D(nn.Module):
+    """diffusers.models.upsampling.CogVideoXUpsample3D: nearest 2x upsample
+    (odd-first temporal special case under compress_time), then 2D conv."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                 padding=1, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride=stride, padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, inputs):
+        if self.compress_time:
+            if inputs.shape[2] > 1 and inputs.shape[2] % 2 == 1:
+                x_first, x_rest = inputs[:, :, 0], inputs[:, :, 1:]
+                x_first = F.interpolate(x_first, scale_factor=2.0)
+                x_rest = F.interpolate(x_rest, scale_factor=2.0)
+                inputs = torch.cat([x_first[:, :, None, :, :], x_rest], dim=2)
+            elif inputs.shape[2] > 1:
+                inputs = F.interpolate(inputs, scale_factor=2.0)
+            else:
+                inputs = inputs.squeeze(2)
+                inputs = F.interpolate(inputs, scale_factor=2.0)
+                inputs = inputs[:, :, None, :, :]
+        else:
+            b, c, t, h, w = inputs.shape
+            inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            inputs = F.interpolate(inputs, scale_factor=2.0)
+            inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(
+                0, 2, 1, 3, 4)
+
+        b, c, t, h, w = inputs.shape
+        inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        inputs = self.conv(inputs)
+        inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(0, 2, 1, 3, 4)
+        return inputs
+
+
+class _LpNorm(nn.Module):
+    """diffusers.models.normalization.LpNorm (used by qk_norm='l2')."""
+
+    def __init__(self, p=2, dim=-1, eps=1e-12):
+        super().__init__()
+        self.p, self.dim, self.eps = p, dim, eps
+
+    def forward(self, x):
+        return F.normalize(x, p=self.p, dim=self.dim, eps=self.eps)
+
+
 class Attention(nn.Module):
     """Faithful subset of diffusers.models.attention_processor.Attention
     covering the constructor surface the reference DiTs use (to_q/k/v,
@@ -344,9 +483,12 @@ class Attention(nn.Module):
                  eps=1e-5, processor=None, scale_qk=True,
                  norm_num_groups=None, residual_connection=False,
                  upcast_softmax=False, upcast_attention=False,
+                 is_causal=False, rescale_output_factor=1.0,
                  _from_deprecated_attn_block=False, **_unused):
         super().__init__()
         self.residual_connection = residual_connection
+        self.is_causal = is_causal
+        self.rescale_output_factor = rescale_output_factor
         self.group_norm = (nn.GroupNorm(num_channels=query_dim,
                                         num_groups=norm_num_groups, eps=eps,
                                         affine=True)
@@ -364,6 +506,9 @@ class Attention(nn.Module):
 
         if qk_norm is None:
             self.norm_q = self.norm_k = None
+        elif qk_norm == "l2":
+            self.norm_q = _LpNorm(p=2, dim=-1, eps=eps)
+            self.norm_k = _LpNorm(p=2, dim=-1, eps=eps)
         elif qk_norm == "rms_norm":
             self.norm_q = RMSNorm(dim_head, eps=eps)
             self.norm_k = RMSNorm(dim_head, eps=eps)
@@ -1139,6 +1284,7 @@ def install_diffusers_shim() -> None:
                                   FusedAttnProcessor2_0=AttnProcessor2_0,
                                   AttentionProcessor=AttentionProcessor,
                                   AttnProcessor2_0=AttnProcessor2_0,
+                                  MochiVaeAttnProcessor2_0=MochiVaeAttnProcessor2_0,
                                   MochiAttention=MochiAttention,
                                   SpatialNorm=SpatialNorm,
                                   LoRAAttnAddedKVProcessor=AttentionProcessor,
@@ -1171,11 +1317,28 @@ def install_diffusers_shim() -> None:
     outputs = _module("diffusers.models.modeling_outputs",
                       Transformer2DModelOutput=Transformer2DModelOutput,
                       AutoencoderKLOutput=AutoencoderKLOutput)
+    akl = _module("diffusers.models.autoencoders.autoencoder_kl",
+                  AutoencoderKLOutput=AutoencoderKLOutput,
+                  DecoderOutput=DecoderOutput)
+    akl_cog = _module("diffusers.models.autoencoders.autoencoder_kl_cogvideox")
+
+    def _akl_cog_getattr(name):
+        # the reference's own cogvideo model defines the class diffusers
+        # exports; alias it lazily to avoid a circular import at shim time
+        mod = importlib.import_module("src.vae.cogvideo.model")
+        return getattr(mod, name)
+
+    akl_cog.__getattr__ = _akl_cog_getattr
     _module("diffusers.models.autoencoders",
             vae=_module("diffusers.models.autoencoders.vae",
                         AutoencoderMixin=AutoencoderMixin,
                         DecoderOutput=DecoderOutput,
-                        DiagonalGaussianDistribution=DiagonalGaussianDistribution))
+                        DiagonalGaussianDistribution=DiagonalGaussianDistribution),
+            autoencoder_kl=akl, autoencoder_kl_cogvideox=akl_cog)
+    _module("diffusers.models.downsampling",
+            CogVideoXDownsample3D=CogVideoXDownsample3D)
+    _module("diffusers.models.upsampling",
+            CogVideoXUpsample3D=CogVideoXUpsample3D)
     modeling_utils = _module("diffusers.models.modeling_utils",
                              ModelMixin=ModelMixin)
     cache_utils = _module("diffusers.models.cache_utils", CacheMixin=CacheMixin)
@@ -1199,6 +1362,21 @@ def install_ref_parents() -> None:
         lg = types.ModuleType("loguru")
         lg.logger = logging.getLogger("ref")
         sys.modules["loguru"] = lg
+    if "timm" not in sys.modules:
+        # magi's ViT VAE only pulls to_2tuple + trunc_normal_ (init-time)
+        def _to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        layers = types.ModuleType("timm.models.layers")
+        layers.to_2tuple = _to_2tuple
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        models = types.ModuleType("timm.models")
+        models.layers = layers
+        timm = types.ModuleType("timm")
+        timm.models = models
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
     if REF not in sys.path:
         sys.path.insert(0, REF)
     for name, sub in (("src", "src"), ("src.transformer", "src/transformer")):
