@@ -1088,16 +1088,19 @@ converter_registry.add(
 converter_registry.add(
     "mochi_vae",
     KeyConverter(
+        # reference src/vae/mochi/model.py — encoder AND decoder. Norms are
+        # MochiChunkedGroupNorm3D (".norm_layer." wrapper); causal convs wrap
+        # ".conv"; up-block projections / proj_in / proj_out are Linears.
         renames=[
-            (r"^decoder\.block_in\.", "mid_resnets_in."),
+            (r"\.norm_layer\.", "."),
             (r"\.conv\.weight$", ".kernel"),
             (r"\.conv\.bias$", ".bias"),
-            (r"^decoder\.conv_in\.weight$", "conv_in.kernel"),
-            (r"^decoder\.conv_out\.weight$", "conv_out.kernel"),
-            (r"^decoder\.", ""),
-            (r"\.(conv1|conv2|conv_shortcut|proj)\.weight$", r".\1.kernel"),
+            (r"^decoder\.conv_in\.weight$", "decoder.conv_in.kernel"),
+            (r"\.to_out\.0\.", ".to_out."),
+            (r"(to_q|to_k|to_v|to_out|proj|proj_in|proj_out)\.weight$",
+             r"\1.kernel"),
         ],
-        drop=(r"^encoder\.",),
+        drop=(),
     ),
 )
 

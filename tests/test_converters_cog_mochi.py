@@ -114,20 +114,27 @@ class TestMochiConverter:
         assert expect == set(out)
 
     def test_vae_decoder_keys(self):
+        """Reference layout (mochi/model.py): plain Conv3d conv_in, wrapped
+        causal convs, Linear projections, norm_layer-wrapped group norms.
+        (Full strict roundtrip + numerics: tests/test_parity_mochi_vae.py.)"""
         sd = {
-            "decoder.conv_in.conv.weight": np.zeros((24, 4, 3, 3, 3)),
-            "decoder.conv_in.conv.bias": np.zeros((24,)),
+            "decoder.conv_in.weight": np.zeros((24, 4, 1, 1, 1)),
+            "decoder.conv_in.bias": np.zeros((24,)),
+            "decoder.block_in.resnets.0.norm1.norm_layer.weight": np.zeros((24,)),
             "decoder.up_blocks.0.resnets.0.conv1.conv.weight": np.zeros((24, 24, 3, 3, 3)),
-            "decoder.up_blocks.0.proj.conv.weight": np.zeros((128, 24, 1, 1, 1)),
-            "decoder.conv_out.conv.weight": np.zeros((3, 8, 3, 3, 3)),
-            "encoder.conv_in.conv.weight": np.zeros((8, 3, 3, 3, 3)),
+            "decoder.up_blocks.0.proj.weight": np.zeros((128, 24)),
+            "decoder.proj_out.weight": np.zeros((3, 8)),
+            "encoder.down_blocks.0.conv_in.conv.weight": np.zeros((8, 3, 1, 2, 2)),
+            "encoder.block_in.attentions.0.to_out.0.weight": np.zeros((8, 8)),
         }
         out = convert_keys("mochi_vae", sd)
-        assert "conv_in.kernel" in out
-        assert "up_blocks.0.resnets.0.conv1.kernel" in out
-        assert "up_blocks.0.proj.kernel" in out
-        assert "conv_out.kernel" in out
-        assert not any(k.startswith("encoder") for k in out)
+        assert "decoder.conv_in.kernel" in out
+        assert "decoder.block_in.resnets.0.norm1.weight" in out
+        assert "decoder.up_blocks.0.resnets.0.conv1.kernel" in out
+        assert "decoder.up_blocks.0.proj.kernel" in out
+        assert "decoder.proj_out.kernel" in out
+        assert "encoder.down_blocks.0.conv_in.kernel" in out
+        assert "encoder.block_in.attentions.0.to_out.kernel" in out
 
 
 class TestVAEFamilyRouting:

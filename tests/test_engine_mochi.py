@@ -121,16 +121,21 @@ class TestMochiModel:
         assert out.shape == (1, 3, 5, 16, 16)
         assert np.isfinite(np.asarray(out)).all()
 
-    def test_vae_encode_unsupported(self):
+    def test_vae_encode_shape(self):
+        """Encoder (fourier features → attended causal downsampling) produces
+        latents at the configured compression (numerics vs the reference:
+        tests/test_parity_mochi_vae.py)."""
         from apex_studio_tpu.models.vaes.mochi_vae import AutoencoderKLMochi, MochiVAEConfig
 
-        vae = AutoencoderKLMochi(MochiVAEConfig(norm_num_groups=4,
+        vae = AutoencoderKLMochi(MochiVAEConfig(latent_channels=4,
+                                                norm_num_groups=4,
                                                 block_out_channels=(8, 16),
                                                 layers_per_block=(1, 1),
                                                 temporal_expansions=(2,),
                                                 spatial_expansions=(2,)))
-        with pytest.raises(NotImplementedError):
-            vae.encode(jnp.zeros((1, 3, 1, 8, 8)))
+        z = vae.encode(jnp.zeros((1, 3, 3, 8, 8)))
+        assert z.shape == (1, 4, 2, 4, 4)
+        assert np.isfinite(np.asarray(z)).all()
 
 
 class TestMochiEngine:
