@@ -1086,6 +1086,30 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "stepvideo_vae",
+    KeyConverter(
+        # StepVideo causal VAE (reference src/vae/stepvideo/model.py:1126
+        # AutoencoderKL). CausalConv variants wrap ".conv" (sometimes nested,
+        # e.g. Downsample3D.conv.conv); down/up levels flatten to
+        # [blocks-list, resampler] pairs; Upsample3D wraps Res3DBlockUpsample
+        # as ".conv3d".
+        renames=[
+            (r"\.mid\.block_1\.", ".mid_block_1."),
+            (r"\.mid\.attn_1\.", ".mid_attn_1."),
+            (r"\.mid\.block_2\.", ".mid_block_2."),
+            (r"\.down\.(\d+)\.block\.(\d+)\.", r".down.\1.0.\2."),
+            (r"\.down\.(\d+)\.downsample\.", r".down.\1.1."),
+            (r"\.up\.(\d+)\.block\.(\d+)\.", r".up.\1.0.\2."),
+            (r"\.up\.(\d+)\.upsample\.conv3d\.", r".up.\1.1."),
+            (r"\.up\.(\d+)\.upsample\.", r".up.\1.1."),
+            (r"(\.conv)+\.weight$", ".kernel"),
+            (r"(\.conv)+\.bias$", ".bias"),
+        ],
+        drop=(),
+    ),
+)
+
+converter_registry.add(
     "mochi_vae",
     KeyConverter(
         # reference src/vae/mochi/model.py — encoder AND decoder. Norms are
