@@ -88,9 +88,9 @@ class _VAEBlock(nnx.Module):
     def __init__(self, cfg: MagiVAEConfig, *, dtype, rngs):
         d = cfg.embed_dim
         kw = dict(dtype=dtype, param_dtype=dtype, rngs=rngs)
-        self.norm1 = LayerNorm(d)
+        self.norm1 = LayerNorm(d, eps=1e-5)
         self.attn = _VAEAttention(d, cfg.num_heads, cfg.qkv_bias, dtype=dtype, rngs=rngs)
-        self.norm2 = LayerNorm(d)
+        self.norm2 = LayerNorm(d, eps=1e-5)
         self.fc1 = Linear(d, int(d * cfg.mlp_ratio), use_bias=True, **kw)
         self.fc2 = Linear(int(d * cfg.mlp_ratio), d, use_bias=True, **kw)
 
@@ -106,7 +106,9 @@ def _resize_pos_embed(pe: jnp.ndarray, src: Tuple[int, int, int],
     """Trilinear pos-embed resize (module.py resize_pos_embed role)."""
     d = pe.shape[-1]
     grid = pe.reshape(1, *src, d)
-    grid = jax.image.resize(grid, (1, *dst, d), "trilinear")
+    # torch F.interpolate(mode="trilinear", align_corners=False) does NOT
+    # antialias on downscale — jax.image.resize defaults antialias=True
+    grid = jax.image.resize(grid, (1, *dst, d), "trilinear", antialias=False)
     return grid.reshape(1, dst[0] * dst[1] * dst[2], d)
 
 
@@ -125,7 +127,7 @@ class _ViTCore(nnx.Module):
         self.pos_embed = nnx.Param(jnp.zeros((1, n, d), jnp.float32))
         self.blocks = nnx.List([_VAEBlock(cfg, dtype=dtype, rngs=rngs)
                                 for _ in range(cfg.depth)])
-        self.norm = LayerNorm(d)
+        self.norm = LayerNorm(d, eps=1e-5)
 
     def __call__(self, tok: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
         b = tok.shape[0]
@@ -185,7 +187,7 @@ class MagiViTDecoder(nnx.Module):
         if cfg.use_final_proj:
             self.unpatch_channels = 4
             self.final_proj = Linear(cfg.embed_dim, 4 * vol, use_bias=True, **kw)
-            self.final_norm = LayerNorm(4 * vol)
+            self.final_norm = LayerNorm(4 * vol, eps=1e-5)
         else:
             self.unpatch_channels = cfg.embed_dim // vol
             self.final_proj = None
