@@ -96,7 +96,9 @@ class LTX2Encoder(nnx.Module):
     def __init__(self, cfg: LTX2VAEConfig, *, dtype=jnp.float32, rngs: nnx.Rngs):
         self.cfg = cfg
         sp = cfg.encoder_spatial_padding_mode
-        ch = cfg.block_out_channels[0]
+        # the encoder STARTS at latent width: conv_in outputs latent_channels,
+        # and the first down block widens from there (model.py:742-749)
+        ch = cfg.latent_channels
         self.conv_in = CausalConv3d(cfg.in_channels * cfg.patch_size ** 2, ch,
                                     spatial_padding_mode=sp, dtype=dtype, rngs=rngs)
         blocks = []
@@ -147,8 +149,10 @@ class LTX2Decoder(nnx.Module):
         self.cfg = cfg
         sp = cfg.decoder_spatial_padding_mode
         chans = tuple(reversed(cfg.decoder_block_out_channels))  # deepest first
-        layers = tuple(reversed(cfg.decoder_layers_per_block[1:]))
-        inject = tuple(reversed(cfg.decoder_inject_noise))
+        # the reference reverses the per-block lists wholesale: mid uses the
+        # LAST entries, up block i the (len-2-i)-th (model.py:888-928)
+        layers_rev = tuple(reversed(cfg.decoder_layers_per_block))
+        inject_rev = tuple(reversed(cfg.decoder_inject_noise))
         residual = tuple(reversed(cfg.upsample_residual))
         factor = tuple(reversed(cfg.upsample_factor))
         scaling = tuple(reversed(cfg.decoder_spatio_temporal_scaling))
@@ -157,9 +161,9 @@ class LTX2Decoder(nnx.Module):
                                     spatial_padding_mode=sp, dtype=dtype, rngs=rngs)
         self.mid_resnets = nnx.List([
             ResnetBlock3D(ch, ch, norm="pixel_norm",
-                          inject_noise=cfg.decoder_inject_noise[0],
+                          inject_noise=inject_rev[0],
                           spatial_padding_mode=sp, dtype=dtype, rngs=rngs)
-            for _ in range(cfg.decoder_layers_per_block[0])
+            for _ in range(layers_rev[0])
         ])
         blocks = []
         for i in range(len(chans)):
@@ -173,9 +177,9 @@ class LTX2Decoder(nnx.Module):
                 ch = out  # depth-to-space leaves ch // upscale_factor
             resnets = nnx.List([
                 ResnetBlock3D(ch, ch, norm="pixel_norm",
-                              inject_noise=inject[min(i + 1, len(inject) - 1)],
+                              inject_noise=inject_rev[min(i + 1, len(inject_rev) - 1)],
                               spatial_padding_mode=sp, dtype=dtype, rngs=rngs)
-                for _ in range(layers[i])
+                for _ in range(layers_rev[i + 1])
             ])
             blocks.append(nnx.List([up, resnets]))
         self.up_blocks = nnx.List(blocks)
