@@ -222,12 +222,24 @@ class AutoencoderKLLTX2Audio(nnx.Module):
         return z
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        """latents (B, z, T', M') → mel (B, C, 4T', 4M')."""
+        """latents (B, z, T', M') → mel (B, C, 4T'−3, mel_bins).
+
+        The reference decoder crops/zero-pads its network output to the
+        causal target T'·LATENT_DOWNSAMPLE_FACTOR − 3 frames × mel_bins
+        regardless of how far ch_mult actually upsamples (model.py:753-779)."""
         m, s = self._mean_std()
         if m is not None:
             z = z * s + m
         x = self.decoder(z.transpose(0, 2, 3, 1))
-        return x.transpose(0, 3, 1, 2)
+        x = x.transpose(0, 3, 1, 2)
+        target_t = max(z.shape[2] * 4 - 3, 1)
+        target_f = self.cfg.mel_bins
+        x = x[:, : self.cfg.output_channels, :target_t, :target_f]
+        pad_t = target_t - x.shape[2]
+        pad_f = target_f - x.shape[3]
+        if pad_t > 0 or pad_f > 0:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, max(pad_t, 0)), (0, max(pad_f, 0))))
+        return x
 
     # -- DiT stream adapters (LTX2AudioAudioPatchifier, model.py:354) -------------
 

@@ -40,12 +40,12 @@ def _mp_silu(x):
 
 
 def _pixel_norm(x, eps=1e-4):
-    """edm2 normalize over all non-batch dims? The VAE uses dim=1 (channels):
-    normalize(x, dim=1) — per-position channel norm with eps scaled by
-    1/sqrt(C)."""
+    """edm2 normalize(x, dim=1): torch.add(eps, norm, alpha=sqrt(1/C)) means
+    the divisor is eps + ||x||/sqrt(C) — an RMS norm, NOT the raw L2 norm
+    (edm2_utils.py:65-70)."""
     c = x.shape[-1]
     n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-    n = eps / np.sqrt(c) + n
+    n = eps + n / np.sqrt(c)
     return (x.astype(jnp.float32) / n).astype(x.dtype)
 
 
@@ -64,10 +64,12 @@ class MPConv1d(nnx.Module):
         self.dtype = dtype
 
     def _w(self, gain=1.0):
+        # remove_weight_norm (edm2_utils.py:168-175): w/(1e-4 + ||w||/sqrt(N))
+        # then /sqrt(N) — net unit-ish row norm, NOT 1/sqrt(N)
         w = self.weight.value.astype(jnp.float32)
         o, i, k = w.shape
         n = jnp.linalg.norm(w.reshape(o, -1), axis=-1)[:, None, None]
-        n = 1e-4 / np.sqrt(i * k) + n
+        n = 1e-4 + n / np.sqrt(i * k)
         w = w / n / np.sqrt(i * k)
         return (w * gain).astype(self.dtype)
 
@@ -103,12 +105,15 @@ class MPAttnBlock1D(nnx.Module):
 
     def __call__(self, x):
         b, t, c = x.shape
-        y = self.qkv(x).reshape(b, t, 3, c)  # single head
+        # the qkv rows are PER-CHANNEL [q_i|k_i|v_i] triplets: the reference
+        # reshapes (b, heads, C, 3, l) with C slow (vae_modules.py:69), not
+        # [all-q | all-k | all-v]
+        y = self.qkv(x).reshape(b, t, c, 3)
         # normalize over the channel dim of each of q/k/v (vae_modules.py:70)
         y32 = y.astype(jnp.float32)
-        n = jnp.linalg.norm(y32, axis=-1, keepdims=True)
-        y = (y32 / (1e-4 / np.sqrt(c) + n)).astype(x.dtype)
-        q, k, v = y[:, :, 0], y[:, :, 1], y[:, :, 2]
+        n = jnp.linalg.norm(y32, axis=-2, keepdims=True)
+        y = (y32 / (1e-4 + n / np.sqrt(c))).astype(x.dtype)
+        q, k, v = y[..., 0], y[..., 1], y[..., 2]
         attn = jax.nn.softmax(
             (q @ k.swapaxes(1, 2)).astype(jnp.float32) / np.sqrt(c), axis=-1)
         h = (attn.astype(v.dtype) @ v)

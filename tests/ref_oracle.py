@@ -1362,6 +1362,21 @@ def install_ref_parents() -> None:
         lg = types.ModuleType("loguru")
         lg.logger = logging.getLogger("ref")
         sys.modules["loguru"] = lg
+    if "omegaconf" not in sys.modules:
+        # mmaudio's BigVGAN only needs OmegaConf.load on a yaml path
+        class _OmegaConf:
+            @staticmethod
+            def load(path):
+                import types as _types
+
+                import yaml
+
+                with open(path) as f:
+                    return _types.SimpleNamespace(**yaml.safe_load(f))
+
+        oc = types.ModuleType("omegaconf")
+        oc.OmegaConf = _OmegaConf
+        sys.modules["omegaconf"] = oc
     if "timm" not in sys.modules:
         # magi's ViT VAE only pulls to_2tuple + trunc_normal_ (init-time)
         def _to_2tuple(x):
