@@ -1481,6 +1481,41 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "hunyuanimage3",
+    KeyConverter(
+        # HunyuanImage-3.0 causal-MM MoE backbone (reference
+        # src/transformer/hunyuanimage3/base/model.py:2189
+        # HunyuanImage3ForCausalMM): decoder under `model.`, UNet patch
+        # embed / final layer + three TimestepEmbedders at top level.
+        renames=[
+            (r"^model\.wte\.weight$", "wte"),
+            (r"^model\.layers\.", "layers."),
+            # TimestepEmbedder Sequential → mlp_0 / mlp_2
+            (r"\.mlp\.0\.(weight|bias)$", r".mlp_0.\1"),
+            (r"\.mlp\.2\.(weight|bias)$", r".mlp_2.\1"),
+            # ResBlock sequentials → named children
+            (r"\.in_layers\.0\.", ".in_norm."),
+            (r"\.in_layers\.2\.", ".in_conv."),
+            (r"\.emb_layers\.1\.", ".emb_layers."),
+            (r"\.out_layers\.0\.", ".out_norm."),
+            (r"\.out_layers\.3\.", ".out_conv."),
+            # UNetUp trailing Sequential(norm, SiLU, conv)
+            (r"(final_layer\.model\.\d+)\.0\.(weight|bias)$", r"\1.norm.\2"),
+            (r"(final_layer\.model\.\d+)\.2\.(weight|bias)$", r"\1.conv.\2"),
+            # linear kernels
+            (r"\.(qkv_proj|o_proj|wg|gate_and_up_proj|down_proj|emb_layers"
+             r"|mlp_0|mlp_2)\.weight$", r".\1.kernel"),
+            # conv kernels (UNet stem conv, ResBlock convs, skip, out conv)
+            (r"(patch_embed\.model\.0)\.weight$", r"\1.kernel"),
+            (r"\.(in_conv|out_conv|skip_connection|conv)\.weight$",
+             r".\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(r"rotary_emb", r"num_batches_tracked", r"lm_head"),
+    ),
+)
+
+converter_registry.add(
     "ovis",
     KeyConverter(
         # Ovis-Image MMDiT (reference src/transformer/ovis/base/model.py:456):

@@ -31,12 +31,13 @@ HYI3_TINY = {
                         "scaling_factor": 1.0}},
             {"type": "text_encoder", "config": {}},
             {"type": "transformer", "base": "hunyuanimage3.base",
-             "config": {"vocab_size": 64, "hidden_size": 16,
-                        "intermediate_size": 32, "moe_intermediate_size": 16,
+             "config": {"vocab_size": 64, "hidden_size": 64,
+                        "intermediate_size": 96, "moe_intermediate_size": 32,
                         "num_hidden_layers": 2, "num_attention_heads": 2,
-                        "num_key_value_heads": 1, "head_dim": 8,
+                        "num_key_value_heads": 1, "attention_head_dim": 32,
                         "num_experts": 4, "moe_topk": 2,
-                        "moe_layer_num_skipped": 1,
+                        "moe_layer_num_skipped": 1, "use_mixed_mlp_moe": True,
+                        "patch_embed_hidden_dim": 32,
                         "img_in_channels": 4, "img_out_channels": 4,
                         "patch_size": 2}},
         ],
@@ -74,17 +75,18 @@ class TestHYI3Model:
 
         cfg = HunyuanImage3Config.from_dict(
             HYI3_TINY["spec"]["components"][3]["config"])
-        moe = _HYMoE(cfg, dtype=jnp.float32, rngs=nnx.Rngs(0))
+        moe = _HYMoE(cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+                     rngs=nnx.Rngs(0))
         rng = np.random.default_rng(1)
         # force a decisive router so top-k selection is observable
-        moe.wg.kernel.value = jnp.asarray(
-            rng.normal(size=moe.wg.kernel.value.shape) * 5.0, jnp.float32)
-        x = jnp.asarray(rng.normal(size=(1, 8, 16)), jnp.float32)
+        moe.gate.wg.kernel.value = jnp.asarray(
+            rng.normal(size=moe.gate.wg.kernel.value.shape) * 5.0, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 64)), jnp.float32)
         out = moe(x)
         assert out.shape == x.shape
         assert np.isfinite(np.asarray(out)).all()
         # zeroing an expert that routing never picks must not change output
-        logits = np.asarray(moe.wg(x))
+        logits = np.asarray(moe.gate.wg(x))
         never = int(np.argmin(np.max(
             np.asarray(jax.nn.softmax(jnp.asarray(logits))), axis=(0, 1))))
         k = moe.experts[never].down_proj.kernel
