@@ -1481,6 +1481,24 @@ converter_registry.add(
 )
 
 converter_registry.add(
+    "step_llm",
+    KeyConverter(
+        # STEP-LLM / Step1 text encoder (reference src/helpers/stepvideo/
+        # text_encoder.py:661 Step1Model): fused-wqkv safetensors layout.
+        # (The GGUF-unfused wq/wk/wv + ffn_gate/up/down variant loads through
+        # quantize/gguf.py's key map instead.)
+        renames=[
+            (r"^(text_encoder\.)?tok_embeddings\.word_embeddings\.weight$",
+             "embed_tokens"),
+            (r"^(text_encoder\.)?transformer\.layers\.", "layers."),
+            (r"\.(wqkv|wo|w1|w2)\.weight$", r".\1.kernel"),
+        ],
+        strip_prefixes=(),
+        drop=(),
+    ),
+)
+
+converter_registry.add(
     "hunyuanimage3",
     KeyConverter(
         # HunyuanImage-3.0 causal-MM MoE backbone (reference

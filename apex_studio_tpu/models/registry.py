@@ -57,6 +57,7 @@ def _load_builtin_families() -> None:
         "apex_studio_tpu.models.vaes.mmaudio_vae",
         "apex_studio_tpu.models.transformers.stepvideo",
         "apex_studio_tpu.models.vaes.stepvideo_vae",
+        "apex_studio_tpu.models.text_encoders.step_llm",
         "apex_studio_tpu.models.transformers.wan_ovi",
         "apex_studio_tpu.models.vaes.ltx2_vae",
         "apex_studio_tpu.models.vaes.ltx2_audio_vae",
