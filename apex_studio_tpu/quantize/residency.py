@@ -85,52 +85,70 @@ def materialize_random_int8(
     large Linear kernels directly as int8 — no full-precision copy is ever
     allocated. Benchmark/test helper: values are random, placement is real.
 
-    Generation happens ON DEVICE via jitted ``jax.random`` calls keyed per
-    leaf: the only host->device traffic is one PRNG key per array, so a 12 GB
-    model materializes in seconds even over a slow device relay (the previous
-    host-numpy implementation shipped every byte through the transport and
-    stalled multi-GB models indefinitely).
+    Generation happens ON DEVICE inside ONE jitted program that returns the
+    whole state as a single tuple of arrays: the only host->device traffic is
+    one PRNG seed, and the only dispatch is one executable launch. This
+    matters on a remote device relay, where the previous one-jit-call-per-leaf
+    scheme paid a transport round trip for each of ~750 leaves (minutes of
+    pure latency for a Flux-Dev-sized model).
     """
-    import functools
+    # Phase A: swap every large Linear kernel to an abstract int8 target and
+    # record the constant per-channel scale its quantized form should carry.
+    scale_paths: dict[tuple, float] = {}
+    n = 0
+    for path, mod in nnx.iter_modules(model):
+        if _is_quantizable(mod, min_numel):
+            shape = tuple(int(d) for d in mod.kernel.value.shape)
+            fan_in = shape[0]
+            mod.kernel = nnx.Param(jax.ShapeDtypeStruct(shape, jnp.int8))
+            mod.kernel_scale = nnx.Param(
+                jax.ShapeDtypeStruct((shape[-1],), jnp.float32)
+            )
+            scale_paths[tuple(path) + ("kernel_scale",)] = float(
+                scale / np.sqrt(fan_in) / 127.0
+            )
+            n += 1
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def _rand_i8(key, shape):
-        return jax.random.randint(key, shape, -127, 128, jnp.int8)
+    # Phase B: flatten the (now fully abstract-targeted) state and build one
+    # spec per leaf that still needs materializing.
+    state = nnx.state(model)
+    flat = list(state.flat_state())
+    specs = []  # (flat_index, kind, shape, dtype, const)
+    for idx, (path, var) in enumerate(flat):
+        leaf = var.value
+        if not isinstance(leaf, jax.ShapeDtypeStruct):
+            continue
+        shape = tuple(int(d) for d in leaf.shape)
+        key_path = tuple(path)
+        if key_path in scale_paths:
+            specs.append((idx, "const", shape, jnp.float32, scale_paths[key_path]))
+        elif leaf.dtype == jnp.int8:
+            specs.append((idx, "i8", shape, jnp.int8, None))
+        elif jnp.issubdtype(leaf.dtype, jnp.floating):
+            specs.append((idx, "normal", shape, jnp.dtype(leaf.dtype), float(scale)))
+        else:
+            specs.append((idx, "zero", shape, jnp.dtype(leaf.dtype), None))
 
-    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-    def _rand_f(key, shape, dtype, s):
-        return (jax.random.normal(key, shape, jnp.float32) * s).astype(dtype)
-
-    counter = [0]
-
-    def _key():
-        counter[0] += 1
-        return jax.random.key(np.uint32(seed * 1000003 + counter[0]))
+    def _make(key):
+        outs = []
+        for i, (_, kind, shape, dtype, const) in enumerate(specs):
+            k = jax.random.fold_in(key, i)
+            if kind == "i8":
+                outs.append(jax.random.randint(k, shape, -127, 128, jnp.int8))
+            elif kind == "const":
+                outs.append(jnp.full(shape, const, dtype))
+            elif kind == "normal":
+                outs.append((jax.random.normal(k, shape, jnp.float32) * const).astype(dtype))
+            else:
+                outs.append(jnp.zeros(shape, dtype))
+        return tuple(outs)
 
     import contextlib
 
     ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
-    n = 0
     with ctx:
-        for _, mod in nnx.iter_modules(model):
-            if _is_quantizable(mod, min_numel):
-                shape = tuple(int(d) for d in mod.kernel.value.shape)
-                fan_in = shape[0]
-                s = jnp.full((shape[-1],), scale / np.sqrt(fan_in) / 127.0, jnp.float32)
-                mod.kernel = nnx.Param(_rand_i8(_key(), shape))
-                mod.kernel_scale = nnx.Param(s)
-                n += 1
-        # Materialize every remaining abstract leaf on device.
-        state = nnx.state(model)
-
-        def fill(leaf):
-            if isinstance(leaf, jax.ShapeDtypeStruct):
-                shape = tuple(int(d) for d in leaf.shape)
-                if jnp.issubdtype(leaf.dtype, jnp.floating):
-                    return _rand_f(_key(), shape, jnp.dtype(leaf.dtype), float(scale))
-                return jnp.zeros(shape, leaf.dtype)
-            return leaf
-
-        state = jax.tree.map(fill, state)
+        outs = jax.jit(_make)(jax.random.key(np.uint32(seed)))
+    for (idx, *_rest), arr in zip(specs, outs):
+        flat[idx][1].value = arr
     nnx.update(model, state)
     return n

@@ -71,6 +71,13 @@ def _remaining() -> float:
     return _BUDGET_S - (time.time() - _T0)
 
 
+def _trace(msg: str) -> None:
+    """Wall-clock breadcrumbs on stderr (stdout carries only JSON lines)."""
+    import sys
+
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 _PEAK_BF16 = {
     "TPU v5 lite": 197e12,  # v5e
     "TPU v5e": 197e12,
@@ -155,7 +162,9 @@ def bench_flux(tiny: bool) -> dict:
         lambda: FluxTransformer2DModel(cfg, dtype=jnp.bfloat16,
                                        param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
     )
+    _trace("flux: materializing weights on device")
     n_q = materialize_random_int8(model, min_numel=1 << 20, seed=0)
+    _trace(f"flux: weights ready ({n_q} int8 kernels)")
     graphdef, state = nnx.split(model)
 
     import functools
@@ -184,6 +193,7 @@ def bench_flux(tiny: bool) -> dict:
         return x
 
     _readback(chain(2))  # compile + execute
+    _trace("flux: fused step compiled, measuring")
 
     # Difference two chain lengths to cancel the fixed relay/readback
     # overhead. Short chains (10 vs 2 steps) keep each rep cheap; extra reps
@@ -249,7 +259,9 @@ def bench_hyv15(tiny: bool) -> dict:
         lambda: HunyuanVideo15Transformer3DModel(cfg, dtype=jnp.bfloat16,
                                                  param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
     )
+    _trace("hyv15: materializing weights on device")
     n_q = materialize_random_int8(model, min_numel=1 << 20, seed=1)
+    _trace(f"hyv15: weights ready ({n_q} int8 kernels)")
     graphdef, state = nnx.split(model)
 
     import functools
@@ -276,6 +288,7 @@ def bench_hyv15(tiny: bool) -> dict:
     x = base + 0.0
     x = fused_step(state, x, text, tmask, img_emb, tvec, dt)
     _readback(x)  # compile + execute
+    _trace("hyv15: fused step compiled, measuring")
     t0 = time.perf_counter()
     x = fused_step(state, x, text, tmask, img_emb, tvec, dt)
     _readback(x)
