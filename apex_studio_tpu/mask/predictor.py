@@ -170,6 +170,7 @@ def sam2_track_video(
     start_frame: int = 0,
     direction: str = "forward",
     progress_callback=None,
+    frame_callback=None,
 ) -> Dict[int, np.ndarray]:
     """SAM2 memory-bank video tracking (reference mask/mask.py:8
     build_sam2_video_predictor): the prompted frame's memory is the permanent
@@ -189,7 +190,8 @@ def sam2_track_video(
 
         init = predictor.predict(frames[start_frame], points, point_labels)
         return track_mask(frames, init, start_frame, direction,
-                          progress_callback=progress_callback)
+                          progress_callback=progress_callback,
+                          frame_callback=frame_callback)
 
     side = predictor.img_size
     h, w = frames[start_frame].shape[:2]
@@ -225,6 +227,8 @@ def sam2_track_video(
                 for age, m in enumerate(reversed(recent))]
             mask, _, mem = model.track_step(prep(frames[idx]), memories)
             results[idx] = to_full(mask)
+            if frame_callback is not None:
+                frame_callback(idx, results[idx])
             recent.append(mem)
             if len(recent) > SAM2VideoModel.NUM_MASKMEM - 1:
                 recent.pop(0)

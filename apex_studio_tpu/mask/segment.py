@@ -148,6 +148,44 @@ def mask_to_contours(mask: np.ndarray, epsilon_frac: float = 0.002) -> List[List
     return out
 
 
+def shape_bounds_from_contours(
+    contours: List[List[float]], shape_type: Optional[str] = None
+) -> Optional[Dict[str, float]]:
+    """Oriented shape bounds from the largest contour's min-area rect — the
+    frontend shape-layer format the reference emits from /mask/track/shapes
+    (``src/mask/mask.py:270`` shape_bounds_from_contours):
+
+    - rectangle: top-left pivot bounds
+    - ellipse / star: center-based bounds (star: square, side = min(w, h))
+    - polygon / triangle: center-based, width/height = 1.1543665517482078
+    """
+    import cv2
+
+    if not contours:
+        return None
+    pts_all = [np.asarray(c, np.float32).reshape(-1, 2) for c in contours]
+    largest = max(pts_all, key=cv2.contourArea)
+    (cx, cy), (w, h), angle = cv2.minAreaRect(largest)
+    st = (shape_type or "rectangle").lower()
+    base = {"rotation": float(angle), "scaleX": 1.0, "scaleY": 1.0}
+    if st == "ellipse":
+        return {"x": float(cx), "y": float(cy), "width": float(w),
+                "height": float(h), "shapeType": "ellipse", **base}
+    if st == "star":
+        side = float(max(1.0, min(w, h)))
+        return {"x": float(cx), "y": float(cy), "width": side, "height": side,
+                "shapeType": "star", **base}
+    if st in ("polygon", "triangle"):
+        ratio = 1.1543665517482078  # width / height
+        fit_h = float(max(1.0, min(h, w / ratio)))
+        fit_w = float(max(1.0, ratio * fit_h))
+        return {"x": float(cx), "y": float(cy), "width": fit_w,
+                "height": fit_h, "shapeType": "polygon", **base}
+    return {"x": float(cx - w / 2.0), "y": float(cy - h / 2.0),
+            "width": float(w), "height": float(h),
+            "shapeType": st if st != "rectangle" else "rectangle", **base}
+
+
 def track_mask(
     frames: Sequence[np.ndarray],
     initial_mask: np.ndarray,
@@ -155,6 +193,7 @@ def track_mask(
     direction: str = "forward",
     refine_every: int = 8,
     progress_callback=None,
+    frame_callback=None,
 ) -> Dict[int, np.ndarray]:
     """Propagate a mask across frames by dense optical-flow warping, with
     periodic GrabCut refinement (counterpart of SAM2 memory tracking,
@@ -188,6 +227,8 @@ def track_mask(
                 warped = _grabcut(frames[idx], seed_mask=warped, iterations=2)
             results[idx] = warped
             prev_mask, prev_gray = warped, gray
+            if frame_callback is not None:
+                frame_callback(idx, warped)
             safe_emit_progress(
                 progress_callback, (step + 1) / max(1, len(indices)),
                 f"tracked frame {idx}",

@@ -7,19 +7,119 @@ through the same store/executor and stream progress over /ws/job/{id}.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
+import shutil
 import uuid
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 from aiohttp import web
 
 from apex_studio_tpu.server.jobs import Job, JobCancelled, JobExecutor, JobStore
 from apex_studio_tpu.server.ws import ws_manager
-from apex_studio_tpu.utils.defaults import get_components_path, get_results_path
+from apex_studio_tpu.utils.defaults import (
+    get_components_path,
+    get_lora_path,
+    get_preprocessor_models_path,
+    get_results_path,
+)
 from apex_studio_tpu.utils.media import save_image, save_video
 
 logger = logging.getLogger("apex.server.processing")
+
+# request signature -> most recently created job_id; used only by
+# /download/resolve to re-surface in-flight download jobs for the editor's
+# download panel (reference api/download.py:28-30).
+_request_key_to_job_id: Dict[str, str] = {}
+
+
+def _normalize_item_type(item_type: str) -> str:
+    t = (item_type or "").strip().lower()
+    if t not in {"component", "lora", "preprocessor"}:
+        raise ValueError("item_type must be one of: component, lora, preprocessor")
+    return t
+
+
+def _default_save_dir_for(item_type: str) -> Path:
+    if item_type == "component":
+        return get_components_path()
+    if item_type == "lora":
+        return get_lora_path()
+    return get_preprocessor_models_path()
+
+
+def _canonical_source(source: Union[str, List[str]]) -> Union[str, List[str]]:
+    if isinstance(source, list):
+        return sorted(str(s).strip() for s in source)
+    return str(source).strip()
+
+
+def _request_key(item_type: str, source: Union[str, List[str]],
+                 save_path: Optional[str]) -> str:
+    canonical = {
+        "item_type": _normalize_item_type(item_type),
+        "source": _canonical_source(source),
+        "save_path": os.path.abspath(save_path) if save_path else None,
+    }
+    return json.dumps(canonical, sort_keys=True, separators=(",", ":"))
+
+
+def _new_unique_job_id(store: JobStore, preferred: Optional[str] = None) -> str:
+    candidate = (preferred or "").strip() or str(uuid.uuid4())
+    while store.get(candidate) is not None or ws_manager.latest(candidate) is not None:
+        candidate = str(uuid.uuid4())
+    return candidate
+
+
+def _already_downloaded(item_type: str, source: Union[str, List[str]],
+                        save_path: Optional[str]) -> Tuple[bool, str]:
+    """(downloaded, base_dir) — mirrors reference api/download.py:84."""
+    from apex_studio_tpu.downloads.api import is_downloaded
+
+    itype = _normalize_item_type(item_type)
+    base_dir = Path(save_path) if save_path else _default_save_dir_for(itype)
+    base_dir.mkdir(parents=True, exist_ok=True)
+    if itype == "preprocessor" and isinstance(source, str):
+        # preprocessor ids resolve to model files under the preprocessor dir
+        if (base_dir / source).exists() or any(base_dir.glob(f"{source}.*")):
+            return True, str(base_dir)
+    sources = [source] if isinstance(source, str) else list(source)
+    for s in sources:
+        s = str(s)
+        if s.startswith(("http://", "https://")):
+            # URL downloads land at base_dir/<basename> (see _run_download_job)
+            name = s.split("/")[-1].split("?")[0]
+            if not (base_dir / name).exists():
+                return False, str(base_dir)
+        elif not is_downloaded(s, base_dir):
+            return False, str(base_dir)
+    return bool(sources), str(base_dir)
+
+
+def _resolve_one(store: JobStore, item_type: str, source: Union[str, List[str]],
+                 save_path: Optional[str]) -> Dict[str, Any]:
+    req_key = _request_key(item_type, source, save_path)
+    job_id = _request_key_to_job_id.get(req_key) or _new_unique_job_id(store)
+    downloaded, base_dir = _already_downloaded(item_type, source, save_path)
+    exists = False
+    running = False
+    info = store.get(job_id)
+    if info is not None:
+        exists = True
+        running = info.status in {"running", "queued"}
+    elif ws_manager.latest(job_id) is not None:
+        exists = True
+    return {
+        "job_id": job_id,
+        "exists": exists,
+        "running": running,
+        "downloaded": downloaded,
+        "bucket": _normalize_item_type(item_type),
+        "save_dir": base_dir,
+        "source": source,
+    }
 
 
 def _results_dir(kind: str, job_id: str) -> Path:
@@ -82,7 +182,11 @@ def _run_interpolate_job(job: Job, body: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _run_download_job(job: Job, body: Dict[str, Any]) -> Dict[str, Any]:
-    from apex_studio_tpu.downloads.api import download_component, download_file
+    from apex_studio_tpu.downloads.api import (
+        download_component,
+        download_file,
+        download_lora,
+    )
 
     cb = _progress(job)
 
@@ -90,11 +194,20 @@ def _run_download_job(job: Job, body: Dict[str, Any]) -> Dict[str, Any]:
         p = done / total if total and total > 0 else None
         cb(p, f"downloaded {done >> 20} MiB")
 
+    item_type = body.get("item_type")
+    base_dir = (Path(body["save_path"]) if body.get("save_path")
+                else _default_save_dir_for(item_type) if item_type
+                else get_components_path())
     results = []
     paths = body.get("paths") or ([body["path"]] if body.get("path") else [])
+    if not paths and body.get("source"):
+        src = body["source"]
+        paths = [src] if isinstance(src, str) else list(src)
     for i, repo_path in enumerate(paths):
-        if repo_path.startswith(("http://", "https://")):
-            dest = get_components_path() / repo_path.split("/")[-1].split("?")[0]
+        if item_type == "lora" and not repo_path.startswith(("http://", "https://")):
+            path = download_lora(repo_path, base_dir, progress_cb=file_progress)
+        elif repo_path.startswith(("http://", "https://")):
+            dest = base_dir / repo_path.split("/")[-1].split("?")[0]
             path = download_file(repo_path, dest, progress_cb=file_progress)
         else:
             path = download_component(repo_path, progress_cb=file_progress)
@@ -164,9 +277,123 @@ def add_processing_routes(app: web.Application, store: JobStore, executor: JobEx
 
     async def download(req: web.Request) -> web.Response:
         body = await req.json()
-        if not (body.get("path") or body.get("paths")):
-            return web.json_response({"detail": "path(s) required"}, status=400)
-        return submit("download", _run_download_job, body)
+        if not (body.get("path") or body.get("paths") or body.get("source")):
+            return web.json_response({"detail": "path(s) or source required"}, status=400)
+        resp = submit("download", _run_download_job, body)
+        if body.get("item_type") and body.get("source") is not None and resp.status == 200:
+            try:
+                req_key = _request_key(body["item_type"], body["source"],
+                                       body.get("save_path"))
+                _request_key_to_job_id[req_key] = json.loads(resp.text)["job_id"]
+            except ValueError:
+                pass
+        return resp
+
+    async def download_resolve(req: web.Request) -> web.Response:
+        """POST /download/resolve — reference api/download.py:316."""
+        body = await req.json()
+        try:
+            return web.json_response(
+                _resolve_one(store, body.get("item_type", ""),
+                             body.get("source", ""), body.get("save_path")))
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
+        except Exception as e:  # mirror reference's 500 wrap
+            return web.json_response(
+                {"detail": f"Failed to resolve job id: {e}"}, status=500)
+
+    async def download_resolve_batch(req: web.Request) -> web.Response:
+        """POST /download/resolve/batch — reference api/download.py:375."""
+        body = await req.json()
+        try:
+            results = [
+                _resolve_one(store, body.get("item_type", ""), src,
+                             body.get("save_path"))
+                for src in (body.get("sources") or [])
+            ]
+            return web.json_response({"results": results})
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
+        except Exception as e:
+            return web.json_response(
+                {"detail": f"Failed to resolve batch job ids: {e}"}, status=500)
+
+    async def download_status(req: web.Request) -> web.Response:
+        """GET /download/status/{job_id} — reference api/download.py:358."""
+        return web.json_response(store.status(req.match_info["job_id"]))
+
+    async def download_cancel(req: web.Request) -> web.Response:
+        """POST /download/cancel/{job_id} — reference api/download.py:364."""
+        job_id = req.match_info["job_id"]
+        if store.cancel(job_id):
+            return web.json_response({"job_id": job_id, "status": "cancelled",
+                                      "message": "cancel requested"})
+        return web.json_response({"detail": "Job not found"}, status=404)
+
+    async def download_delete(req: web.Request) -> web.Response:
+        """DELETE /download/delete — reference api/download.py:420.
+
+        Deletes a downloaded file/dir, constrained to known download roots;
+        prunes empty parents; clears the request-key -> job_id mapping for the
+        matching item_type+source.
+        """
+        body = await req.json()
+        path = body.get("path")
+        if not path:
+            return web.json_response({"detail": "path required"}, status=400)
+        try:
+            allowed_bases: List[Path] = []
+            if body.get("item_type"):
+                itype = _normalize_item_type(body["item_type"])
+                base = (Path(body["save_path"]) if body.get("save_path")
+                        else _default_save_dir_for(itype))
+                allowed_bases.append(base.resolve())
+            else:
+                allowed_bases = [get_components_path().resolve(),
+                                 get_lora_path().resolve(),
+                                 get_preprocessor_models_path().resolve()]
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
+
+        target = Path(path)
+        target = ((allowed_bases[0] / target) if not target.is_absolute()
+                  else target).resolve()
+        containing = next((b for b in allowed_bases
+                           if target == b or target.is_relative_to(b)), None)
+        if containing is None or target == containing:
+            return web.json_response(
+                {"detail": "path must be within an allowed download directory"},
+                status=400)
+        if not target.exists():
+            return web.json_response({"detail": "Path not found"}, status=404)
+        if target.is_dir():
+            shutil.rmtree(target)
+        else:
+            target.unlink()
+        # prune empty parents up to (not including) the containing base
+        current = target.parent
+        while current != containing and current.is_dir():
+            try:
+                if any(current.iterdir()):
+                    break
+                nxt = current.parent
+                current.rmdir()
+                current = nxt
+            except OSError:
+                break
+
+        removed_mapping = False
+        if body.get("item_type") and body.get("source") is not None:
+            norm_type = _normalize_item_type(body["item_type"])
+            norm_source = _canonical_source(body["source"])
+            for key in [k for k in _request_key_to_job_id
+                        if json.loads(k).get("item_type") == norm_type
+                        and json.loads(k).get("source") == norm_source]:
+                del _request_key_to_job_id[key]
+                removed_mapping = True
+        return web.json_response({"path": str(target), "status": "deleted",
+                                  "removed_mapping": removed_mapping,
+                                  "unmarked": removed_mapping})
 
     async def components_download(req: web.Request) -> web.Response:
         return await download(req)
@@ -195,6 +422,11 @@ def add_processing_routes(app: web.Application, store: JobStore, executor: JobEx
             web.get("/preprocessor/list", preprocessor_list),
             web.post("/postprocessor/frame-interpolate", frame_interpolate),
             web.post("/download", download),
+            web.post("/download/resolve", download_resolve),
+            web.post("/download/resolve/batch", download_resolve_batch),
+            web.get("/download/status/{job_id}", download_status),
+            web.post("/download/cancel/{job_id}", download_cancel),
+            web.delete("/download/delete", download_delete),
             web.post("/components/download", components_download),
             web.delete("/components/delete", components_delete),
         ]

@@ -1317,9 +1317,16 @@ def install_diffusers_shim() -> None:
     outputs = _module("diffusers.models.modeling_outputs",
                       Transformer2DModelOutput=Transformer2DModelOutput,
                       AutoencoderKLOutput=AutoencoderKLOutput)
-    akl = _module("diffusers.models.autoencoders.autoencoder_kl",
-                  AutoencoderKLOutput=AutoencoderKLOutput,
-                  DecoderOutput=DecoderOutput)
+    # ref_oracle_vae2d.install() may already have registered this module with
+    # the 2D Encoder/Decoder blocks — merge, never clobber (src/vae/auto/
+    # model.py:35 imports AutoencoderMixin/Encoder/Decoder from here).
+    akl = sys.modules.get("diffusers.models.autoencoders.autoencoder_kl")
+    if akl is None:
+        akl = _module("diffusers.models.autoencoders.autoencoder_kl")
+    akl.AutoencoderKLOutput = AutoencoderKLOutput
+    akl.DecoderOutput = DecoderOutput
+    akl.AutoencoderMixin = AutoencoderMixin
+    akl.DiagonalGaussianDistribution = DiagonalGaussianDistribution
     akl_cog = _module("diffusers.models.autoencoders.autoencoder_kl_cogvideox")
 
     def _akl_cog_getattr(name):

@@ -140,3 +140,116 @@ class TestMaskRoutes:
         assert st["status"] == "complete"
         res = requests.get(server + f"/mask/track/result/{job_id}").json()
         assert len(res["result"]["contours_by_frame"]) == 4
+
+
+class TestShapeTracking:
+    """/mask/track/shapes — NDJSON per-frame oriented-rect streaming
+    (reference api/mask.py:888)."""
+
+    def _clip(self, tmp_path, n=4, shift=5):
+        from apex_studio_tpu.utils.media import save_video
+
+        frames = [scene(cx=30 + i * shift)[0] for i in range(n)]
+        p = tmp_path / "shapes_clip.mp4"
+        save_video(frames, p, fps=8)
+        return p
+
+    def test_bounds_from_contours(self):
+        from apex_studio_tpu.mask.segment import (
+            mask_to_contours,
+            shape_bounds_from_contours,
+        )
+
+        img, disk = scene()
+        contours = mask_to_contours(disk.astype("uint8"))
+        b = shape_bounds_from_contours(contours, "rectangle")
+        assert b["shapeType"] == "rectangle"
+        # disk of radius 18 centred at (48,48): top-left pivot near (30,30)
+        assert abs(b["x"] - 30) < 4 and abs(b["y"] - 30) < 4
+        assert abs(b["width"] - 36) < 5 and abs(b["height"] - 36) < 5
+        e = shape_bounds_from_contours(contours, "ellipse")
+        assert e["shapeType"] == "ellipse"
+        assert abs(e["x"] - 48) < 3 and abs(e["y"] - 48) < 3
+        s = shape_bounds_from_contours(contours, "star")
+        assert s["width"] == s["height"]
+        pg = shape_bounds_from_contours(contours, "polygon")
+        assert abs(pg["width"] / pg["height"] - 1.1543665517482078) < 1e-6
+        assert shape_bounds_from_contours([], "rectangle") is None
+
+    def test_stream_route(self, server, tmp_path):
+        import json
+
+        p = self._clip(tmp_path)
+        r = requests.post(
+            server + "/mask/track/shapes",
+            json={
+                "input_path": str(p),
+                "frame_start": 0,
+                "frame_end": 3,
+                "points": [{"x": 30, "y": 48}],
+                "tool": "touch",
+                "shape_type": "rectangle",
+                "id": "shapes-test-1",
+            },
+            stream=True,
+        )
+        assert r.ok, r.text
+        assert "ndjson" in r.headers["Content-Type"]
+        lines = [json.loads(l) for l in r.iter_lines() if l]
+        frames_seen = [l["frame_number"] for l in lines if "frame_number" in l]
+        assert frames_seen == [0, 1, 2, 3]
+        for l in lines:
+            assert "shapeBounds" in l
+            if l["shapeBounds"] is not None:
+                assert l["shapeBounds"]["shapeType"] == "rectangle"
+                assert l["shapeBounds"]["width"] > 0
+
+    def test_stream_respects_frame_bounds(self, server, tmp_path):
+        import json
+
+        p = self._clip(tmp_path, n=5)
+        r = requests.post(
+            server + "/mask/track/shapes",
+            json={
+                "input_path": str(p),
+                "frame_start": 3,
+                "frame_end": 1,
+                "direction": "backward",
+                "points": [{"x": 45, "y": 48}],
+                "id": "shapes-test-2",
+            },
+        )
+        assert r.ok, r.text
+        lines = [json.loads(l) for l in r.text.splitlines() if l]
+        frames_seen = [l["frame_number"] for l in lines if "frame_number" in l]
+        assert frames_seen == [3, 2, 1]
+
+    def test_validation(self, server, tmp_path):
+        from PIL import Image
+
+        img, _ = scene()
+        still = tmp_path / "still.png"
+        Image.fromarray(img).save(still)
+        # image input rejected
+        r = requests.post(server + "/mask/track/shapes", json={
+            "input_path": str(still), "frame_start": 0, "frame_end": 3,
+            "points": [{"x": 1, "y": 1}],
+        })
+        assert r.status_code == 400
+        clip = self._clip(tmp_path)
+        # missing bounds
+        r = requests.post(server + "/mask/track/shapes", json={
+            "input_path": str(clip), "points": [{"x": 1, "y": 1}],
+        })
+        assert r.status_code == 400
+        # direction contradicts bounds
+        r = requests.post(server + "/mask/track/shapes", json={
+            "input_path": str(clip), "frame_start": 0, "frame_end": 3,
+            "direction": "backward", "points": [{"x": 1, "y": 1}],
+        })
+        assert r.status_code == 400
+        # no seed inputs -> 409 (no persistent SAM2 state server-side)
+        r = requests.post(server + "/mask/track/shapes", json={
+            "input_path": str(clip), "frame_start": 0, "frame_end": 3,
+        })
+        assert r.status_code == 409

@@ -126,12 +126,16 @@ class TimmStyleEffNet(nn.Module):
 
 @pytest.fixture(scope="module", autouse=True)
 def _stub_timm():
+    # ref_oracle.install_ref_parents() may have installed a minimal timm stub
+    # (magi only needs to_2tuple) earlier in the session — patch create_model
+    # onto whatever module exists rather than assuming we create it.
     created = "timm" not in sys.modules
     if created:
-        timm = types.ModuleType("timm")
-        timm.create_model = lambda name, pretrained=False, num_classes=0: (
-            TimmStyleEffNet(CFG))
-        sys.modules["timm"] = timm
+        sys.modules["timm"] = types.ModuleType("timm")
+    timm = sys.modules["timm"]
+    prev_create = getattr(timm, "create_model", None)
+    timm.create_model = lambda name, pretrained=False, num_classes=0: (
+        TimmStyleEffNet(CFG))
     if "torchvision" not in sys.modules:
         # the reference packages' __init__ imports torchvision for the wrapper
         # classes; only the inner nets are under test
@@ -156,6 +160,10 @@ def _stub_timm():
     yield
     if created:
         del sys.modules["timm"]
+    elif prev_create is None:
+        del timm.create_model
+    else:
+        timm.create_model = prev_create
 
 
 def _randomize(model: nn.Module, seed: int) -> None:
