@@ -142,6 +142,21 @@ class HunyuanAvatarVideoModel(HunyuanVideoTransformer3DModel):
                                  rngs=rngs)
             for _ in cfg.double_stream_list])
 
+    @staticmethod
+    def sharding_rules(cfg: "HunyuanAvatarConfig"):
+        """Backbone inherits the hunyuanvideo TP layout; the single-head
+        perceiver audio adapter and the tiny motion/fps/ref embedders stay
+        replicated (their to_q/to_out would otherwise be caught — and
+        mis-split — by the backbone's head-projection patterns)."""
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        replicated = ShardingRules(
+            [(r"(audio_adapter_blocks|audio_projection|ref_latents_"
+              r"|motion_|fps_linear)", P())],
+            default=P(),
+        )
+        return replicated + HunyuanVideoTransformer3DModel.sharding_rules(cfg)
+
     def rope_tables(self, t_tok: int, h_tok: int, w_tok: int):
         """timecat rope (utils/models/hunyuan.py:270): one extra leading
         frame of tokens — the prepended ref-image tokens — at time -1."""

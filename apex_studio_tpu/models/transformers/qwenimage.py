@@ -285,6 +285,12 @@ class QwenImageControlNetModel(nnx.Module):
         )
         self._rope_helper = QwenImageTransformer2DModel.rope_tables
 
+    @staticmethod
+    def sharding_rules(cfg: "QwenImageControlNetConfig"):
+        """Same dual-stream blocks as the backbone → same TP layout; the
+        zero-init per-block output linears and embedders replicate."""
+        return QwenImageTransformer2DModel.sharding_rules(cfg)
+
     def rope_tables(self, h_tok, w_tok, n_txt, extra_segments=()):
         return QwenImageTransformer2DModel.rope_tables(
             self, h_tok, w_tok, n_txt, extra_segments)

@@ -528,6 +528,24 @@ class SeedVR2Transformer3DModel(nnx.Module):
             self.vid_out_ada = None
         self.vid_out = _PatchOut(cfg, dtype=dtype, rngs=rngs)
 
+    @staticmethod
+    def sharding_rules(cfg: "SeedVRConfig"):
+        """TP layout: fused qkv / MLP ups column-split, output projections
+        row-split. _MM branches (all/vid/txt) shard identically; ada vectors,
+        patch in/out, and time embedding replicate (default)."""
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"attn\.proj_qkv\.(all|vid|txt)\.kernel", P(None, "tp")),
+                (r"attn\.proj_out\.(all|vid|txt)\.kernel", P("tp", None)),
+                (r"mlp\.(all|vid|txt)\.(proj_in|proj_in_gate)\.kernel",
+                 P(None, "tp")),
+                (r"mlp\.(all|vid|txt)\.proj_out\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     # -- patching (reference patch_v1.py: inner order (t h w c), c LAST) ----
 
     def patchify(self, x):

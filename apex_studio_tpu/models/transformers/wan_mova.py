@@ -164,6 +164,15 @@ class MovaWanAudioModel(nnx.Module):
             nnx.initializers.normal(1.0 / math.sqrt(d))(
                 rngs.params(), (1, 2, d), jnp.float32))
 
+    @staticmethod
+    def sharding_rules(cfg: "MovaAudioConfig"):
+        """The 1-D audio tower reuses WanTransformerBlock, so the wan TP
+        layout applies verbatim; the conditional cross-attention adapters
+        (q/k/v/o, per-frame pooling) replicate via the default."""
+        from apex_studio_tpu.models.transformers.wan import WanTransformer3DModel
+
+        return WanTransformer3DModel.sharding_rules(None)
+
     def rope_tables(self, n: int):
         """Time-only rope (mova_audio/model.py:84-96). Returns cos/sin
         [1, n, 1, head_dim//2] in the interleaved-pair convention."""

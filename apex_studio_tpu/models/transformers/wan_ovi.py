@@ -227,6 +227,24 @@ class OviModel(nnx.Module):
         acfg = OviStreamConfig.from_dict(cfg.audio or {})
         self.audio_model = OviStream(acfg, dtype=dtype, rngs=rngs)
 
+    @staticmethod
+    def sharding_rules(cfg: "OviConfig"):
+        """TP layout for BOTH streams (video + audio towers shard alike):
+        attention/fusion projections column-split, outputs row-split, GELU
+        FFN up/down split; embedders, heads, and modulation replicate."""
+        from apex_studio_tpu.parallel.sharding import P, ShardingRules
+
+        return ShardingRules(
+            [
+                (r"(self_q|self_k|self_v|cross_q|cross_k|cross_v"
+                 r"|k_fusion|v_fusion)\.kernel", P(None, "tp")),
+                (r"(self_o|cross_o)\.kernel", P("tp", None)),
+                (r"ffn_0\.kernel", P(None, "tp")),
+                (r"ffn_2\.kernel", P("tp", None)),
+            ],
+            default=P(),
+        )
+
     def rope_for(self, stream: OviStream, grid):
         cos, sin = _rope_tables_3d(stream.cfg.head_dim, *grid, 0)
         s = stream.cfg.temporal_rope_scaling_factor
