@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -212,6 +213,37 @@ class BaseEngine:
 
     # -- component loading ------------------------------------------------------------
 
+    def release_text_encoders(self) -> None:
+        """Drop text-encoder weights from HBM after conditioning is encoded
+        (the single-chip counterpart of the reference's CPU offload between
+        pipeline stages, src/mixins/offload_mixin.py): a 5-7B encoder and a
+        12-20B DiT do not fit one v5e together, but they never run
+        concurrently. Repeat prompts rebuild nothing — TextEncoder.encode is
+        disk-cached — and a new prompt rebuilds the encoder lazily."""
+        import gc
+
+        for attr in ("text_encoder", "text_encoder_2", "text_encoder_3"):
+            te = getattr(self, attr, None)
+            if te is not None and hasattr(te, "release"):
+                te.release()
+        # drop jitted encode fns: they close over the encoder graphdef
+        for key in [k for k in self._jit_cache
+                    if isinstance(k, tuple) and k
+                    and str(k[0]) in ("te_fwd", "t5_fwd", "mllm_fwd", "qwen_fwd")]:
+            del self._jit_cache[key]
+        gc.collect()
+
+    def maybe_release_text_encoders(self) -> None:
+        """release_text_encoders, but only where it buys HBM: on a single
+        chip (or when forced via APEX_RELEASE_TEXT_ENCODERS=1). A multi-chip
+        mesh shards the DiT, so encoders can stay resident for fast prompt
+        turnaround."""
+        forced = os.environ.get("APEX_RELEASE_TEXT_ENCODERS")
+        if forced == "0":
+            return
+        if forced == "1" or self.mesh is None or self.mesh.devices.size <= 1:
+            self.release_text_encoders()
+
     def load_component_by_type(self, ctype: str, progress: Optional[ProgressCallback] = None):
         spec = self._spec_for_type(ctype)
         if spec is None:
@@ -268,6 +300,39 @@ class BaseEngine:
         cfg_dict = self._load_component_config(spec)
         cfg = cls.config_class.from_dict(cfg_dict) if cfg_dict else cls.config_class()
         dtype = self._component_dtype(spec)
+
+        synth = os.environ.get("APEX_SYNTHETIC_WEIGHTS", "")
+        if synth:
+            # Benchmark/dry-run mode: never touch checkpoints; build the model
+            # abstractly (zero host allocation) and materialize random weights
+            # directly ON DEVICE — big Linear kernels straight to int8/int4
+            # residency so full-size DiTs fit a single chip exactly like the
+            # quantized serving tier would (quantize/residency.py).
+            from apex_studio_tpu.quantize.residency import (
+                materialize_random_int4,
+                materialize_random_int8,
+            )
+
+            model = nnx.eval_shape(
+                lambda: cls(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0)))
+            seed = abs(hash((base, converter_family))) % (1 << 31)
+            if synth == "int4":
+                n = materialize_random_int4(model, seed=seed)
+            elif synth in ("int8", "1", "true"):
+                n = materialize_random_int8(model, seed=seed)
+            else:  # "bf16": random weights, no residency
+                n = materialize_random_int8(model, seed=seed, min_numel=1 << 62)
+            logger.info("synthetic %s weights for %s (%d resident kernels)",
+                        synth, base, n)
+            if self.mesh is not None and self.mesh.size > 1:
+                rules = getattr(cls, "sharding_rules", None)
+                rules = rules(cfg) if callable(rules) else None
+                if rules is not None:
+                    from apex_studio_tpu.parallel.sharding import shard_pytree
+
+                    nnx.update(model, shard_pytree(nnx.state(model), self.mesh, rules))
+            return model
+
         model = cls(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
 
         sd = self._load_state_dict(spec)

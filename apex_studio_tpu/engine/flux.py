@@ -72,20 +72,10 @@ class FluxT2IEngine(BaseEngine):
             self._jit_cache[key] = fwd
         _, pooled = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
 
-        t5_model = t5._ensure_model()
-        ids2, mask2 = t5.tokenize([prompt_2 or prompt], max_sequence_length)
-        graphdef2, state2 = nnx.split(t5_model)
-        key2 = ("t5_fwd", ids2.shape)
-        fwd2 = self._jit_cache.get(key2)
-        if fwd2 is None:
-
-            @jax.jit
-            def fwd2(state, ids, mask):
-                m = nnx.merge(graphdef2, state)
-                return m(ids, attention_mask=mask)
-
-            self._jit_cache[key2] = fwd2
-        seq = fwd2(state2, jnp.asarray(ids2), jnp.asarray(mask2))
+        # T5 goes through the disk-cached TextEncoder.encode so a repeat
+        # prompt never rebuilds the 4.7B encoder after release_text_encoders.
+        seq, _ = t5.encode([prompt_2 or prompt], max_sequence_length,
+                           use_chat_template=False)
         return pooled, seq
 
     def run(
@@ -118,8 +108,6 @@ class FluxT2IEngine(BaseEngine):
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
 
-        if self.transformer is None:
-            self.load_component_by_type("transformer")
         # The VAE defines the latent geometry — always load it.
         if self.vae is None:
             self.load_component_by_type("vae")
@@ -128,6 +116,9 @@ class FluxT2IEngine(BaseEngine):
 
         use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
 
+        # Encode BEFORE the transformer loads: a T5-XXL and a 12B DiT never
+        # run concurrently, and staged residency is what lets both fit one
+        # chip (release_text_encoders, engine/base.py).
         safe_emit_progress(progress_callback, 0.02, "Encoding prompts")
         pooled, seq = self.encode_prompt(prompt or "", prompt_2, max_sequence_length)
         neg_pooled = neg_seq = None
@@ -135,7 +126,12 @@ class FluxT2IEngine(BaseEngine):
             neg_pooled, neg_seq = self.encode_prompt(
                 negative_prompt or "", negative_prompt_2, max_sequence_length
             )
+        if offload:
+            self.maybe_release_text_encoders()
         safe_emit_progress(progress_callback, 0.20, "Encoded prompts")
+
+        if self.transformer is None:
+            self.load_component_by_type("transformer")
 
         cfg_t = self.transformer.cfg
         lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8

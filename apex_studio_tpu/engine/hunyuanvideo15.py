@@ -65,7 +65,22 @@ class HunyuanVideo15T2VEngine(BaseEngine):
             self.text_encoder_2 = TextEncoder(self, byt5)
 
     def _encode_mllm(self, prompt: str, max_length: int = 1000, crop_start: int = 108):
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
         te = self.text_encoder
+        # Disk-cached like TextEncoder.encode: a repeat prompt never rebuilds
+        # the 7B MLLM after release_text_encoders (staged single-chip memory).
+        cache = EmbeddingCache("hyv15_mllm")
+        cache_key = {
+            "prompt": prompt, "max_len": max_length, "crop": crop_start,
+            "base": te.base,
+            "weights": str(te.spec.get("model_path") or "")[:256],
+            "config": te.spec.get("config") or te.spec.get("config_path") or "",
+        }
+        hit = cache.load(cache_key)
+        if hit is not None:
+            h, m = hit
+            return jnp.asarray(h), jnp.asarray(m)
         model = te._ensure_model()
         text = (
             f"<|im_start|>system\n{SYSTEM_MESSAGE}<|im_end|>\n"
@@ -73,7 +88,7 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         )
         ids, mask = te.tokenize([text], max_length + crop_start)
         graphdef, state = nnx.split(model)
-        key = ("hyv15_mllm", ids.shape)
+        key = ("te_fwd", "hyv15_mllm", ids.shape)
         fwd = self._jit_cache.get(key)
         if fwd is None:
 
@@ -84,7 +99,9 @@ class HunyuanVideo15T2VEngine(BaseEngine):
 
             self._jit_cache[key] = fwd
         hidden = fwd(state, jnp.asarray(ids), jnp.asarray(mask))
-        return hidden[:, crop_start:], jnp.asarray(mask)[:, crop_start:]
+        hidden, mask = hidden[:, crop_start:], jnp.asarray(mask)[:, crop_start:]
+        cache.store(cache_key, np.asarray(hidden, np.float32), np.asarray(mask))
+        return hidden, mask
 
     def _encode_byt5(self, prompt: str, max_length: int = 128):
         glyph = extract_glyph_text(prompt)
@@ -125,7 +142,16 @@ class HunyuanVideo15T2VEngine(BaseEngine):
     ):
         _image = _.pop("_image", None)
         safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
+        # Encode the 7B MLLM branch BEFORE the DiT loads (staged single-chip
+        # residency, engine/base.py release_text_encoders); the small byT5
+        # glyph branch runs after since it needs the transformer's dims.
         self.load_text_encoders()
+        use_cfg = guidance_scale > 1.0
+        text, text_mask = self._encode_mllm(prompt or "")
+        if use_cfg:
+            ntext, ntext_mask = self._encode_mllm(negative_prompt or "")
+        if offload:
+            self.maybe_release_text_encoders()
         if self.transformer is None:
             self.load_component_by_type("transformer")
         # The VAE defines the latent geometry — always load it.
@@ -144,11 +170,8 @@ class HunyuanVideo15T2VEngine(BaseEngine):
             num_frames = int(round((duration or 5.0) * fps)) + 1
         num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
 
-        text, text_mask = self._encode_mllm(prompt or "")
         text2, text2_mask = self._encode_byt5(prompt or "")
-        use_cfg = guidance_scale > 1.0
         if use_cfg:
-            ntext, ntext_mask = self._encode_mllm(negative_prompt or "")
             ntext2, ntext2_mask = self._encode_byt5(negative_prompt or "")
         safe_emit_progress(progress_callback, 0.2, "Prompts ready")
 

@@ -45,9 +45,23 @@ class QwenImageT2IEngine(BaseEngine):
     system_message = SYSTEM_MESSAGE
 
     def encode_prompt(self, prompt: str, max_length: int = 1024):
+        from apex_studio_tpu.utils.disk_cache import EmbeddingCache
+
         if self.text_encoder is None:
             self.load_component_by_type("text_encoder")
         te = self.text_encoder
+        # Disk-cached so a repeat prompt never rebuilds the 7B Qwen2.5-VL
+        # after release_text_encoders (staged single-chip memory).
+        cache = EmbeddingCache("qwenimage_te")
+        cache_key = {
+            "prompt": prompt, "max_len": max_length, "sys": self.system_message,
+            "base": te.base,
+            "weights": str(te.spec.get("model_path") or "")[:256],
+            "config": te.spec.get("config") or te.spec.get("config_path") or "",
+        }
+        hit = cache.load(cache_key)
+        if hit is not None:
+            return jnp.asarray(hit[0])
         model = te._ensure_model()
         text = (
             f"<|im_start|>system\n{self.system_message}<|im_end|>\n"
@@ -55,7 +69,7 @@ class QwenImageT2IEngine(BaseEngine):
         )
         ids, mask = te.tokenize([text], max_length + DROP_IDX)
         graphdef, state = nnx.split(model)
-        key = ("qwenimage_te", ids.shape)
+        key = ("te_fwd", "qwenimage", ids.shape)
         fwd = self._jit_cache.get(key)
         if fwd is None:
 
@@ -72,6 +86,7 @@ class QwenImageT2IEngine(BaseEngine):
         bucket = ((n + 31) // 32) * 32
         out = np.zeros((1, bucket, hidden.shape[-1]), np.float32)
         out[0, :n] = np.asarray(hidden, np.float32)[0, DROP_IDX:true_len]
+        cache.store(cache_key, out, np.ones((1, bucket), np.int32))
         return jnp.asarray(out)
 
     def run(
@@ -97,6 +112,15 @@ class QwenImageT2IEngine(BaseEngine):
         **_: Any,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting t2i pipeline")
+        # Encode BEFORE the 20B DiT loads (staged single-chip residency,
+        # engine/base.py release_text_encoders).
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+        txt = self.encode_prompt(prompt or "")
+        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
+        if offload:
+            self.maybe_release_text_encoders()
+        safe_emit_progress(progress_callback, 0.2, "Prompts ready")
+
         if self.transformer is None:
             self.load_component_by_type("transformer")
         # The VAE defines the latent geometry — always load it.
@@ -104,11 +128,6 @@ class QwenImageT2IEngine(BaseEngine):
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")
-
-        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
-        txt = self.encode_prompt(prompt or "")
-        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
-        safe_emit_progress(progress_callback, 0.2, "Prompts ready")
 
         cfg_t = self.transformer.cfg
         lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8
@@ -285,17 +304,19 @@ class QwenImageEditEngine(QwenImageT2IEngine):
         images = image if isinstance(image, (list, tuple)) else [image]
         images = [self.load_image_input(im) for im in images]
 
+        # Encode BEFORE the 20B DiT loads (staged single-chip residency).
+        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
+        txt = self.encode_prompt(prompt or "")
+        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
+        self.maybe_release_text_encoders()
+        safe_emit_progress(progress_callback, 0.15, "Prompts ready")
+
         if self.transformer is None:
             self.load_component_by_type("transformer")
         if self.vae is None:
             self.load_component_by_type("vae")
         if self.scheduler is None:
             self.load_component_by_type("scheduler")
-
-        use_cfg = true_cfg_scale > 1.0 and negative_prompt is not None
-        txt = self.encode_prompt(prompt or "")
-        neg_txt = self.encode_prompt(negative_prompt or "") if use_cfg else None
-        safe_emit_progress(progress_callback, 0.15, "Prompts ready")
 
         cfg_t = self.transformer.cfg
         lat_scale = self.vae.cfg.spatial_scale if self.vae is not None else 8

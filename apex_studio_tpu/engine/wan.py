@@ -323,8 +323,21 @@ class WanShared(BaseEngine):
         easy_cache_ret_steps: int = 10,
     ):
         safe_emit_progress(progress_callback, 0.0, "Starting pipeline")
+        # Encode BEFORE the 14B-class DiT loads (staged single-chip residency,
+        # engine/base.py release_text_encoders): UMT5-XXL and the transformer
+        # never run concurrently.
+        if self.text_encoder is None:
+            self.load_component_by_type("text_encoder")
+        context = self.encode_prompt(prompt or "", max_sequence_length)
+        use_cfg = guidance_scale > 1.0
+        neg_context = (
+            self.encode_prompt(negative_prompt or "", max_sequence_length) if use_cfg else None
+        )
+        self.maybe_release_text_encoders()
+        safe_emit_progress(progress_callback, 0.05, "Prompts ready")
+
         self.load_components(return_latents)
-        safe_emit_progress(progress_callback, 0.05, "Components ready")
+        safe_emit_progress(progress_callback, 0.18, "Components ready")
 
         vae_cfg = self.vae.cfg if self.vae is not None else None
         s_scale = vae_cfg.spatial_scale if vae_cfg else 8
@@ -333,13 +346,6 @@ class WanShared(BaseEngine):
         height -= height % (s_scale * ph)
         width -= width % (s_scale * pw)
         num_frames = max(1, num_frames - (num_frames - 1) % t_scale)
-
-        context = self.encode_prompt(prompt or "", max_sequence_length)
-        use_cfg = guidance_scale > 1.0
-        neg_context = (
-            self.encode_prompt(negative_prompt or "", max_sequence_length) if use_cfg else None
-        )
-        safe_emit_progress(progress_callback, 0.18, "Prompts ready")
 
         lat_t = (num_frames - 1) // t_scale + 1
         lat_h, lat_w = height // s_scale, width // s_scale

@@ -87,6 +87,54 @@ class LoraManager:
         except (AttributeError, IndexError, KeyError, TypeError):
             return None
 
+    @staticmethod
+    def _target_module(model: nnx.Module, kernel_path: str):
+        """Owning module of a ``...kernel`` path (for residency-aware merge)."""
+        from apex_studio_tpu.loaders.state_mapping import _walk
+
+        parts = kernel_path.split(".")[:-1]
+        try:
+            return _walk(model, parts)
+        except (AttributeError, IndexError, KeyError, TypeError):
+            return None
+
+    @staticmethod
+    def _merge_into_quantized(mod, delta: np.ndarray, sign: float) -> bool:
+        """Merge a LoRA delta into an int8/int4-resident kernel: dequantize on
+        host, add, requantize (scales refresh). Exact unmerge is NOT preserved
+        across the requant — the reference's CUDA path has the same property
+        for its quantized tiers (scaled_layer.py) and re-loads instead.
+
+        delta arrives torch-ordered [out, in]."""
+        import jax
+        import jax.numpy as jnp
+
+        from apex_studio_tpu.quantize.residency import (
+            quantize_kernel_int4,
+            quantize_kernel_int8,
+        )
+
+        bits = getattr(mod, "kernel_bits", 8)
+        q = np.asarray(jax.device_get(mod.kernel.value))
+        s = np.asarray(jax.device_get(mod.kernel_scale.value), np.float32)
+        if bits == 4:
+            lo = (q & 0xF).astype(np.int8) - 8
+            hi = (q >> 4).astype(np.int8) - 8
+            host = np.concatenate([lo, hi], axis=1).astype(np.float32) * s
+        else:
+            host = q.astype(np.float32) * s
+        if host.shape != delta.T.shape:
+            return False
+        host = host + sign * np.asarray(delta.T, np.float32)
+        if bits == 4:
+            packed, new_s = quantize_kernel_int4(host)
+            mod.kernel.value = jnp.asarray(packed)
+        else:
+            q8, new_s = quantize_kernel_int8(host)
+            mod.kernel.value = jnp.asarray(q8)
+        mod.kernel_scale.value = jnp.asarray(new_s)
+        return True
+
     def pairs_for_model(
         self, sd: Dict[str, np.ndarray], converter_family: Optional[str]
     ) -> List[Tuple[str, LoraPair]]:
@@ -127,6 +175,14 @@ class LoraManager:
                 skipped.append(path)
                 continue
             delta = pair.delta(scale)  # torch [out, in]
+            if path.endswith(".kernel"):
+                mod = self._target_module(model, path)
+                if mod is not None and getattr(mod, "kernel_scale", None) is not None:
+                    if self._merge_into_quantized(mod, delta, sign):
+                        applied += 1
+                    else:
+                        skipped.append(f"{path} (quantized target shape mismatch)")
+                    continue
             kernel = param.value
             if kernel.shape == delta.T.shape:
                 new = kernel + sign * jnp.asarray(delta.T, kernel.dtype)

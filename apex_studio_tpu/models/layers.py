@@ -44,15 +44,19 @@ class Linear(nnx.Module):
         self.bias = (
             nnx.Param(jnp.zeros((out_features,), param_dtype)) if use_bias else None
         )
-        # int8 weight residency (quantize/residency.py): when set, ``kernel``
-        # holds int8 values and ``kernel_scale`` the per-out-channel scales.
+        # int8/int4 weight residency (quantize/residency.py): when set,
+        # ``kernel`` holds quantized values and ``kernel_scale`` the
+        # per-out-channel scales; ``kernel_bits=4`` marks nibble-packed int4.
         # nnx.data marks the slot non-static so residency can fill it later.
         self.kernel_scale = nnx.data(None)
+        self.kernel_bits = 8
         self.dtype = dtype
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel.value
         if self.kernel_scale is not None:
+            if getattr(self, "kernel_bits", 8) == 4:
+                return self._w4(x)
             if _int8_compute_enabled():
                 return self._w8a8(x)
             # Dequantize into the matmul; XLA fuses convert+scale into the
@@ -61,6 +65,27 @@ class Linear(nnx.Module):
         else:
             k = k.astype(self.dtype)
         y = x.astype(self.dtype) @ k
+        if self.bias is not None:
+            y = y + self.bias.value.astype(self.dtype)
+        return y
+
+    def _w4(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Nibble-packed int4 residency (quantize/residency.py
+        quantize_kernel_int4 layout: packed [in, out/2] uint8, low nibble =
+        column j, high nibble = column j + out/2; stored offset-binary q+8).
+
+        The matmul splits into the two nibble planes so the unpack + scale
+        chain stays an elementwise producer XLA fuses into each MXU operand
+        load — no full bf16 weight copy lands in HBM."""
+        u = self.kernel.value
+        s = self.kernel_scale.value
+        half = u.shape[1]
+        xd = x.astype(self.dtype)
+        lo = ((u & 0xF).astype(jnp.int8) - 8).astype(self.dtype)
+        hi = ((u >> 4).astype(jnp.int8) - 8).astype(self.dtype)
+        y = jnp.concatenate(
+            [xd @ (lo * s[:half].astype(self.dtype)),
+             xd @ (hi * s[half:].astype(self.dtype))], axis=-1)
         if self.bias is not None:
             y = y + self.bias.value.astype(self.dtype)
         return y

@@ -39,6 +39,27 @@ def quantize_kernel_int8(kernel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scale.reshape(-1).astype(np.float32)
 
 
+def quantize_kernel_int4(kernel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel absmax int4, nibble-packed.
+
+    Layout: packed uint8 ``[in, out/2]`` where the LOW nibble of column ``j``
+    holds output column ``j`` and the HIGH nibble holds column ``j + out/2``
+    (plane layout, so the matmul splits into two fusable halves instead of an
+    interleaving gather). Values are offset-binary: stored ``v = q + 8`` with
+    ``q ∈ [-8, 7]``. Counterpart of the reference's GGUF Q4 serving tier
+    (``quantize/dequant.py`` Q4_0 semantics, per-channel instead of per-32
+    groups)."""
+    k = np.asarray(kernel, np.float32)
+    assert k.ndim == 2 and k.shape[1] % 2 == 0, k.shape
+    absmax = np.max(np.abs(k), axis=0, keepdims=True)
+    scale = (absmax / 7.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.rint(k / scale), -8, 7).astype(np.int8) + 8  # [0, 15]
+    half = k.shape[1] // 2
+    packed = (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
+    return packed, scale.reshape(-1).astype(np.float32)
+
+
 def _is_quantizable(mod: nnx.Module, min_numel: int) -> bool:
     from apex_studio_tpu.models.layers import Linear
 
@@ -69,6 +90,32 @@ def apply_int8_residency(
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         mod.kernel = nnx.Param(put(q))
         mod.kernel_scale = nnx.Param(put(scale))
+        n += 1
+    return n
+
+
+def apply_int4_residency(
+    model: nnx.Module,
+    *,
+    min_numel: int = DEFAULT_MIN_NUMEL,
+    device: Optional[jax.Device] = None,
+) -> int:
+    """Quantize every large Linear kernel of ``model`` to packed int4 in
+    place (the 20B-class single-chip tier: a QwenImage DiT is ~20 GB at int8
+    but ~10 GB at int4 — the same trade the reference's GGUF Q4_K_M manifest
+    variants make for 16 GB CUDA cards)."""
+    n = 0
+    for _, mod in nnx.iter_modules(model):
+        if not _is_quantizable(mod, min_numel):
+            continue
+        if int(mod.kernel.value.shape[-1]) % 2:
+            continue
+        host = np.asarray(jax.device_get(mod.kernel.value), np.float32)
+        packed, scale = quantize_kernel_int4(host)
+        put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+        mod.kernel = nnx.Param(put(packed))
+        mod.kernel_scale = nnx.Param(put(scale))
+        mod.kernel_bits = 4
         n += 1
     return n
 
@@ -129,12 +176,71 @@ def materialize_random_int8(
         else:
             specs.append((idx, "zero", shape, jnp.dtype(leaf.dtype), None))
 
+    _materialize_specs(model, state, flat, specs, seed, device)
+    return n
+
+
+def materialize_random_int4(
+    model: nnx.Module,
+    *,
+    min_numel: int = DEFAULT_MIN_NUMEL,
+    seed: int = 0,
+    scale: float = 0.02,
+    device: Optional[jax.Device] = None,
+) -> int:
+    """materialize_random_int8 variant that lands large Linear kernels as
+    nibble-packed int4 (quantize_kernel_int4 layout) — half the HBM again."""
+    scale_paths: dict[tuple, float] = {}
+    n = 0
+    for path, mod in nnx.iter_modules(model):
+        if not _is_quantizable(mod, min_numel):
+            continue
+        shape = tuple(int(d) for d in mod.kernel.value.shape)
+        if shape[-1] % 2:
+            continue
+        mod.kernel = nnx.Param(
+            jax.ShapeDtypeStruct((shape[0], shape[1] // 2), jnp.uint8))
+        mod.kernel_scale = nnx.Param(
+            jax.ShapeDtypeStruct((shape[-1],), jnp.float32))
+        mod.kernel_bits = 4
+        scale_paths[tuple(path) + ("kernel_scale",)] = float(
+            scale / np.sqrt(shape[0]) / 7.0)
+        n += 1
+
+    state = nnx.state(model)
+    flat = list(state.flat_state())
+    specs = []
+    for idx, (path, var) in enumerate(flat):
+        leaf = var.value
+        if not isinstance(leaf, jax.ShapeDtypeStruct):
+            continue
+        shape = tuple(int(d) for d in leaf.shape)
+        key_path = tuple(path)
+        if key_path in scale_paths:
+            specs.append((idx, "const", shape, jnp.float32, scale_paths[key_path]))
+        elif leaf.dtype == jnp.uint8:
+            specs.append((idx, "u8", shape, jnp.uint8, None))
+        elif leaf.dtype == jnp.int8:
+            specs.append((idx, "i8", shape, jnp.int8, None))
+        elif jnp.issubdtype(leaf.dtype, jnp.floating):
+            specs.append((idx, "normal", shape, jnp.dtype(leaf.dtype), float(scale)))
+        else:
+            specs.append((idx, "zero", shape, jnp.dtype(leaf.dtype), None))
+
+    _materialize_specs(model, state, flat, specs, seed, device)
+    return n
+
+
+def _materialize_specs(model, state, flat, specs, seed, device) -> None:
     def _make(key):
         outs = []
         for i, (_, kind, shape, dtype, const) in enumerate(specs):
             k = jax.random.fold_in(key, i)
             if kind == "i8":
                 outs.append(jax.random.randint(k, shape, -127, 128, jnp.int8))
+            elif kind == "u8":
+                outs.append(jax.random.randint(k, shape, 0, 256, jnp.int32)
+                            .astype(jnp.uint8))
             elif kind == "const":
                 outs.append(jnp.full(shape, const, dtype))
             elif kind == "normal":
@@ -151,4 +257,3 @@ def materialize_random_int8(
     for (idx, *_rest), arr in zip(specs, outs):
         flat[idx][1].value = arr
     nnx.update(model, state)
-    return n

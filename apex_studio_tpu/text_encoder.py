@@ -42,6 +42,11 @@ class TextEncoder:
             )
         return self.model
 
+    def release(self) -> None:
+        """Free the encoder weights (engine.release_text_encoders). The spec
+        and tokenizer survive, so the next uncached encode rebuilds lazily."""
+        self.model = None
+
     def _converter_family(self) -> str:
         if "Qwen3" in self.base:
             return "qwen3"

@@ -129,3 +129,79 @@ class TestMergeIntoModel:
         assert s1.scale == 1.0
         s2 = LoraSpec.from_manifest_entry({"path": "x.safetensors", "scale": 0.5, "name": "style"})
         assert s2.scale == 0.5 and s2.name == "style"
+
+
+class TestQuantizedMerge:
+    """LoRA merge into int8/int4-resident kernels (dequant → add → requant):
+    serving-quantized weights must still accept user adapters like the
+    reference's Q8 tier."""
+
+    def _delta_err(self, bits):
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from apex_studio_tpu.lora.manager import LoraManager
+        from apex_studio_tpu.models.layers import Linear
+        from apex_studio_tpu.quantize.residency import (
+            apply_int4_residency,
+            apply_int8_residency,
+        )
+
+        rng = np.random.default_rng(0)
+        din, dout, rank = 64, 32, 4
+        lin = Linear(din, dout, use_bias=False, dtype=jnp.float32,
+                     param_dtype=jnp.float32, rngs=nnx.Rngs(0))
+        a = rng.normal(size=(rank, din)).astype(np.float32) * 0.1
+        b = rng.normal(size=(dout, rank)).astype(np.float32) * 0.1
+        delta = b @ a  # torch [out, in]
+        x = jnp.asarray(rng.normal(size=(4, din)), jnp.float32)
+        y_expected = np.asarray(lin(x)) + np.asarray(x) @ delta.T
+
+        if bits == 8:
+            apply_int8_residency(lin, min_numel=1)
+        else:
+            apply_int4_residency(lin, min_numel=1)
+        ok = LoraManager._merge_into_quantized(lin, delta, 1.0)
+        assert ok
+        y = np.asarray(lin(x))
+        return float(np.linalg.norm(y - y_expected) /
+                     np.linalg.norm(y_expected))
+
+    def test_int8_merge(self):
+        assert self._delta_err(8) < 2e-2
+
+    def test_int4_merge(self):
+        assert self._delta_err(4) < 1.5e-1
+
+    def test_apply_to_model_routes_quantized(self):
+        """apply_to_model must detect the residency and use the host-side
+        merge instead of adding bf16 deltas into int8 storage."""
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from apex_studio_tpu.lora.manager import LoraManager
+        from apex_studio_tpu.models.layers import Linear
+        from apex_studio_tpu.quantize.residency import apply_int8_residency
+
+        class Toy(nnx.Module):
+            def __init__(self):
+                self.to_q = Linear(32, 32, use_bias=False, dtype=jnp.float32,
+                                   param_dtype=jnp.float32, rngs=nnx.Rngs(0))
+
+        toy = Toy()
+        before = np.asarray(toy.to_q.kernel.value).copy()
+        apply_int8_residency(toy, min_numel=1)
+        rng = np.random.default_rng(1)
+        sd = {
+            "to_q.lora_A.weight": rng.normal(size=(2, 32)).astype(np.float32),
+            "to_q.lora_B.weight": rng.normal(size=(32, 2)).astype(np.float32),
+        }
+        applied, skipped = LoraManager().apply_to_model(toy, sd, scale=1.0)
+        assert applied == 1, skipped
+        assert toy.to_q.kernel.value.dtype == jnp.int8  # still resident
+        deq = (np.asarray(toy.to_q.kernel.value, np.float32)
+               * np.asarray(toy.to_q.kernel_scale.value))
+        delta = sd["to_q.lora_B.weight"] @ sd["to_q.lora_A.weight"]
+        expected = before + delta.T
+        err = np.linalg.norm(deq - expected) / np.linalg.norm(expected)
+        assert err < 2e-2
