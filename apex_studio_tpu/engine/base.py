@@ -297,11 +297,16 @@ class BaseEngine:
         _load_builtin_families()
         base = spec.get("base")
         cls = registry.get(base)
-        cfg_dict = self._load_component_config(spec)
+        synth = os.environ.get("APEX_SYNTHETIC_WEIGHTS", "")
+        try:
+            cfg_dict = self._load_component_config(spec)
+        except FileNotFoundError:
+            if not synth:
+                raise
+            cfg_dict = None  # synthetic mode: family defaults stand in
         cfg = cls.config_class.from_dict(cfg_dict) if cfg_dict else cls.config_class()
         dtype = self._component_dtype(spec)
 
-        synth = os.environ.get("APEX_SYNTHETIC_WEIGHTS", "")
         if synth:
             # Benchmark/dry-run mode: never touch checkpoints; build the model
             # abstractly (zero host allocation) and materialize random weights

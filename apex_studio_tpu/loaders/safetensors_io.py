@@ -131,10 +131,29 @@ def load_torch_checkpoint(path: Union[str, Path]) -> Dict[str, np.ndarray]:
 
 
 def dequantize_fp8_scaled(sd: Dict[str, np.ndarray], target=np.float32) -> Dict[str, np.ndarray]:
-    """Fold `<name>.scale_weight` / `scale` tensors into their fp8 weights."""
+    """Fold `<name>.scale_weight` / `scale` tensors into their quantized
+    weights at load time:
+
+    - fp8 (e4m3/e5m2) weights: cast + multiply (reference
+      ``quantize/scaled_layer.py`` fp8_activation_dequant semantics).
+    - FP4-scaled weights (reference ``scaled_layer.py:76`` quantize_to_fp4):
+      int8/uint8 tensors holding signed 4-bit codes in [-7, 7] with a
+      broadcastable pow2 ``scale_weight`` → ``q * scale`` (``:118``
+      dequantize_from_fp4). TPU has no 4-bit native grid, so like fp8 these
+      land as bf16/f32 host-side; int4 *residency* (quantize/residency.py)
+      is the on-device compressed tier.
+    """
     out: Dict[str, np.ndarray] = {}
     scale_suffixes = (".scale_weight", ".weight_scale", "_scale")
     scales = {k: v for k, v in sd.items() if k.endswith(scale_suffixes)}
+
+    def _scale_for(key: str):
+        for suf in scale_suffixes:
+            cand = key.rsplit(".", 1)[0] + suf
+            if cand in scales:
+                return scales[cand]
+        return None
+
     for key, arr in sd.items():
         if key in scales:
             continue
@@ -142,15 +161,15 @@ def dequantize_fp8_scaled(sd: Dict[str, np.ndarray], target=np.float32) -> Dict[
             ml_dtypes.float8_e4m3fn,
             ml_dtypes.float8_e5m2,
         ):
-            scale = None
-            for suf in scale_suffixes:
-                cand = key.rsplit(".", 1)[0] + suf
-                if cand in scales:
-                    scale = scales[cand]
-                    break
+            scale = _scale_for(key)
             arr = arr.astype(target)
             if scale is not None:
                 arr = arr * scale.astype(target)
+        elif arr.dtype in (np.int8, np.uint8):
+            scale = _scale_for(key)
+            if scale is not None:  # FP4-scaled entry (codes are signed)
+                codes = arr.view(np.int8).astype(target)
+                arr = codes * scale.astype(target)
         out[key] = arr
     return out
 

@@ -68,6 +68,31 @@ class Qwen3Attention(nnx.Module):
         out = attention_op(q, k, v, mask=mask, is_causal=mask is None)
         return self.o_proj(out.reshape(b, s, -1))
 
+    def step(self, x, cos, sin, cache_k, cache_v, pos):
+        """One-token decode: write this position's (pre-repeat) K/V into the
+        fixed-size cache at ``pos`` and attend the single query over it.
+        cache_k/v: [B, L, kv_heads, d]; pos: traced scalar int32."""
+        import jax
+
+        b = x.shape[0]
+        q = self.q_norm(self.q_proj(x).reshape(b, 1, self.heads, self.head_dim))
+        k = self.k_norm(self.k_proj(x).reshape(b, 1, self.kv_heads, self.head_dim))
+        v = self.v_proj(x).reshape(b, 1, self.kv_heads, self.head_dim)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0))
+        kk, vv = cache_k.astype(q.dtype), cache_v.astype(q.dtype)
+        rep = self.heads // self.kv_heads
+        if rep > 1:
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        valid = (jnp.arange(cache_k.shape[1]) <= pos)[None, :]
+        out = attention_op(q, kk, vv, mask=jnp.broadcast_to(valid, (b, cache_k.shape[1])))
+        return self.o_proj(out.reshape(b, 1, -1)), cache_k, cache_v
+
 
 class Qwen3DecoderLayer(nnx.Module):
     def __init__(self, cfg: Qwen3Config, *, dtype, param_dtype, rngs: nnx.Rngs):
@@ -80,6 +105,12 @@ class Qwen3DecoderLayer(nnx.Module):
     def __call__(self, x, cos, sin, mask):
         x = x + self.self_attn(self.input_layernorm(x), cos, sin, mask)
         return x + self.mlp(self.post_attention_layernorm(x))
+
+    def step(self, x, cos, sin, cache_k, cache_v, pos):
+        attn, cache_k, cache_v = self.self_attn.step(
+            self.input_layernorm(x), cos, sin, cache_k, cache_v, pos)
+        x = x + attn
+        return x + self.mlp(self.post_attention_layernorm(x)), cache_k, cache_v
 
 
 @text_encoder_registry.register("Qwen3ForCausalLM", aliases=("qwen3",))
@@ -129,3 +160,68 @@ class Qwen3TextEncoder(nnx.Module):
         for layer in self.layers:
             x = layer(x, cos, sin, mask)
         return self.norm(x) if normalize_last else x
+
+    # -- KV-cached autoregressive decode (prompt extension) -------------------
+
+    def init_cache(self, batch: int, cache_len: int):
+        """Per-layer (k, v) caches [B, L, kv_heads, head_dim]."""
+        kvh, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        z = jnp.zeros((batch, cache_len, kvh, d), self.dtype)
+        return [(z, z) for _ in range(len(self.layers))]
+
+    def prefill(self, input_ids, attention_mask, cache_len: int,
+                normalize_last: bool = True):
+        """Full forward over the prompt that also fills the KV caches.
+
+        Returns (hidden [B, S, D] post-(optional)norm, caches padded to
+        ``cache_len``). The decode loop then costs O(1) forwards per token
+        (decode_step) instead of re-running the padded full sequence.
+        """
+        b, s = input_ids.shape
+        x = jnp.take(self.embed_tokens.value, input_ids, axis=0).astype(self.dtype)
+        positions = jnp.arange(s)[None, :]
+        from apex_studio_tpu.ops.rope import rope_freqs_1d
+
+        cos, sin = rope_freqs_1d(positions, self.cfg.head_dim, self.cfg.rope_theta)
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        if attention_mask is not None:
+            mask = jnp.logical_and(causal, attention_mask.astype(bool)[:, None, None, :])
+        else:
+            mask = causal
+        pad = cache_len - s
+        caches = []
+        for layer in self.layers:
+            h = layer.input_layernorm(x)
+            att = layer.self_attn
+            q = att.q_norm(att.q_proj(h).reshape(b, s, att.heads, att.head_dim))
+            k = att.k_norm(att.k_proj(h).reshape(b, s, att.kv_heads, att.head_dim))
+            v = att.v_proj(h).reshape(b, s, att.kv_heads, att.head_dim)
+            q = apply_rope_half(q, cos, sin)
+            k = apply_rope_half(k, cos, sin)
+            caches.append((
+                jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(self.dtype),
+                jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(self.dtype),
+            ))
+            rep = att.heads // att.kv_heads
+            kk = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+            vv = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+            out = attention_op(q, kk, vv, mask=mask)
+            x = x + att.o_proj(out.reshape(b, s, -1))
+            x = x + layer.mlp(layer.post_attention_layernorm(x))
+        return (self.norm(x) if normalize_last else x), caches
+
+    def decode_step(self, token_ids, pos, caches, normalize_last: bool = True):
+        """One cached decode step. token_ids [B, 1]; pos traced scalar int32
+        (the position being written); caches from prefill/init_cache."""
+        from apex_studio_tpu.ops.rope import rope_freqs_1d
+
+        x = jnp.take(self.embed_tokens.value, token_ids, axis=0).astype(self.dtype)
+        positions = jnp.full((1, 1), pos, jnp.int32)
+        cos, sin = rope_freqs_1d(positions, self.cfg.head_dim, self.cfg.rope_theta)
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+        new_caches = []
+        for layer, (ck, cv) in zip(self.layers, caches):
+            x, ck, cv = layer.step(x, cos, sin, ck, cv, pos)
+            new_caches.append((ck, cv))
+        return (self.norm(x) if normalize_last else x), new_caches

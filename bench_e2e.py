@@ -264,9 +264,12 @@ def leg_wan() -> dict:
     steps = 30
 
     def run(clock):
+        # boundary_ratio=None: single expert resident (2x14B does not fit
+        # one chip; the reference's 16GB tier offloads the same way)
         out_frames = engine.run(prompt=PROMPT, negative_prompt=NEG,
                                 height=480, width=832, num_frames=1,
                                 num_inference_steps=steps, guidance_scale=4.0,
+                                boundary_ratio=None,
                                 seed=0, progress_callback=clock)
         run.path = save_frames(out_frames, "wan_t2i")
 
@@ -339,6 +342,10 @@ def leg_hyv15() -> dict:
 
 
 def run_leg_inline(name: str) -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(name)s: %(message)s")
     from apex_studio_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()

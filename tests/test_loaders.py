@@ -164,3 +164,55 @@ class TestStateMapping:
         )
         assert "lin.kernel" in missing
         assert unexpected == ["nope.kernel"]
+
+
+class TestFP4Load:
+    """FP4-scaled checkpoint load path (reference quantize/scaled_layer.py:76
+    quantize_to_fp4 / :118 dequantize_from_fp4): signed 4-bit codes in
+    int8/uint8 + pow2 scale_weight fold to float at load."""
+
+    def _fp4_pair(self, rng, shape):
+        w = rng.normal(size=shape).astype(np.float32)
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        scales = 2.0 ** np.round(np.log2(amax / 7.0))
+        q = np.clip(np.rint(w / scales), -7, 7).astype(np.int8)
+        return q, scales.astype(np.float32), q.astype(np.float32) * scales
+
+    def test_int8_codes_fold(self):
+        rng = np.random.default_rng(0)
+        q, s, expected = self._fp4_pair(rng, (16, 8))
+        out = dequantize_fp8_scaled({"blk.weight": q, "blk.scale_weight": s})
+        assert "blk.scale_weight" not in out
+        np.testing.assert_allclose(out["blk.weight"], expected, rtol=1e-6)
+
+    def test_uint8_codes_fold(self):
+        """Some exporters store the signed codes in a uint8 container
+        (reference dispatch checks torch.uint8, scaled_layer.py:525)."""
+        rng = np.random.default_rng(1)
+        q, s, expected = self._fp4_pair(rng, (8, 4))
+        out = dequantize_fp8_scaled(
+            {"blk.weight": q.view(np.uint8), "blk.scale_weight": s})
+        np.testing.assert_allclose(out["blk.weight"], expected, rtol=1e-6)
+
+    def test_unscaled_int8_passes_through(self):
+        # GGUF-style raw int8 tensors without a scale key must not be touched
+        arr = np.arange(-4, 4, dtype=np.int8).reshape(2, 4)
+        out = dequantize_fp8_scaled({"x.weight": arr})
+        assert out["x.weight"].dtype == np.int8
+        np.testing.assert_array_equal(out["x.weight"], arr)
+
+    def test_synthetic_fp4_checkpoint_roundtrip(self, tmp_path):
+        """Write an FP4-scaled safetensors file, load it through the normal
+        loader chain, and check the folded weights."""
+        from apex_studio_tpu.loaders.safetensors_io import (
+            load_safetensors,
+            save_safetensors,
+        )
+
+        rng = np.random.default_rng(2)
+        q, s, expected = self._fp4_pair(rng, (32, 16))
+        p = tmp_path / "fp4.safetensors"
+        save_safetensors(p, {"lin.weight": q, "lin.scale_weight": s})
+        sd = load_safetensors(p)
+        out = dequantize_fp8_scaled(sd)
+        np.testing.assert_allclose(out["lin.weight"], expected, rtol=1e-6)

@@ -118,3 +118,73 @@ class TestPromptExtension:
         a = ext.generate("hello world", max_new_tokens=3, temperature=0.0)
         b = ext.generate("hello world", max_new_tokens=3, temperature=0.0)
         assert a == b
+
+
+class TestKVCachedDecode:
+    """prefill + decode_step must reproduce the full-forward logits exactly
+    (the O(1)-per-token path prompt extension now uses)."""
+
+    def _model(self):
+        import jax.numpy as jnp
+
+        from apex_studio_tpu.models.text_encoders.qwen3 import (
+            Qwen3Config,
+            Qwen3TextEncoder,
+        )
+
+        cfg = Qwen3Config(vocab_size=64, hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, head_dim=8)
+        return Qwen3TextEncoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    def test_prefill_matches_full_forward(self):
+        import jax.numpy as jnp
+
+        m = self._model()
+        ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+        mask = jnp.ones_like(ids)
+        full = np.asarray(m(ids, attention_mask=mask, normalize_last=True))
+        pre, caches = m.prefill(ids, mask, cache_len=16)
+        np.testing.assert_allclose(np.asarray(pre), full, atol=1e-5)
+        assert len(caches) == 2
+        assert caches[0][0].shape == (1, 16, 2, 8)
+
+    def test_decode_step_matches_recompute(self):
+        import jax.numpy as jnp
+
+        m = self._model()
+        prefix = np.arange(1, 9)
+        nxt = [11, 7, 30]
+        # reference: full forward over prefix+generated each time
+        seq = list(prefix)
+        ref_logits = []
+        for tok in nxt:
+            seq.append(tok)
+            ids = jnp.asarray(np.asarray(seq)[None], jnp.int32)
+            h = m(ids, attention_mask=jnp.ones_like(ids), normalize_last=True)
+            ref_logits.append(np.asarray(h[0, -1]))
+        # cached path
+        ids = jnp.asarray(prefix[None], jnp.int32)
+        _, caches = m.prefill(ids, jnp.ones_like(ids), cache_len=16)
+        pos = len(prefix)
+        got = []
+        for tok in nxt:
+            h, caches = m.decode_step(jnp.asarray([[tok]], jnp.int32),
+                                      jnp.int32(pos), caches)
+            got.append(np.asarray(h[0, 0]))
+            pos += 1
+        for g, r in zip(got, ref_logits):
+            np.testing.assert_allclose(g, r, atol=1e-5)
+
+    def test_generate_cached_equals_fallback(self):
+        """End-to-end: the KV-cached generate must output the same greedy
+        tokens as the padded-recompute fallback."""
+        from apex_studio_tpu.prompt_extension import PromptExtender
+        from tests.test_engine_zimage import make_tokenizer
+
+        m = self._model()
+        ext = PromptExtender(m, make_tokenizer())
+        cached = ext.generate("a red fox", max_new_tokens=5, temperature=0.0)
+        fallback = ext.generate("a red fox", max_new_tokens=5, temperature=0.0,
+                                use_cache=False)
+        assert cached == fallback
