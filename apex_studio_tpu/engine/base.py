@@ -213,16 +213,19 @@ class BaseEngine:
 
     # -- component loading ------------------------------------------------------------
 
-    def release_text_encoders(self) -> None:
+    def release_text_encoders(self, names=None) -> None:
         """Drop text-encoder weights from HBM after conditioning is encoded
         (the single-chip counterpart of the reference's CPU offload between
         pipeline stages, src/mixins/offload_mixin.py): a 5-7B encoder and a
         12-20B DiT do not fit one v5e together, but they never run
         concurrently. Repeat prompts rebuild nothing — TextEncoder.encode is
-        disk-cached — and a new prompt rebuilds the encoder lazily."""
+        disk-cached — and a new prompt rebuilds the encoder lazily.
+
+        ``names`` limits the release to specific attributes (e.g. flux drops
+        only the T5-XXL and keeps the 0.1GB CLIP resident)."""
         import gc
 
-        for attr in ("text_encoder", "text_encoder_2", "text_encoder_3"):
+        for attr in names or ("text_encoder", "text_encoder_2", "text_encoder_3"):
             te = getattr(self, attr, None)
             if te is not None and hasattr(te, "release"):
                 te.release()
@@ -233,7 +236,7 @@ class BaseEngine:
             del self._jit_cache[key]
         gc.collect()
 
-    def maybe_release_text_encoders(self) -> None:
+    def maybe_release_text_encoders(self, names=None) -> None:
         """release_text_encoders, but only where it buys HBM: on a single
         chip (or when forced via APEX_RELEASE_TEXT_ENCODERS=1). A multi-chip
         mesh shards the DiT, so encoders can stay resident for fast prompt
@@ -242,7 +245,7 @@ class BaseEngine:
         if forced == "0":
             return
         if forced == "1" or self.mesh is None or self.mesh.devices.size <= 1:
-            self.release_text_encoders()
+            self.release_text_encoders(names)
 
     def load_component_by_type(self, ctype: str, progress: Optional[ProgressCallback] = None):
         spec = self._spec_for_type(ctype)

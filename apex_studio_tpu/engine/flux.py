@@ -127,7 +127,9 @@ class FluxT2IEngine(BaseEngine):
                 negative_prompt or "", negative_prompt_2, max_sequence_length
             )
         if offload:
-            self.maybe_release_text_encoders()
+            # only the 4.7B T5 — CLIP-L is 0.1 GB and its pooled output is
+            # not disk-cached, so keeping it avoids a rebuild every run
+            self.maybe_release_text_encoders(names=("text_encoder_2",))
         safe_emit_progress(progress_callback, 0.20, "Encoded prompts")
 
         if self.transformer is None:

@@ -281,16 +281,39 @@ class WanShared(BaseEngine):
                 progress_cb(min((i + 1) / len(ts), 1.0), f"Denoising step {i + 1}/{len(ts)}")
         return x
 
+    # Latent tiles bigger than this decode spatially tiled: a full 720p x
+    # 121f 3D decode materializes tens of GB of upsampled activations
+    # (reference tiled_decode, base_engine.py:2030). Threshold/tile sizes in
+    # LATENT px; override via APEX_VAE_TILE / APEX_VAE_TILE_THRESHOLD.
+    VAE_TILE = 32
+    VAE_TILE_THRESHOLD = 48 * 48
+
     def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
-        key = ("wan_vae_decode", tuple(z.shape))
+        import os as _os
+
+        thresh = int(_os.environ.get("APEX_VAE_TILE_THRESHOLD",
+                                     self.VAE_TILE_THRESHOLD))
+        tiled = z.ndim == 5 and z.shape[-2] * z.shape[-1] > thresh
+        key = ("wan_vae_decode", tuple(z.shape), tiled)
         dec = self._jit_cache.get(key)
         if dec is None:
             graphdef, _ = nnx.split(self.vae)
 
             @jax.jit
-            def dec(state, z):
+            def dec_full(state, z):
                 return nnx.merge(graphdef, state).decode(z)
 
+            if tiled:
+                from apex_studio_tpu.models.vaes.tiling import decode_tiled_3d
+
+                tile = int(_os.environ.get("APEX_VAE_TILE", self.VAE_TILE))
+                scale = self.vae.cfg.spatial_scale
+
+                def dec(state, z):
+                    return decode_tiled_3d(
+                        lambda zt: dec_full(state, zt), z, scale, tile=tile)
+            else:
+                dec = dec_full
             self._jit_cache[key] = dec
         _, vae_state = nnx.split(self.vae)
         video = dec(vae_state, z.astype(jnp.float32))  # [B,3,T,H,W]

@@ -24,6 +24,47 @@ from apex_studio_tpu.lora.convert import LoraPair, lora_pairs_from_state_dict
 logger = logging.getLogger("apex.lora")
 
 
+def _merge8(q, s, d):
+    import jax.numpy as jnp
+
+    w = q.astype(jnp.float32) * s + d
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    new_s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q8 = jnp.clip(jnp.rint(w / new_s), -127, 127).astype(jnp.int8)
+    return q8, new_s.astype(jnp.float32)
+
+
+def _merge4(q, s, d):
+    import jax.numpy as jnp
+
+    half = q.shape[1]
+    lo = (q & 0xF).astype(jnp.int8) - 8
+    hi = (q >> 4).astype(jnp.int8) - 8
+    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32) * s + d
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    new_s = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q4 = (jnp.clip(jnp.rint(w / new_s), -8, 7) + 8).astype(jnp.uint8)
+    packed = q4[:, :half] | (q4[:, half:] << 4)
+    return packed, new_s.astype(jnp.float32)
+
+
+def _lazy_jit(fn):
+    holder = {}
+
+    def call(*args):
+        import jax
+
+        if "jit" not in holder:
+            holder["jit"] = jax.jit(fn)
+        return holder["jit"](*args)
+
+    return call
+
+
+_merge8_jit = _lazy_jit(_merge8)
+_merge4_jit = _lazy_jit(_merge4)
+
+
 @dataclass
 class LoraSpec:
     source: str
@@ -100,39 +141,29 @@ class LoraManager:
 
     @staticmethod
     def _merge_into_quantized(mod, delta: np.ndarray, sign: float) -> bool:
-        """Merge a LoRA delta into an int8/int4-resident kernel: dequantize on
-        host, add, requantize (scales refresh). Exact unmerge is NOT preserved
-        across the requant — the reference's CUDA path has the same property
-        for its quantized tiers (scaled_layer.py) and re-loads instead.
+        """Merge a LoRA delta into an int8/int4-resident kernel entirely ON
+        DEVICE: dequantize, add, requantize (per-channel scales refresh) in
+        one jitted dispatch per kernel shape — no multi-GB host round trip.
+        Exact unmerge is NOT preserved across the requant — the reference's
+        CUDA path has the same property for its quantized tiers
+        (scaled_layer.py) and re-loads instead.
 
         delta arrives torch-ordered [out, in]."""
         import jax
         import jax.numpy as jnp
 
-        from apex_studio_tpu.quantize.residency import (
-            quantize_kernel_int4,
-            quantize_kernel_int8,
-        )
-
         bits = getattr(mod, "kernel_bits", 8)
-        q = np.asarray(jax.device_get(mod.kernel.value))
-        s = np.asarray(jax.device_get(mod.kernel_scale.value), np.float32)
-        if bits == 4:
-            lo = (q & 0xF).astype(np.int8) - 8
-            hi = (q >> 4).astype(np.int8) - 8
-            host = np.concatenate([lo, hi], axis=1).astype(np.float32) * s
-        else:
-            host = q.astype(np.float32) * s
-        if host.shape != delta.T.shape:
+        q = mod.kernel.value
+        logical_shape = ((q.shape[0], q.shape[1] * 2) if bits == 4
+                         else tuple(q.shape))
+        if logical_shape != delta.T.shape:
             return False
-        host = host + sign * np.asarray(delta.T, np.float32)
-        if bits == 4:
-            packed, new_s = quantize_kernel_int4(host)
-            mod.kernel.value = jnp.asarray(packed)
-        else:
-            q8, new_s = quantize_kernel_int8(host)
-            mod.kernel.value = jnp.asarray(q8)
-        mod.kernel_scale.value = jnp.asarray(new_s)
+
+        d = jnp.asarray(np.asarray(delta.T, np.float32) * sign)
+        fn = _merge4_jit if bits == 4 else _merge8_jit
+        new_q, new_s = fn(q, mod.kernel_scale.value.astype(jnp.float32), d)
+        mod.kernel.value = new_q
+        mod.kernel_scale.value = new_s
         return True
 
     def pairs_for_model(

@@ -1,11 +1,14 @@
-"""SAM2 predictor wrapper — checkpoint loading, prompt normalization, and the
-process-wide singleton the /mask routes use.
+"""SAM2 predictor wrapper — checkpoint resolution (auto-download), prompt
+normalization, and the process-wide singleton the /mask routes use.
 
-The reference selects a SAM2/SAM3 variant via config and downloads published
-checkpoints (``src/mask/mask.py:57,66``). Here the checkpoint directory comes
-from ``APEX_SAM2_PATH`` (or config key ``mask_model_path``); when absent the
-mask API transparently falls back to the classical segmenter in
-mask/segment.py — same wire format either way.
+Checkpoint resolution order (mirrors ``src/mask/mask.py:57-80`` +
+``mask.py:2069``): explicit ``APEX_SAM2_PATH`` env / ``mask_model_path``
+config key → auto-download of the published checkpoint for the configured
+``MASK_MODEL`` type (default ``sam2_base_plus``) into the preprocessor models
+dir. When every path fails the mask API falls back to the classical GrabCut
+segmenter in mask/segment.py — same wire format — and the failure is LOUD:
+logged at error level and surfaced via :func:`mask_backend_status` (GET
+/system/memory ``mask_backend``).
 """
 
 from __future__ import annotations
@@ -24,6 +27,68 @@ logger = logging.getLogger("apex.mask.sam2")
 _lock = threading.Lock()
 _predictor: Optional["SAM2Predictor"] = None
 _checked = False
+_status: Dict[str, object] = {"backend": "classical", "model_type": None,
+                              "checkpoint": None, "error": None}
+
+# Published checkpoints per model type — reference src/mask/mask.py:65-71
+# (SAM3 is the same nominal tier the reference exposes: enum + URL; its
+# checkpoint loads through the same converter when key-compatible).
+MODEL_WEIGHTS = {
+    "sam2_tiny": "https://dl.fbaipublicfiles.com/segment_anything_2/092824/sam2.1_hiera_tiny.pt",
+    "sam2_small": "https://dl.fbaipublicfiles.com/segment_anything_2/092824/sam2.1_hiera_small.pt",
+    "sam2_base_plus": "https://dl.fbaipublicfiles.com/segment_anything_2/092824/sam2.1_hiera_base_plus.pt",
+    "sam2_large": "https://dl.fbaipublicfiles.com/segment_anything_2/092824/sam2.1_hiera_large.pt",
+    "sam3": "https://huggingface.co/1038lab/sam3/resolve/main/sam3.pt",
+}
+
+
+def mask_backend_status() -> Dict[str, object]:
+    """Which segmentation backend /mask requests will use, and why —
+    surfaced on /system/memory so a silent GrabCut fallback is impossible."""
+    with _lock:
+        return dict(_status)
+
+
+def _resolve_checkpoint() -> Optional[Path]:
+    """Explicit path (env/config) or auto-download of the configured type."""
+    path = os.environ.get("APEX_SAM2_PATH")
+    if not path:
+        try:
+            from apex_studio_tpu.utils.config_store import get_config_value
+
+            path = get_config_value("mask_model_path")
+        except Exception:  # noqa: BLE001
+            path = None
+    if path:
+        p = Path(path)
+        if p.exists():
+            return p
+        _status["error"] = f"configured mask_model_path missing: {path}"
+        logger.error("%s", _status["error"])
+        return None
+
+    model_type = (os.environ.get("MASK_MODEL") or "sam2_base_plus").lower()
+    _status["model_type"] = model_type
+    url = MODEL_WEIGHTS.get(model_type)
+    if url is None:
+        _status["error"] = f"unknown MASK_MODEL {model_type!r}"
+        logger.error("%s", _status["error"])
+        return None
+    from apex_studio_tpu.utils.defaults import get_preprocessor_models_path
+
+    dest = get_preprocessor_models_path() / "sam2" / url.rsplit("/", 1)[-1]
+    if dest.exists():
+        return dest
+    try:
+        from apex_studio_tpu.downloads.api import download_file
+
+        logger.info("downloading %s checkpoint: %s", model_type, url)
+        return Path(download_file(url, dest, validate=False))
+    except Exception as e:  # noqa: BLE001
+        _status["error"] = f"checkpoint download failed: {e}"
+        logger.error("SAM2 checkpoint auto-download failed (%s); the mask "
+                     "API will use the classical GrabCut segmenter", e)
+        return None
 
 
 class SAM2Predictor:
@@ -56,6 +121,11 @@ class SAM2Predictor:
                 sd = load_sharded_safetensors(path)
         elif path.suffix == ".safetensors":
             sd = load_safetensors(path)
+        elif path.suffix in (".pt", ".pth", ".ckpt"):
+            # the published sam2.1_hiera_*.pt checkpoints (mask/mask.py:65)
+            from apex_studio_tpu.loaders.safetensors_io import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(path)
         if sd:
             mapped = convert_keys("sam2", sd)
             apply_state_dict(model, mapped, strict=False)
@@ -130,27 +200,26 @@ class SAM2Predictor:
 
 
 def get_sam2_predictor() -> Optional[SAM2Predictor]:
-    """Process-wide SAM2 predictor, or None when no checkpoint is configured."""
+    """Process-wide SAM2 predictor, or None when no checkpoint resolves —
+    then the mask API uses the classical segmenter and /system/memory's
+    ``mask_backend`` says so."""
     global _predictor, _checked
     with _lock:
         if _checked:
             return _predictor
         _checked = True
-        path = os.environ.get("APEX_SAM2_PATH")
-        if not path:
-            try:
-                from apex_studio_tpu.utils.config_store import get_config_value
-
-                path = get_config_value("mask_model_path")
-            except Exception:  # noqa: BLE001
-                path = None
-        if not path or not Path(path).exists():
+        path = _resolve_checkpoint()
+        if path is None:
             return None
         try:
-            _predictor = SAM2Predictor.from_checkpoint(Path(path))
+            _predictor = SAM2Predictor.from_checkpoint(path)
+            _status.update(backend="sam2", checkpoint=str(path), error=None)
             logger.info("SAM2 predictor loaded from %s", path)
-        except Exception:  # noqa: BLE001
-            logger.exception("failed to load SAM2 checkpoint; classical fallback stays")
+        except Exception as e:  # noqa: BLE001
+            _status["error"] = f"checkpoint load failed: {e}"
+            logger.exception(
+                "failed to load SAM2 checkpoint %s; the mask API will use "
+                "the classical GrabCut segmenter", path)
             _predictor = None
         return _predictor
 
@@ -160,6 +229,8 @@ def reset_sam2_predictor() -> None:
     with _lock:
         _predictor = None
         _checked = False
+        _status.update(backend="classical", model_type=None,
+                       checkpoint=None, error=None)
 
 
 def sam2_track_video(

@@ -411,6 +411,12 @@ async def system_memory(_req: web.Request) -> web.Response:
         "ram": {"total": vm.total, "available": vm.available, "percent": vm.percent},
         "devices": [],
     }
+    try:  # which /mask backend is live (loud GrabCut-fallback surface)
+        from apex_studio_tpu.mask.predictor import mask_backend_status
+
+        payload["mask_backend"] = mask_backend_status()
+    except Exception:
+        pass
     try:
         import jax
 

@@ -189,3 +189,85 @@ class TestSAM2MemoryBank:
         mb = np.asarray(m.memory_encoder(feat, logits_b))
         assert ma.shape == (1, 8, 8, 64)
         assert np.abs(ma - mb).max() > 1e-6
+
+
+class TestCheckpointAutoDownload:
+    """Checkpoint resolution + loud fallback (reference mask/mask.py:57-80,
+    :2069): explicit path -> auto-download per MASK_MODEL -> classical
+    fallback surfaced on /system/memory."""
+
+    def test_auto_download_resolves_and_caches(self, tmp_path, monkeypatch):
+        from apex_studio_tpu.mask import predictor as P
+
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
+        monkeypatch.delenv("APEX_SAM2_PATH", raising=False)
+        monkeypatch.setenv("MASK_MODEL", "sam2_tiny")
+        calls = []
+
+        def fake_download(url, dest, **kw):
+            calls.append(url)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            dest.write_bytes(b"ckpt")
+            return dest
+
+        import apex_studio_tpu.downloads.api as dl
+
+        monkeypatch.setattr(dl, "download_file", fake_download)
+        p = P._resolve_checkpoint()
+        assert p is not None and p.exists()
+        assert "sam2.1_hiera_tiny.pt" in str(p)
+        assert calls and "dl.fbaipublicfiles.com" in calls[0]
+        # second resolve: cached, no new download
+        p2 = P._resolve_checkpoint()
+        assert p2 == p and len(calls) == 1
+
+    def test_sam3_tier_resolves(self, tmp_path, monkeypatch):
+        from apex_studio_tpu.mask import predictor as P
+
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
+        monkeypatch.delenv("APEX_SAM2_PATH", raising=False)
+        monkeypatch.setenv("MASK_MODEL", "sam3")
+
+        def fake_download(url, dest, **kw):
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            dest.write_bytes(b"ckpt")
+            return dest
+
+        import apex_studio_tpu.downloads.api as dl
+
+        monkeypatch.setattr(dl, "download_file", fake_download)
+        p = P._resolve_checkpoint()
+        assert p is not None and p.name == "sam3.pt"
+
+    def test_failed_download_is_loud(self, tmp_path, monkeypatch, caplog):
+        from apex_studio_tpu.mask import predictor as P
+
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
+        monkeypatch.delenv("APEX_SAM2_PATH", raising=False)
+        monkeypatch.setenv("MASK_MODEL", "sam2_tiny")
+
+        def boom(url, dest, **kw):
+            raise RuntimeError("no egress")
+
+        import apex_studio_tpu.downloads.api as dl
+
+        monkeypatch.setattr(dl, "download_file", boom)
+        P.reset_sam2_predictor()
+        import logging as _logging
+
+        with caplog.at_level(_logging.ERROR, logger="apex.mask.sam2"):
+            pred = P.get_sam2_predictor()
+        assert pred is None
+        assert any("GrabCut" in r.message for r in caplog.records)
+        status = P.mask_backend_status()
+        assert status["backend"] == "classical"
+        assert "download failed" in str(status["error"])
+        P.reset_sam2_predictor()
+
+    def test_status_surfaces_on_system_memory(self, server):
+        import requests
+
+        r = requests.get(server + "/system/memory")
+        assert r.ok
+        assert "mask_backend" in r.json()
+        assert r.json()["mask_backend"]["backend"] in ("classical", "sam2")
