@@ -8,10 +8,10 @@ transformer with swin split-window attention and DETR sine positions
 correlation softmax matching (matching.py:7/47), self-attention flow
 propagation (attention.py:184) and RAFT-style convex upsampling
 (utils.py:165). Supports the published gmflow-scale1 and gmflow-scale2
-configurations (reference __init__.py:115-142); the optional regression
-refinement stage (reg_refine) of the scale2-regrefine6 checkpoint is not
-ported — the scale2 path already matches the reference's default quality
-tier.
+configurations plus the scale2-regrefine6 tier (reference
+__init__.py:115-158): a RAFT-style BasicUpdateBlock (reg_refine.py) iterates
+6 local-correlation GRU refinements on the final flow and convex-upsamples
+with its predicted mask.
 
 Everything runs inside one jit per image-shape; flow visualization uses the
 standard Middlebury color wheel (utils/flow_viz.py).
@@ -45,9 +45,11 @@ _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _conv2d(x, w, stride=1, pad=0, dilation=1):
+    pad = pad if isinstance(pad, tuple) else (pad, pad)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)), rhs_dilation=(dilation, dilation),
+        padding=((pad[0], pad[0]), (pad[1], pad[1])),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -62,7 +64,8 @@ class _Conv(nnx.Module):
     def __init__(self, cin, cout, k, stride=1, pad=0, dilation=1,
                  bias=True, *, rngs: nnx.Rngs):
         init = nnx.initializers.lecun_normal()
-        self.kernel = nnx.Param(init(rngs.params(), (k, k, cin, cout), jnp.float32))
+        kh, kw = k if isinstance(k, tuple) else (k, k)
+        self.kernel = nnx.Param(init(rngs.params(), (kh, kw, cin, cout), jnp.float32))
         self.bias = nnx.Param(jnp.zeros((cout,), jnp.float32)) if bias else None
         self.stride, self.pad, self.dilation = stride, pad, dilation
 
@@ -450,6 +453,98 @@ def upsample_flow_with_mask(flow, mask, factor):
     return up.reshape(b, h * factor, w * factor, 2)
 
 
+def local_correlation_with_flow(f0, f1, flow, radius: int = 4):
+    """matching.py:117 — RAW local correlation sampled at coords+flow with
+    zero padding (the reg_refine stage's cost volume). → [B, H, W, (2R+1)²]"""
+    b, h, w, c = f0.shape
+    grid = jnp.asarray(_coords_grid(h, w))[None]  # [1, H, W, 2] (x, y)
+    offs = np.stack(np.meshgrid(
+        np.arange(-radius, radius + 1, dtype=np.float32),
+        np.arange(-radius, radius + 1, dtype=np.float32), indexing="ij"),
+        axis=-1)[..., ::-1].reshape(-1, 2)
+    corrs = []
+    base = grid + flow
+    for i in range(offs.shape[0]):
+        coords = base + jnp.asarray(offs[i])
+        sampled = _bilinear_sample(f1, jnp.broadcast_to(coords, (b, h, w, 2)))
+        valid = ((coords[..., 0] >= 0) & (coords[..., 0] < w)
+                 & (coords[..., 1] >= 0) & (coords[..., 1] < h))
+        corr = (f0 * sampled).sum(-1) / math.sqrt(c)
+        corrs.append(jnp.where(valid, corr, 0.0))  # zero padding_mode
+    return jnp.stack(corrs, axis=-1)
+
+
+class _FlowHead(nnx.Module):
+    """reg_refine.py:6."""
+
+    def __init__(self, input_dim=128, hidden_dim=256, out_dim=2, *, rngs):
+        self.conv1 = _Conv(input_dim, hidden_dim, 3, 1, 1, rngs=rngs)
+        self.conv2 = _Conv(hidden_dim, out_dim, 3, 1, 1, rngs=rngs)
+
+    def __call__(self, x):
+        return self.conv2(jax.nn.relu(self.conv1(x)))
+
+
+class _SepConvGRU(nnx.Module):
+    """reg_refine.py:25 — separable (1×5)+(5×1) conv GRU."""
+
+    def __init__(self, hidden_dim=128, input_dim=256, k=5, *, rngs):
+        cin = hidden_dim + input_dim
+        self.convz1 = _Conv(cin, hidden_dim, (1, k), 1, (0, (k - 1) // 2), rngs=rngs)
+        self.convr1 = _Conv(cin, hidden_dim, (1, k), 1, (0, (k - 1) // 2), rngs=rngs)
+        self.convq1 = _Conv(cin, hidden_dim, (1, k), 1, (0, (k - 1) // 2), rngs=rngs)
+        self.convz2 = _Conv(cin, hidden_dim, (k, 1), 1, ((k - 1) // 2, 0), rngs=rngs)
+        self.convr2 = _Conv(cin, hidden_dim, (k, 1), 1, ((k - 1) // 2, 0), rngs=rngs)
+        self.convq2 = _Conv(cin, hidden_dim, (k, 1), 1, ((k - 1) // 2, 0), rngs=rngs)
+
+    def __call__(self, h, x):
+        for convz, convr, convq in ((self.convz1, self.convr1, self.convq1),
+                                    (self.convz2, self.convr2, self.convq2)):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = jax.nn.sigmoid(convz(hx))
+            r = jax.nn.sigmoid(convr(hx))
+            q = jnp.tanh(convq(jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class _BasicMotionEncoder(nnx.Module):
+    """reg_refine.py:73."""
+
+    def __init__(self, corr_channels=81, flow_channels=2, *, rngs):
+        self.convc1 = _Conv(corr_channels, 256, 1, rngs=rngs)
+        self.convc2 = _Conv(256, 192, 3, 1, 1, rngs=rngs)
+        self.convf1 = _Conv(flow_channels, 128, 7, 1, 3, rngs=rngs)
+        self.convf2 = _Conv(128, 64, 3, 1, 1, rngs=rngs)
+        self.conv = _Conv(64 + 192, 128 - flow_channels, 3, 1, 1, rngs=rngs)
+
+    def __call__(self, flow, corr):
+        cor = jax.nn.relu(self.convc2(jax.nn.relu(self.convc1(corr))))
+        flo = jax.nn.relu(self.convf2(jax.nn.relu(self.convf1(flow))))
+        out = jax.nn.relu(self.conv(jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nnx.Module):
+    """reg_refine.py:98 — RAFT-style GRU update with convex-upsample mask."""
+
+    def __init__(self, corr_channels=81, hidden_dim=128, context_dim=128,
+                 downsample_factor=4, flow_dim=2, *, rngs):
+        self.encoder = _BasicMotionEncoder(corr_channels, flow_dim, rngs=rngs)
+        self.gru = _SepConvGRU(hidden_dim, context_dim + hidden_dim, rngs=rngs)
+        self.flow_head = _FlowHead(hidden_dim, 256, flow_dim, rngs=rngs)
+        self.mask_conv1 = _Conv(hidden_dim, 256, 3, 1, 1, rngs=rngs)
+        self.mask_conv2 = _Conv(256, downsample_factor ** 2 * 9, 1, rngs=rngs)
+
+    def __call__(self, net, inp, corr, flow):
+        motion = self.encoder(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = self.gru(net, inp)
+        delta = self.flow_head(net)
+        mask = self.mask_conv2(jax.nn.relu(self.mask_conv1(net)))
+        return net, mask, delta
+
+
 # -- model -----------------------------------------------------------------------------
 
 
@@ -463,6 +558,8 @@ class GMFlowConfig:
     attn_splits_list: Tuple[int, ...] = (2,)
     corr_radius_list: Tuple[int, ...] = (-1,)
     prop_radius_list: Tuple[int, ...] = (-1,)
+    reg_refine: bool = False       # unimatch.py:30 (scale2-regrefine6 tier)
+    num_reg_refine: int = 1
 
 
 class GMFlow(nnx.Module):
@@ -478,9 +575,18 @@ class GMFlow(nnx.Module):
             TransformerBlock(d, cfg.ffn_dim_expansion, rngs=rngs)
             for _ in range(cfg.num_transformer_layers)])
         self.feature_flow_attn = SelfAttnPropagation(d, rngs=rngs)
-        self.upsampler_conv1 = _Conv(2 + d, 256, 3, 1, 1, rngs=rngs)
-        self.upsampler_conv2 = _Conv(256, cfg.upsample_factor ** 2 * 9, 1,
-                                     rngs=rngs)
+        if not cfg.reg_refine:
+            # standard RAFT-style upsampler (unimatch.py:56: only built when
+            # reg_refine is off for the flow task)
+            self.upsampler_conv1 = _Conv(2 + d, 256, 3, 1, 1, rngs=rngs)
+            self.upsampler_conv2 = _Conv(256, cfg.upsample_factor ** 2 * 9, 1,
+                                         rngs=rngs)
+        else:
+            self.upsampler_conv1 = self.upsampler_conv2 = None
+            self.refine_proj = _Conv(d, 256, 1, rngs=rngs)
+            self.refine = BasicUpdateBlock(
+                corr_channels=(2 * 4 + 1) ** 2,
+                downsample_factor=cfg.upsample_factor, rngs=rngs)
 
     def _transform(self, f0, f1, h, w, num_splits):
         attn_mask = None
@@ -508,6 +614,7 @@ class GMFlow(nnx.Module):
             f = feats[scale_idx]
             b2 = f.shape[0] // 2
             f0, f1 = f[:b2], f[b2:]
+            f0_ori, f1_ori = f0, f1  # pre-warp/pos features (unimatch.py:180)
             h, w = f0.shape[1:3]
             if scale_idx > 0:
                 # F.interpolate scale 2 with align_corners=True (unimatch.py:196)
@@ -536,20 +643,44 @@ class GMFlow(nnx.Module):
             flow = self.feature_flow_attn(
                 f0, flow, local_radius=max(prop_radius, 0))
             if scale_idx == cfg.num_scales - 1:
-                concat = jnp.concatenate([flow, f0], axis=-1)
-                mask = self.upsampler_conv2(
-                    jax.nn.relu(self.upsampler_conv1(concat)))
-                flow = upsample_flow_with_mask(flow, mask,
-                                               cfg.upsample_factor)
+                if not cfg.reg_refine:
+                    concat = jnp.concatenate([flow, f0], axis=-1)
+                    mask = self.upsampler_conv2(
+                        jax.nn.relu(self.upsampler_conv1(concat)))
+                    flow = upsample_flow_with_mask(flow, mask,
+                                                   cfg.upsample_factor)
+                else:
+                    # task-specific local regression refinement
+                    # (unimatch.py:345-455, flow task): RAFT update block over
+                    # a raw local cost volume at coords+flow; GRU state
+                    # restarts from refine_proj each iteration (:401) exactly
+                    # like the reference; the LAST iteration's mask drives the
+                    # convex upsample.
+                    proj = self.refine_proj(f0)
+                    half = proj.shape[-1] // 2
+                    up_mask = None
+                    for _ in range(cfg.num_reg_refine):
+                        corr = local_correlation_with_flow(
+                            f0_ori, f1_ori, flow, radius=4)
+                        net = jnp.tanh(proj[..., :half])
+                        inp = jax.nn.relu(proj[..., half:])
+                        net, up_mask, dflow = self.refine(net, inp, corr, flow)
+                        flow = flow + dflow
+                    flow = upsample_flow_with_mask(flow, up_mask,
+                                                   cfg.upsample_factor)
         return flow
 
 
 GMFLOW_CONFIGS = {
-    # reference __init__.py:115-142
+    # reference __init__.py:115-158
     "gmflow-scale1": GMFlowConfig(),
     "gmflow-scale2": GMFlowConfig(
         num_scales=2, upsample_factor=4, attn_splits_list=(2, 8),
         corr_radius_list=(-1, 4), prop_radius_list=(-1, 1)),
+    "gmflow-scale2-regrefine6": GMFlowConfig(
+        num_scales=2, upsample_factor=4, attn_splits_list=(2, 8),
+        corr_radius_list=(-1, 4), prop_radius_list=(-1, 1),
+        reg_refine=True, num_reg_refine=6),
 }
 
 
@@ -604,8 +735,19 @@ def convert_gmflow_keys(sd: dict) -> dict:
                     sd[f"{t}.norm2.bias"], np.float32)
     linear("feature_flow_attn.q_proj", "feature_flow_attn.q_proj")
     linear("feature_flow_attn.k_proj", "feature_flow_attn.k_proj")
-    conv("upsampler.0", "upsampler_conv1")
-    conv("upsampler.2", "upsampler_conv2")
+    if "upsampler.0.weight" in sd:
+        conv("upsampler.0", "upsampler_conv1")
+        conv("upsampler.2", "upsampler_conv2")
+    if "refine_proj.weight" in sd:  # scale2-regrefine6 tier (reg_refine.py)
+        conv("refine_proj", "refine_proj")
+        for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+            conv(f"refine.encoder.{name}", f"refine.encoder.{name}")
+        for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+            conv(f"refine.gru.{name}", f"refine.gru.{name}")
+        conv("refine.flow_head.conv1", "refine.flow_head.conv1")
+        conv("refine.flow_head.conv2", "refine.flow_head.conv2")
+        conv("refine.mask.0", "refine.mask_conv1")
+        conv("refine.mask.2", "refine.mask_conv2")
     return out
 
 
@@ -694,7 +836,9 @@ class OpticalFlowPreprocessor(BasePreprocessor):
                 load_preprocessor_weights)
 
             fname = {"gmflow-scale1": "gmflow-scale1-mixdata.pth",
-                     "gmflow-scale2": "gmflow-scale2-mixdata.pth"}[variant]
+                     "gmflow-scale2": "gmflow-scale2-mixdata.pth",
+                     "gmflow-scale2-regrefine6":
+                         "gmflow-scale2-regrefine6-mixdata.pth"}[variant]
             try:
                 sd = load_preprocessor_weights(
                     variant, hf_repo="hr16/Unimatch", hf_filename=fname)

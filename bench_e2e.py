@@ -240,8 +240,13 @@ def leg_qwenimage() -> dict:
 
 def leg_wan() -> dict:
     """Wan 2.2 A14B t2i (t2v with num_frames=1, the reference's t2i mode) +
-    point-mask preprocessor on a media clip (classical tracker, CPU)."""
-    os.environ.setdefault("APEX_SYNTHETIC_WEIGHTS", "int8")
+    point-mask preprocessor on a media clip (classical tracker, CPU).
+
+    int4 residency: 14B int8 + the CFG fused step needs ~16.9 GB and a v5e
+    has 15.75 GB usable — the same wall that sends reference users on 16 GB
+    cards to the GGUF Q4_K_M manifest variant (BASELINE.md VRAM table), so
+    int4 is the comparable tier."""
+    os.environ.setdefault("APEX_SYNTHETIC_WEIGHTS", "int4")
     patch_engine_tokenizers()
     import numpy as np
 
@@ -277,7 +282,7 @@ def leg_wan() -> dict:
     return {"config": "wan22_a14b_t2i_with_point_mask", "unit": "s/image",
             "steps": steps, "file": run.path,
             "mask_preprocess_s": round(mask_s, 2),
-            "mask_frames": len(masks), **out}
+            "mask_frames": len(masks), "residency": "int4", **out}
 
 
 def leg_hyv15() -> dict:

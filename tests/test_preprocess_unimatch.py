@@ -15,7 +15,7 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference/apps/api"
 
 
-def _ref_unimatch(num_scales):
+def _ref_unimatch(num_scales, reg_refine=False):
     if "loguru" not in sys.modules:
         lg = types.ModuleType("loguru")
         lg.logger = logging.getLogger("ref")
@@ -28,7 +28,7 @@ def _ref_unimatch(num_scales):
     return UniMatch(num_scales=num_scales, feature_channels=128,
                     upsample_factor=8 if num_scales == 1 else 4,
                     num_head=1, ffn_dim_expansion=4,
-                    num_transformer_layers=6, reg_refine=False,
+                    num_transformer_layers=6, reg_refine=reg_refine,
                     task="flow").eval()
 
 
@@ -88,6 +88,31 @@ class TestGMFlowParity:
                                jnp.asarray(i1.transpose(0, 2, 3, 1))))
         # two chained softmax-matching scales amplify f32 noise; 0.1px on a
         # ±26px flow field (<0.4% of range) is numerical, not structural
+        np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref,
+                                   atol=1e-1, rtol=1e-3)
+
+    def test_scale2_regrefine_matches_reference(self):
+        """scale2-regrefine6 tier: RAFT update block refinement
+        (reference reg_refine.py via unimatch.py:345-455)."""
+        from apex_studio_tpu.preprocess.unimatch import GMFLOW_CONFIGS
+        import dataclasses
+
+        oracle = _ref_unimatch(2, reg_refine=True)
+        cfg = dataclasses.replace(GMFLOW_CONFIGS["gmflow-scale2-regrefine6"],
+                                  num_reg_refine=2)
+        model = _load_jax(oracle, cfg)
+        rng = np.random.default_rng(2)
+        i0 = rng.uniform(0, 255, size=(1, 3, 64, 64)).astype(np.float32)
+        i1 = rng.uniform(0, 255, size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(i0), torch.from_numpy(i1),
+                         attn_type="swin", attn_splits_list=[2, 8],
+                         corr_radius_list=[-1, 4],
+                         prop_radius_list=[-1, 1],
+                         num_reg_refine=2,
+                         task="flow")["flow_preds"][-1].numpy()
+        out = np.asarray(model(jnp.asarray(i0.transpose(0, 2, 3, 1)),
+                               jnp.asarray(i1.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref,
                                    atol=1e-1, rtol=1e-3)
 
