@@ -321,12 +321,17 @@ class BaseEngine:
                 materialize_random_int8,
             )
 
+            from apex_studio_tpu.models.registry import transformer_registry
+
             model = nnx.eval_shape(
                 lambda: cls(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0)))
             seed = abs(hash((base, converter_family))) % (1 << 31)
-            if synth == "int4":
+            # int4 is the DiT tier; encoders/VAEs stay int8 (they stage out
+            # via release_text_encoders and gain nothing from 4-bit, while
+            # the packed-unpack graph costs compile time)
+            if synth == "int4" and registry is transformer_registry:
                 n = materialize_random_int4(model, seed=seed)
-            elif synth in ("int8", "1", "true"):
+            elif synth in ("int8", "int4", "1", "true"):
                 n = materialize_random_int8(model, seed=seed)
             else:  # "bf16": random weights, no residency
                 n = materialize_random_int8(model, seed=seed, min_numel=1 << 62)

@@ -270,8 +270,10 @@ class HunyuanVideo15T2VEngine(BaseEngine):
     # 121f 3D decode materializes tens of GB of upsampled activations
     # (reference tiled_decode, base_engine.py:2030). Threshold/tile sizes in
     # LATENT px; override via APEX_VAE_TILE / APEX_VAE_TILE_THRESHOLD.
-    VAE_TILE = 32
-    VAE_TILE_THRESHOLD = 48 * 48
+    # 16x spatial upscale: a 16-latent tile is already a 256px pixel tile,
+    # and 121 frames x 256^2 x C activations are the budget ceiling
+    VAE_TILE = 16
+    VAE_TILE_THRESHOLD = 40 * 40
 
     def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
         import os as _os

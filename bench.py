@@ -440,6 +440,52 @@ def main() -> None:
             os.environ.pop("APEX_INT8_COMPUTE", None)
         print(json.dumps(result), flush=True)
 
+    # End-to-end legs (bench_e2e.py): manifest → engine.run → text-encode →
+    # denoise → VAE decode → file, per BASELINE.json config. Each runs in a
+    # subprocess (memory isolation) while the wall-clock budget allows;
+    # results merge into the cumulative JSON line as e2e_<config> keys.
+    # Warm compile caches make each leg ~2-4 min; cold caches won't fit, so
+    # legs degrade to "skipped" notes rather than eating the graded metrics.
+    if os.environ.get("APEX_BENCH_E2E", "1") != "0" and not tiny:
+        import subprocess
+        import sys
+
+        legs = ("flux", "zimage", "wan", "hyv15", "qwenimage")
+        for leg in legs:
+            need = 240.0
+            if _remaining() < need:
+                result[f"e2e_{leg}"] = f"skipped: {int(_remaining())}s left"
+                continue
+            budget = int(min(_remaining() - 30, 900))
+            env = dict(os.environ)
+            env.setdefault("APEX_E2E_RUNS", "1")
+            env.setdefault("APEX_E2E_HYV15_STEPS", "2")
+            _trace(f"e2e leg {leg} (budget {budget}s)")
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_e2e.py"), leg, "--inline"],
+                    env=env, timeout=budget, capture_output=True, text=True)
+                line = next((l for l in reversed(proc.stdout.splitlines())
+                             if l.startswith("{")), None)
+                if line:
+                    leg_res = json.loads(line)
+                    key = f"e2e_{leg}"
+                    if "error" in leg_res:
+                        result[key] = f"error: {leg_res['error'][:200]}"
+                    else:
+                        result[key + "_s"] = leg_res.get("e2e_s")
+                        for extra in ("sec_per_frame_e2e_50", "lora_merge_s",
+                                      "mask_preprocess_s", "residency"):
+                            if extra in leg_res:
+                                result[f"{key}_{extra}"] = leg_res[extra]
+                else:
+                    result[f"e2e_{leg}"] = f"no output rc={proc.returncode}"
+            except subprocess.TimeoutExpired:
+                result[f"e2e_{leg}"] = f"timeout after {budget}s"
+            print(json.dumps(result), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -18,6 +18,11 @@ Usage:
 Each leg prints ONE JSON line:
   {"config": ..., "e2e_s": N, "encode_s": N, "denoise_s": N, "decode_s": N,
    "steps": N, ...}
+NOTE: e2e_s is the ground truth (wall clock around run() incl. the file
+write). The per-phase splits are DISPATCH-side timestamps: JAX executes
+asynchronously, so a phase's compute can drain into the next phase's bucket
+(typically the denoise compute lands in decode_s, which ends with a blocking
+device->host fetch).
 For hyv15 the published metric is sec/frame; measured steps are extrapolated
 to the config's 50 (per-step time is constant — the loop is one fused jitted
 dispatch per step) and the extrapolation basis is reported alongside.
