@@ -262,6 +262,22 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         if return_latents:
             safe_emit_progress(progress_callback, 1.0, "Returning latents")
             return x
+        # A 720p-class tiled decode needs ~10 GB of upsampled activations —
+        # it and the 8 GB DiT can't share one v5e. Drop the DiT first (the
+        # reference's group offloading makes the same trade before decode,
+        # group_offloading.py); run() reloads it lazily on the next call.
+        if (offload and lat_h * lat_w > self.VAE_TILE_THRESHOLD
+                and (self.mesh is None or self.mesh.devices.size <= 1)):
+            import gc
+
+            del tf_state
+            self.transformer = None
+            self._jit_cache = {k: v for k, v in self._jit_cache.items()
+                               if not (isinstance(k, tuple) and k
+                                       and k[0] == "hyv15_step")}
+            gc.collect()
+            logger.info("released transformer before %dx%d tiled decode",
+                        lat_h, lat_w)
         frames = self.decode_latents(x)
         safe_emit_progress(progress_callback, 1.0, "Completed pipeline")
         return frames

@@ -135,6 +135,11 @@ class SiglipVisionEncoder(nnx.Module):
     def _patchify(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
         p = self.cfg.patch_size
         b, c, h, w = pixel_values.shape
+        # torch's strided Conv2d (kernel=stride=p, no padding) silently drops
+        # the bottom/right remainder (e.g. so400m-patch14 on 384px uses only
+        # 378px → 27×27 patches); crop to match.
+        h, w = (h // p) * p, (w // p) * p
+        pixel_values = pixel_values[:, :, :h, :w]
         x = pixel_values.reshape(b, c, h // p, p, w // p, p)
         x = x.transpose(0, 2, 4, 1, 3, 5)
         return x.reshape(b, (h // p) * (w // p), c * p * p)

@@ -146,10 +146,11 @@ def save_frames(frames, stem: str) -> str:
     return str(save_video(frames, out_dir / f"{stem}.mp4", fps=16))
 
 
-def build_engine(manifest: str, model_type: str):
+def build_engine(manifest: str, model_type: str, **kwargs):
     from apex_studio_tpu.engine.registry import UniversalEngine
 
-    return UniversalEngine(str(REPO / "manifests" / manifest), model_type=model_type)
+    return UniversalEngine(str(REPO / "manifests" / manifest),
+                           model_type=model_type, **kwargs)
 
 
 # -- legs --------------------------------------------------------------------------
@@ -232,9 +233,12 @@ def leg_qwenimage() -> dict:
     src = rng.integers(0, 255, (1024, 1024, 3)).astype(np.uint8)
 
     def run(clock):
+        # Lightning distilled tier: 8 steps, CFG-free (true_cfg 1.0) — the
+        # nunchaku-...-lightning-8steps alias regime; the manifest's default
+        # true_cfg 4.0 belongs to the undistilled 50-step tier.
         frames = engine.run(image=src, prompt="make the sky purple",
-                            negative_prompt=NEG, height=1024, width=1024,
-                            num_inference_steps=steps, true_cfg_scale=4.0,
+                            height=1024, width=1024,
+                            num_inference_steps=steps, true_cfg_scale=1.0,
                             seed=0, progress_callback=clock)
         run.path = save_frames(frames, "qwenimage_edit")
 
@@ -298,7 +302,12 @@ def leg_hyv15() -> dict:
     patch_engine_tokenizers()
     import numpy as np
 
-    engine = build_engine("video/hunyuanvideo-1.5-i2v.yml", "i2v")
+    # bf16 VAE decode: the manifest's conservative fp32 flag quadruples the
+    # per-tile activation footprint next to the resident DiT (the reference
+    # decodes its video VAEs fp16 on CUDA for the same reason)
+    engine = build_engine(
+        "video/hunyuanvideo-1.5-i2v.yml", "i2v",
+        selected_components={"vae": {"precision": "bf16"}})
     steps = int(os.environ.get("APEX_E2E_HYV15_STEPS", "6"))
     full_steps = 50
     frames_n = 121
@@ -321,6 +330,30 @@ def leg_hyv15() -> dict:
         run.path = save_frames(out_frames, "hyv15_720p")
 
     out = timed_runs(run, n_runs=1)
+
+    # Dedicated VAE-decode timing (hot loop #2): tiled 3D decode of the full
+    # 720p x 121f latent grid, measured with a blocking fetch — the e2e phase
+    # split can't isolate it because dispatch is async.
+    import numpy as _np
+
+    lat = jnp_like = None
+    try:
+        import jax.numpy as jnp
+
+        vae_cfg = engine.vae.cfg
+        lat_t = (frames_n - 1) // vae_cfg.temporal_scale + 1
+        lat_h, lat_w = 720 // vae_cfg.spatial_scale, 1280 // vae_cfg.spatial_scale
+        z = jnp.asarray(rng.normal(
+            size=(1, getattr(vae_cfg, "z_dim", None) or vae_cfg.latent_channels,
+                  lat_t, lat_h, lat_w)), jnp.float32)
+        t0 = time.perf_counter()
+        frames_dec = engine.decode_latents(z)
+        decode_only_s = time.perf_counter() - t0
+        out["vae_decode_720p121f_s"] = round(decode_only_s, 2)
+        out["vae_decode_sec_per_frame"] = round(decode_only_s / frames_n, 4)
+        del frames_dec
+    except Exception as e:  # noqa: BLE001
+        out["vae_decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # frame interpolation post-process (x2)
     from apex_studio_tpu.postprocess.base import run_postprocessor
