@@ -272,9 +272,10 @@ class HunyuanVideo15T2VEngine(BaseEngine):
 
             del tf_state
             self.transformer = None
+            self.helpers.clear()  # SigLIP vision tokens are already consumed
             self._jit_cache = {k: v for k, v in self._jit_cache.items()
                                if not (isinstance(k, tuple) and k
-                                       and k[0] == "hyv15_step")}
+                                       and k[0] in ("hyv15_step", "te_fwd"))}
             gc.collect()
             logger.info("released transformer before %dx%d tiled decode",
                         lat_h, lat_w)
@@ -286,9 +287,11 @@ class HunyuanVideo15T2VEngine(BaseEngine):
     # 121f 3D decode materializes tens of GB of upsampled activations
     # (reference tiled_decode, base_engine.py:2030). Threshold/tile sizes in
     # LATENT px; override via APEX_VAE_TILE / APEX_VAE_TILE_THRESHOLD.
-    # 16x spatial upscale: a 16-latent tile is already a 256px pixel tile,
-    # and 121 frames x 256^2 x C activations are the budget ceiling
-    VAE_TILE = 16
+    # 16x spatial upscale: an 8-latent tile is already a 128px pixel tile.
+    # The decoder's widest stage holds [T, H_px, W_px, 128] plus f32 norm and
+    # edge-pad copies — at 121 frames a 256px tile already needs ~19 GB, a
+    # 128px tile ~5 GB (measured via XLA compile estimates on v5e).
+    VAE_TILE = 8
     VAE_TILE_THRESHOLD = 40 * 40
 
     def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:

@@ -25,14 +25,19 @@ def decode_tiled_3d(
     z: jnp.ndarray,                 # [B, C, T, H, W] latents
     spatial_scale: int,
     tile: int = 24,
-    overlap: int = 4,
+    overlap: int = None,
 ) -> jnp.ndarray:
     """→ [B, out_ch, T_pix, H·s, W·s]; ``decode_fn`` maps latent tiles to
     pixel tiles (already jitted by the caller; uniform tile shapes mean it
-    compiles once)."""
+    compiles once). Default overlap = tile/4, the reference's 25%
+    tile_overlap_factor (vae/hunyuanvideo15/model.py:1060). Tiles come back
+    to the host as f16 (the accumulator is f32) — halves the device->host
+    transfer, which dominates on a remote relay."""
     b, c, t, h, w = z.shape
     if h <= tile and w <= tile:
         return decode_fn(z)
+    if overlap is None:
+        overlap = max(2, tile // 4)
     s = spatial_scale
     stride = tile - overlap
     out = None
@@ -54,7 +59,8 @@ def decode_tiled_3d(
             y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
             y0a, x0a = max(0, y1 - tile), max(0, x1 - tile)  # uniform shape
             patch = np.asarray(
-                decode_fn(z[:, :, :, y0a:y1, x0a:x1]), np.float32)
+                decode_fn(z[:, :, :, y0a:y1, x0a:x1]).astype(jnp.float16),
+                np.float32)
             if out is None:
                 t_pix, out_ch = patch.shape[2], patch.shape[1]
                 out = np.zeros((b, out_ch, t_pix, h * s, w * s), np.float32)
