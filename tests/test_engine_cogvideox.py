@@ -213,9 +213,9 @@ class TestCogVideoXEngines:
 
 
 class TestCogVideoXInpControl:
-    def _engine(self, tmp_path, model_type, extra_in_channels):
+    def _engine(self, tmp_path, model_type, extra_in_channels, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(COG_TINY))
         doc["metadata"]["id"] = f"cog-{model_type}-tiny"
         doc["spec"]["model_type"] = model_type

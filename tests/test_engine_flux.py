@@ -234,9 +234,9 @@ class TestFluxControl:
 
 
 class TestFluxDreamOmni2:
-    def test_multi_reference_generation(self, tmp_path):
+    def test_multi_reference_generation(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(FLUX_TINY))
         doc["metadata"]["id"] = "flux-do2-tiny"
         doc["spec"]["model_type"] = "dreamomni2"

@@ -211,9 +211,9 @@ def test_llama_encoder_hidden_state_offset():
 
 
 class TestHunyuanVideoFramepack:
-    def _engine(self, tmp_path, sampling_type):
+    def _engine(self, tmp_path, sampling_type, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(HYV_ORIG_TINY))
         doc["metadata"]["id"] = f"hv-framepack-tiny-{sampling_type}"
         doc["spec"]["model_type"] = "framepack"

@@ -268,9 +268,9 @@ class TestLTX2KeyframeEngines:
         eng._spec_for_type("text_encoder")["tokenizer"] = make_tokenizer()
         return eng
 
-    def test_keyframe_interpolation_holds_keyframes(self, kf_engine, tmp_path):
+    def test_keyframe_interpolation_holds_keyframes(self, kf_engine, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         img0 = np.full((64, 64, 3), 30, np.uint8)
         img1 = np.full((64, 64, 3), 220, np.uint8)
         frames = kf_engine.run(
@@ -282,9 +282,9 @@ class TestLTX2KeyframeEngines:
         assert len(frames) == 9
         assert frames[0].shape == (64, 64, 3)
 
-    def test_ic_lora_accepts_conditioning_video(self, tmp_path):
+    def test_ic_lora_accepts_conditioning_video(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         path = tmp_path / "ltx2-tiny.yml"
         path.write_text(yaml.safe_dump(LTX2_TINY))
         from apex_studio_tpu.engine import UniversalEngine

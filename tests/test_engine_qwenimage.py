@@ -216,9 +216,9 @@ class TestQwenImageEdit:
 
 
 class TestQwenImageControlNet:
-    def test_controlnet_branch_steers_output(self, tmp_path):
+    def test_controlnet_branch_steers_output(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(QWEN_TINY))
         doc["metadata"]["id"] = "qwenimage-cn-tiny"
         doc["spec"]["model_type"] = "controlnet"
@@ -248,11 +248,11 @@ class TestQwenImageControlNet:
         assert np.isfinite(a).all() and np.isfinite(b).all()
         assert np.abs(a - b).max() > 1e-6
 
-    def test_control_guidance_window(self, tmp_path):
+    def test_control_guidance_window(self, tmp_path, monkeypatch):
         # scale 0 everywhere inside the loop when window excludes all steps:
         # result equals plain-scale-zero run
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(QWEN_TINY))
         doc["metadata"]["id"] = "qwenimage-cn-tiny2"
         doc["spec"]["model_type"] = "controlnet"

@@ -115,9 +115,9 @@ class TestStepVideoVAE:
 
 
 class TestStepVideoEngines:
-    def test_t2v(self, tmp_path):
+    def test_t2v(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         path = tmp_path / "sv.yml"
         path.write_text(yaml.safe_dump(SV_TINY))
         from apex_studio_tpu.engine import UniversalEngine
@@ -129,9 +129,9 @@ class TestStepVideoEngines:
         assert len(frames) >= 4
         assert frames[0].shape == (16, 16, 3)
 
-    def test_i2v(self, tmp_path):
+    def test_i2v(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         doc = yaml.safe_load(yaml.safe_dump(SV_TINY))
         doc["metadata"]["id"] = "stepvideo-i2v-tiny"
         doc["spec"]["model_type"] = "i2v"

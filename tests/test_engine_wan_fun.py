@@ -87,9 +87,9 @@ class TestFunControl:
 
 
 class TestWanFunSubject:
-    def test_fun_start_end_and_subject_refs(self, tmp_path):
+    def test_fun_start_end_and_subject_refs(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         import yaml
 
         # noise z(4) + control(4) + start block(4) = 12 in_channels

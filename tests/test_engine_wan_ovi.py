@@ -84,9 +84,9 @@ class TestOviEngine:
         })
         return m
 
-    def test_joint_generation_with_audio(self, tmp_path):
+    def test_joint_generation_with_audio(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         path = tmp_path / "ovi.yml"
         path.write_text(yaml.safe_dump(self._manifest()))
         from apex_studio_tpu.engine import UniversalEngine
@@ -101,9 +101,9 @@ class TestOviEngine:
         assert waveform.ndim == 1 and np.isfinite(waveform).all()
         assert sr == 16000
 
-    def test_i2v_latents(self, tmp_path):
+    def test_i2v_latents(self, tmp_path, monkeypatch):
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         path = tmp_path / "ovi2.yml"
         path.write_text(yaml.safe_dump(self._manifest()))
         from apex_studio_tpu.engine import UniversalEngine

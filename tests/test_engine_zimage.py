@@ -164,7 +164,7 @@ class TestZImageEndToEnd:
 
 
 class TestZImageControl:
-    def test_control_engine_runs_and_control_changes_output(self, tmp_path):
+    def test_control_engine_runs_and_control_changes_output(self, tmp_path, monkeypatch):
         import yaml
 
         doc = yaml.safe_load(yaml.safe_dump(TINY_MANIFEST))
@@ -185,7 +185,7 @@ class TestZImageControl:
         from apex_studio_tpu.engine.registry import UniversalEngine
 
         import os
-        os.environ["APEX_HOME_DIR"] = str(tmp_path / "home")
+        monkeypatch.setenv("APEX_HOME_DIR", str(tmp_path / "home"))
         eng = UniversalEngine(str(path))
         spec = eng._spec_for_type("text_encoder")
         if spec is not None:

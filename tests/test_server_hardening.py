@@ -156,7 +156,7 @@ def test_oom_error_purges_warm_pool():
     ex.shutdown()
 
 
-def test_parent_watchdog_exits_when_parent_dies(tmp_path):
+def test_parent_watchdog_exits_when_parent_dies(tmp_path, monkeypatch):
     """Spawn a child that watches a short-lived 'parent'; it must self-exit."""
     import subprocess
     import sys
@@ -169,7 +169,7 @@ def test_parent_watchdog_exits_when_parent_dies(tmp_path):
         # Reap the fake parent on exit so os.kill(pid, 0) fails once it dies
         # (in production the real parent is reaped by init, not by us).
         threading.Thread(target=parent.wait, daemon=True).start()
-        os.environ["APEX_PARENT_PID"] = str(parent.pid)
+        monkeypatch.setenv("APEX_PARENT_PID", str(parent.pid))
         sys.path.insert(0, %r)
         from apex_studio_tpu.server.app import _start_parent_watchdog
         _start_parent_watchdog()
