@@ -183,6 +183,19 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         cond, mask_ch, image_embeds, img_zeroed = self._prepare_cond(
             _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
         )
+        if offload and (self.mesh is None or self.mesh.devices.size <= 1):
+            # vision/image-encode stages are consumed; free their weights and
+            # executables — the 112k-token CFG denoise next to an 8 GB DiT
+            # leaves no single-chip slack
+            import gc as _gc
+
+            self.helpers.clear()
+            for k in [k for k in self._jit_cache
+                      if isinstance(k, tuple) and k
+                      and str(k[0]).startswith(("siglip", "vae_encode",
+                                                "hyv15_img"))]:
+                del self._jit_cache[k]
+            _gc.collect()
         safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
 
         ts, _ = self.get_timesteps(
@@ -194,38 +207,79 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         graphdef, tf_state = nnx.split(self.transformer)
         has_img = image_embeds is not None
         use_rescale = bool(use_cfg and guidance_rescale and guidance_rescale > 0)
-        # Fused hot loop: channel-packing + forward (+CFG +rescale) + Euler
-        # update in ONE dispatch per step, latents donated (reference eager
-        # loop: engine/hunyuanvideo15/shared/__init__.py:26 + i2v.py:341).
+        # At 720p x 121f (112k tokens) one CFG-fused graph holding BOTH
+        # forwards' live sets does not fit a single 16 GB chip next to the
+        # 8 GB DiT. Split CFG into two single-forward dispatches + one tiny
+        # combine/Euler dispatch — each graph has the same peak as the
+        # no-CFG path; the extra dispatch overhead is microseconds against a
+        # 40 s/step forward. Without CFG the fully fused single dispatch
+        # remains (reference eager loop: shared/__init__.py:26 + i2v.py:341).
+        split_cfg = bool(use_cfg and (self.mesh is None
+                                      or self.mesh.devices.size <= 1))
         key = ("hyv15_step", (1, cfg_t.in_channels, lat_t, lat_h, lat_w),
                text.shape[1], text2.shape[1], has_img, img_zeroed, use_cfg,
-               use_rescale)
+               use_rescale, split_cfg)
         step = self._jit_cache.get(key)
         if step is None:
             from apex_studio_tpu.engine.fused import build_euler_step
 
-            def apply(m, x, aux, t_vec, cond, mask_ch, text, text_mask, text2,
-                      text2_mask, ntext, ntext_mask, ntext2, ntext2_mask, g, g_re, *img):
+            def fw(m, x, t_vec, text, text_mask, text2, text2_mask,
+                   cond, mask_ch, *img):
                 x_in = jnp.concatenate([x, cond, mask_ch], axis=1).astype(m.dtype)
                 img_kw = (
                     {"image_embeds": img[0], "image_stream_zeroed": img_zeroed}
                     if img else {}
                 )
-                v = m(x_in, t_vec, text, text_mask, text2, text2_mask, **img_kw)
-                v = v.astype(jnp.float32)
-                if use_cfg:
-                    v_neg = m(x_in, t_vec, ntext, ntext_mask, ntext2, ntext2_mask,
-                              **img_kw).astype(jnp.float32)
-                    v = v_neg + g * (v - v_neg)
-                    if use_rescale:
-                        # arXiv:2305.08891 §3.4 overexposure rescale (i2v.py:341)
-                        std_pos = jnp.std(v_neg + (v - v_neg) / g)
-                        std_cfg = jnp.std(v)
-                        rescaled = v * (std_pos / jnp.maximum(std_cfg, 1e-8))
-                        v = g_re * rescaled + (1 - g_re) * v
-                return v, aux
+                return m(x_in, t_vec, text, text_mask, text2, text2_mask,
+                         **img_kw).astype(jnp.float32)
 
-            step = build_euler_step(graphdef, apply)
+            def _combine(v, v_neg, g, g_re):
+                out = v_neg + g * (v - v_neg)
+                if use_rescale:
+                    # arXiv:2305.08891 §3.4 overexposure rescale (i2v.py:341)
+                    std_pos = jnp.std(v_neg + (out - v_neg) / g)
+                    std_cfg = jnp.std(out)
+                    rescaled = out * (std_pos / jnp.maximum(std_cfg, 1e-8))
+                    out = g_re * rescaled + (1 - g_re) * out
+                return out
+
+            if split_cfg:
+                import functools
+
+                @jax.jit
+                def half(state, x, t_vec, text, text_mask, text2, text2_mask,
+                         cond, mask_ch, *img):
+                    return fw(nnx.merge(graphdef, state), x, t_vec, text,
+                              text_mask, text2, text2_mask, cond, mask_ch, *img)
+
+                @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+                def euler(x, v, v_neg, sig, sig_next, g, g_re):
+                    out = _combine(v, v_neg, g, g_re)
+                    x32 = x.astype(jnp.float32)
+                    return (x32 + (sig_next - sig) * out).astype(x.dtype)
+
+                def step(state, x, sig, sig_next, _aux, t_vec, cond, mask_ch,
+                         text, text_mask, text2, text2_mask, ntext, ntext_mask,
+                         ntext2, ntext2_mask, g, g_re, *img):
+                    v = half(state, x, t_vec, text, text_mask, text2,
+                             text2_mask, cond, mask_ch, *img)
+                    v_neg = half(state, x, t_vec, ntext, ntext_mask, ntext2,
+                                 ntext2_mask, cond, mask_ch, *img)
+                    return euler(x, v, v_neg, jnp.float32(sig),
+                                 jnp.float32(sig_next), g, g_re), _aux
+            else:
+                def apply(m, x, aux, t_vec, cond, mask_ch, text, text_mask,
+                          text2, text2_mask, ntext, ntext_mask, ntext2,
+                          ntext2_mask, g, g_re, *img):
+                    v = fw(m, x, t_vec, text, text_mask, text2, text2_mask,
+                           cond, mask_ch, *img)
+                    if use_cfg:
+                        v_neg = fw(m, x, t_vec, ntext, ntext_mask, ntext2,
+                                   ntext2_mask, cond, mask_ch, *img)
+                        v = _combine(v, v_neg, g, g_re)
+                    return v, aux
+
+                step = build_euler_step(graphdef, apply)
             self._jit_cache[key] = step
         img_args = (image_embeds,) if has_img else ()
         if not use_cfg:

@@ -297,7 +297,12 @@ def leg_wan() -> dict:
 def leg_hyv15() -> dict:
     """HunyuanVideo 1.5 I2V 720p×121f with latent previews + RIFE frame
     interpolation. Steps default to APEX_E2E_HYV15_STEPS (full 50 ≈ 35 min on
-    one v5e); sec/frame extrapolates denoise to 50 steps."""
+    one v5e); sec/frame extrapolates denoise to 50 steps.
+
+    int8 DiT (like the graded denoise metric): the CFG double-forward at
+    112k tokens next to the 8.3 GB DiT sits near the 15.75 GB HBM edge; the
+    int4 alternative is off the table — its 54-block nibble-unpack graph
+    OOM-kills the remote compile helper."""
     os.environ.setdefault("APEX_SYNTHETIC_WEIGHTS", "int8")
     patch_engine_tokenizers()
     import numpy as np
