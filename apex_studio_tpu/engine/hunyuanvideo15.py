@@ -183,18 +183,23 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         cond, mask_ch, image_embeds, img_zeroed = self._prepare_cond(
             _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
         )
+        big_run = lat_h * lat_w > self.VAE_TILE_THRESHOLD
         if offload and (self.mesh is None or self.mesh.devices.size <= 1):
             # vision/image-encode stages are consumed; free their weights and
             # executables — the 112k-token CFG denoise next to an 8 GB DiT
-            # leaves no single-chip slack
+            # leaves no single-chip slack. At 720p-class sizes the VAE goes
+            # too (decode_latents reloads it lazily; by then the DiT itself
+            # has been released).
             import gc as _gc
 
             self.helpers.clear()
             for k in [k for k in self._jit_cache
                       if isinstance(k, tuple) and k
                       and str(k[0]).startswith(("siglip", "vae_encode",
-                                                "hyv15_img"))]:
+                                                "hyv15_img", "hyv15_vae"))]:
                 del self._jit_cache[k]
+            if big_run and not return_latents and not render_on_step:
+                self.vae = None
             _gc.collect()
         safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
 
@@ -351,6 +356,8 @@ class HunyuanVideo15T2VEngine(BaseEngine):
     def decode_latents(self, z: jnp.ndarray) -> List[np.ndarray]:
         import os as _os
 
+        if self.vae is None:  # released during a 720p-class denoise
+            self.load_component_by_type("vae")
         thresh = int(_os.environ.get("APEX_VAE_TILE_THRESHOLD",
                                      self.VAE_TILE_THRESHOLD))
         tiled = z.ndim == 5 and z.shape[-2] * z.shape[-1] > thresh

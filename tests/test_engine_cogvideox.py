@@ -234,18 +234,18 @@ class TestCogVideoXInpControl:
             spec["tokenizer"] = make_tokenizer()
         return eng
 
-    def test_control_runs(self, tmp_path):
+    def test_control_runs(self, tmp_path, monkeypatch):
         # noise C=4 + control C=4 → in_channels 8
-        eng = self._engine(tmp_path, "control", 8)
+        eng = self._engine(tmp_path, "control", 8, monkeypatch)
         vid = [np.full((32, 32, 3), 90 + i, np.uint8) for i in range(9)]
         lat = eng.run(control_video=vid, prompt="c", height=32, width=32,
                       num_frames=9, num_inference_steps=2, guidance_scale=1.0,
                       seed=0, return_latents=True)
         assert np.isfinite(np.asarray(lat)).all()
 
-    def test_inp_runs_and_mask_matters(self, tmp_path):
+    def test_inp_runs_and_mask_matters(self, tmp_path, monkeypatch):
         # noise C=4 + mask 1 + masked C=4 → in_channels 9
-        eng = self._engine(tmp_path, "inp", 9)
+        eng = self._engine(tmp_path, "inp", 9, monkeypatch)
         vid = [np.full((32, 32, 3), 120, np.uint8) for _ in range(9)]
         mask = [np.zeros((32, 32), np.uint8) for _ in range(9)]
         for m in mask:

@@ -235,8 +235,8 @@ class TestHunyuanVideoFramepack:
                 spec["tokenizer"] = make_tokenizer()
         return eng
 
-    def test_inverted_anti_drifting_sections(self, tmp_path):
-        eng = self._engine(tmp_path, "inv")
+    def test_inverted_anti_drifting_sections(self, tmp_path, monkeypatch):
+        eng = self._engine(tmp_path, "inv", monkeypatch)
         img = np.full((32, 32, 3), 128, np.uint8)
         frames = eng.run(image=img, prompt="long video", height=32, width=32,
                          num_frames=33, latent_window_size=3,
@@ -244,8 +244,8 @@ class TestHunyuanVideoFramepack:
         assert len(frames) >= 9
         assert frames[0].shape == (32, 32, 3)
 
-    def test_vanilla_sampling(self, tmp_path):
-        eng = self._engine(tmp_path, "van")
+    def test_vanilla_sampling(self, tmp_path, monkeypatch):
+        eng = self._engine(tmp_path, "van", monkeypatch)
         img = np.full((32, 32, 3), 60, np.uint8)
         lat = eng.run(image=img, prompt="fwd", height=32, width=32,
                       num_frames=17, latent_window_size=2,
