@@ -156,28 +156,32 @@ class DWPoseRunner:
 
 
 def draw_wholebody(people, h: int, w: int, stickwidth: int = 4,
-                   kp_thresh: float = 0.3) -> np.ndarray:
+                   kp_thresh: float = 0.3, body: bool = True) -> np.ndarray:
     """133-keypoint openpose-style rendering (body sticks, hand edges, face
-    dots) on black — the format the reference's util.draw_poses emits."""
+    dots) on black — the format the reference's util.draw_poses emits.
+    ``body=False`` renders hands + face only (the dwpose_nlf 2D overlay on
+    top of the 3D capsule body)."""
     import cv2
 
     canvas = np.zeros((h, w, 3), np.uint8)
     for pts, score in people:
         # body-18 (neck synthesized from shoulders)
-        body = np.zeros((18, 2), np.float32)
+        body18 = np.zeros((18, 2), np.float32)
         bscore = np.zeros(18, np.float32)
         for oi, ci in enumerate(_COCO_TO_OPENPOSE):
             if ci >= 0:
-                body[oi] = pts[ci]
+                body18[oi] = pts[ci]
                 bscore[oi] = score[ci]
         if score[5] > kp_thresh and score[6] > kp_thresh:
-            body[1] = (pts[5] + pts[6]) / 2
+            body18[1] = (pts[5] + pts[6]) / 2
             bscore[1] = (score[5] + score[6]) / 2
+        if not body:
+            bscore[:] = 0.0
         for li, (a, b) in enumerate(_BODY_LIMBS):
             if bscore[a] < kp_thresh or bscore[b] < kp_thresh:
                 continue
-            ax, ay = body[a]
-            bx, by = body[b]
+            ax, ay = body18[a]
+            bx, by = body18[b]
             mx, my = (ax + bx) / 2, (ay + by) / 2
             length = math.hypot(ax - bx, ay - by)
             ang = math.degrees(math.atan2(ay - by, ax - bx))
@@ -187,7 +191,7 @@ def draw_wholebody(people, h: int, w: int, stickwidth: int = 4,
             cv2.fillConvexPoly(canvas, poly, _BODY_COLORS[li % len(_BODY_COLORS)])
         for i in range(18):
             if bscore[i] > kp_thresh:
-                cv2.circle(canvas, tuple(np.int32(body[i])), stickwidth,
+                cv2.circle(canvas, tuple(np.int32(body18[i])), stickwidth,
                            _BODY_COLORS[i % len(_BODY_COLORS)], -1)
         # hands: rainbow edges
         for base in (91, 112):

@@ -288,18 +288,54 @@ class DWPoseNLFPreprocessor(_Pose2DBase):
     """dwpose_nlf id (wan-scail conditioning, reference
     src/preprocess/dwpose_nlf/__init__.py): DWPose whole-body 2D keypoints
     fused with NLF (Neural Localizer Fields) 3D body lifting, rendered as
-    depth-ordered limb cylinders.
+    depth-ordered limb capsules with the DWPose hands/face overlaid
+    (reference ``render_nlf_as_images`` + the ``draw_2d=True`` overlay).
 
-    The NLF stage needs the vendored multiperson SMPL pipeline plus its
-    ~1 GB localizer checkpoint (nlf/pt/models/nlf_model.py) which is not
-    bundled; this implementation runs the same DWPose detection and renders
-    the whole-body skeleton with limb-length-scaled stick widths (the 2D
-    projection of the cylinder render). Wan-scail accepts either style of
-    pose map at half resolution.
+    The NLF crop model (``preprocess/nlf.py``, torch-oracle parity-tested
+    against the reference's vendored nlf/pt modules) loads from the
+    published ``nlf_l_multi`` safetensors when present (``APEX_NLF_PATH`` or
+    the preprocessor models dir); detection boxes come from the DWPose
+    person detector (the reference re-detects its DWPose-box-masked frame
+    with a bundled YOLOv8x ONNX — onnxruntime is not in this image). Without
+    the checkpoint this renders the DWPose whole-body skeleton, the 2D
+    projection of the capsule render.
     """
 
     name = "dwpose_nlf"
     params_schema = {"threshold": 0.3, "stickwidth": 6}
+    _NLF_FILES = ("nlf_l_multi_0.3.2", "nlf_l_multi")
+
+    def __init__(self, runner=None):
+        super().__init__(runner)
+        self._nlf = None
+        self._nlf_missing = False
+
+    def setup(self) -> None:
+        super().setup()
+        if self._nlf is not None or self._nlf_missing:
+            return
+        import logging
+        import os
+
+        from apex_studio_tpu.preprocess.weights import find_local
+
+        path = os.environ.get("APEX_NLF_PATH")
+        if not path:
+            for stem in self._NLF_FILES:
+                hit = find_local(stem)
+                if hit is not None:
+                    path = str(hit)
+                    break
+        if path:
+            from apex_studio_tpu.preprocess.nlf import load_nlf
+
+            self._nlf = load_nlf(path)
+        else:
+            self._nlf_missing = True
+            logging.getLogger("apex.preprocess").info(
+                "dwpose_nlf: NLF checkpoint not found (APEX_NLF_PATH or "
+                "nlf_l_multi*.safetensors in the preprocessor models dir); "
+                "rendering the DWPose 2D skeleton only")
 
     def process_frame(self, frame: np.ndarray, **params) -> np.ndarray:
         from apex_studio_tpu.preprocess.dwpose import draw_wholebody
@@ -311,6 +347,29 @@ class DWPoseNLFPreprocessor(_Pose2DBase):
         people = []
         for box in boxes[:10]:
             people.append(self._runner.pose_one(bgr, box))
-        return draw_wholebody(people, h, w,
-                              stickwidth=int(params.get("stickwidth", 6)),
-                              kp_thresh=float(params.get("threshold", 0.3)))
+
+        if self._nlf is None:
+            return draw_wholebody(people, h, w,
+                                  stickwidth=int(params.get("stickwidth", 6)),
+                                  kp_thresh=float(params.get("threshold", 0.3)))
+
+        from apex_studio_tpu.preprocess.nlf import intrinsics_from_fov
+        from apex_studio_tpu.preprocess.nlf_render import (
+            pose_cylinder_specs, render_capsule_frames)
+
+        # (x, y, w, h, score=1) pixel boxes for the NLF estimator
+        nlf_boxes = np.array(
+            [[b[0], b[1], b[2] - b[0], b[3] - b[1], 1.0] for b in boxes[:10]],
+            np.float32).reshape(-1, 5)
+        joints = self._nlf.estimate(img, nlf_boxes)
+        k = intrinsics_from_fov(h, w)
+        rgba = render_capsule_frames([pose_cylinder_specs(joints)], h, w,
+                                     k[0, 0], k[1, 1], k[0, 2], k[1, 2])[0]
+        canvas = rgba[..., :3].copy()
+        # hands + face 2D overlay on top of the capsule render (reference:
+        # nonzero 2D pixels overwrite the 3D frame, __init__.py:423-437)
+        overlay = draw_wholebody(people, h, w, stickwidth=2, body=False,
+                                 kp_thresh=float(params.get("threshold", 0.3)))
+        mask = overlay != 0
+        canvas[mask] = overlay[mask]
+        return canvas

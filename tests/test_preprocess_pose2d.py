@@ -6,6 +6,7 @@ src/preprocess/face2d/__init__.py, src/preprocess/dwpose/__init__.py:358
 the geometry/rendering paths are exercised for real.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -146,3 +147,35 @@ def test_reference_preprocessor_id_coverage():
     mans = load_preprocessor_manifests()
     no_manifest = [i for i in ref_ids if i not in mans]
     assert not no_manifest, no_manifest
+
+
+def test_dwpose_nlf_with_tiny_estimator():
+    """dwpose_nlf with an NLF model wired: capsule body render + 2D
+    hands/face overlay (no checkpoint needed — tiny random crop model)."""
+    from flax import nnx
+
+    from apex_studio_tpu.preprocess import nlf as jnlf
+    from apex_studio_tpu.preprocess.pose2d import DWPoseNLFPreprocessor
+
+    p = DWPoseNLFPreprocessor(runner=FakeRunner())
+    model = jnlf.NLFCropModel(jnlf.NLFConfig.tiny(), nnx.Rngs(0))
+    rng = np.random.default_rng(0)
+    model.canonical.value = jnp.asarray(
+        rng.normal(size=(model.cfg.n_points, 3)).astype(np.float32))
+    p._nlf = jnlf.NLFEstimator(model)
+    out = p.process_frame(np.full((240, 320, 3), 100, np.uint8))
+    assert out.shape == (240, 320, 3)
+    assert out.sum() > 0  # at least the 2D overlay rendered
+
+
+def test_dwpose_nlf_fallback_without_checkpoint(monkeypatch):
+    from apex_studio_tpu.preprocess.pose2d import DWPoseNLFPreprocessor
+
+    monkeypatch.delenv("APEX_NLF_PATH", raising=False)
+    p = DWPoseNLFPreprocessor(runner=FakeRunner())
+    monkeypatch.setattr(
+        "apex_studio_tpu.preprocess.weights.find_local", lambda stem: None)
+    p.setup()
+    assert p._nlf is None and p._nlf_missing
+    out = p.process_frame(np.full((240, 320, 3), 100, np.uint8))
+    assert out.shape == (240, 320, 3) and out.sum() > 0
