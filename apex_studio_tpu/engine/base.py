@@ -552,6 +552,12 @@ class BaseEngine:
             if path:
                 local = self._resolve_path(path)
                 if local is None or not Path(local).exists():
+                    if os.environ.get("APEX_SYNTHETIC_WEIGHTS", ""):
+                        # bench/dry-run tier: the random-init TAE stands in —
+                        # big runs depend on it so the 2.3 GB full VAE can
+                        # leave HBM during the denoise.
+                        self._preview_vae_cache = model
+                        return model
                     logger.info("light VAE weights not present (%s); "
                                 "previews use the full VAE", path)
                     return None
@@ -584,6 +590,13 @@ class BaseEngine:
             return fallback(latents)
         import jax
         from flax import nnx
+
+        # Cap the preview clip: decoding every frame of a 121f run holds a
+        # [T,H,W,64] f32 stage (~7 GB) next to the resident DiT. A leading
+        # window is what the editor scrubs anyway.
+        max_t = int(os.environ.get("APEX_PREVIEW_MAX_LATENT_T", "9"))
+        if latents.ndim == 5 and latents.shape[2] > max_t:
+            latents = latents[:, :, :max_t]
 
         key = ("light_preview_decode", tuple(latents.shape))
         dec = self._jit_cache.get(key)

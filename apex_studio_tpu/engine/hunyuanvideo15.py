@@ -184,12 +184,20 @@ class HunyuanVideo15T2VEngine(BaseEngine):
             _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
         )
         big_run = lat_h * lat_w > self.VAE_TILE_THRESHOLD
+        # Few-step runs never render intermediates (matches the check at the
+        # denoise loop); decide it HERE so the VAE-release logic below sees
+        # the effective flag.
+        if num_inference_steps <= 8 and timesteps is None:
+            render_on_step = False
+        vae_released = False
         if offload and (self.mesh is None or self.mesh.devices.size <= 1):
             # vision/image-encode stages are consumed; free their weights and
             # executables — the 112k-token CFG denoise next to an 8 GB DiT
-            # leaves no single-chip slack. At 720p-class sizes the VAE goes
-            # too (decode_latents reloads it lazily; by then the DiT itself
-            # has been released).
+            # leaves no single-chip slack. At 720p-class sizes the 2.3 GB VAE
+            # goes too (decode_latents reloads it lazily; by then the DiT
+            # itself has been released). Previews during a big run ride the
+            # light TAE decoder only — a mid-denoise full-VAE reload would
+            # re-OOM the chip, so without a light VAE previews are skipped.
             import gc as _gc
 
             self.helpers.clear()
@@ -198,8 +206,14 @@ class HunyuanVideo15T2VEngine(BaseEngine):
                       and str(k[0]).startswith(("siglip", "vae_encode",
                                                 "hyv15_img", "hyv15_vae"))]:
                 del self._jit_cache[k]
-            if big_run and not return_latents and not render_on_step:
+            if big_run and not return_latents:
+                if render_on_step and self._get_preview_vae() is None:
+                    logger.warning(
+                        "big-run previews need the light VAE (none loadable); "
+                        "disabling render_on_step to keep the denoise in HBM")
+                    render_on_step = False
                 self.vae = None
+                vae_released = True
             _gc.collect()
         safe_emit_progress(progress_callback, 0.3, "Initialized latent noise")
 
@@ -311,7 +325,8 @@ class HunyuanVideo15T2VEngine(BaseEngine):
                 and i + 1 < len(ts)
             ):
                 try:
-                    render_on_step_callback(self.preview_frames(x, self.decode_latents), i)
+                    fb = None if vae_released else self.decode_latents
+                    render_on_step_callback(self.preview_frames(x, fb), i)
                 except Exception:
                     logger.exception("preview callback failed")
             if denoise_cb is not None:
