@@ -183,7 +183,10 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         cond, mask_ch, image_embeds, img_zeroed = self._prepare_cond(
             _image, height, width, lat_t, lat_h, lat_w, cfg_t, lat_c
         )
-        big_run = lat_h * lat_w > self.VAE_TILE_THRESHOLD
+        import os as _os
+
+        big_run = lat_h * lat_w > int(_os.environ.get(
+            "APEX_VAE_TILE_THRESHOLD", self.VAE_TILE_THRESHOLD))
         # Few-step runs never render intermediates (matches the check at the
         # denoise loop); decide it HERE so the VAE-release logic below sees
         # the effective flag.
@@ -340,7 +343,7 @@ class HunyuanVideo15T2VEngine(BaseEngine):
         # it and the 8 GB DiT can't share one v5e. Drop the DiT first (the
         # reference's group offloading makes the same trade before decode,
         # group_offloading.py); run() reloads it lazily on the next call.
-        if (offload and lat_h * lat_w > self.VAE_TILE_THRESHOLD
+        if (offload and big_run
                 and (self.mesh is None or self.mesh.devices.size <= 1)):
             import gc
 

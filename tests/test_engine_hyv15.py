@@ -207,3 +207,82 @@ class TestHYV15I2V:
         a = np.asarray(i2v_engine.run(image=img_a, **kw))
         b = np.asarray(i2v_engine.run(image=img_b, **kw))
         assert not np.allclose(a, b)
+
+
+class TestBigRunMemoryStaging:
+    """720p-class memory staging at tiny sizes: the full VAE leaves HBM for
+    the denoise, previews ride the light TAE decoder, decode reloads lazily
+    (engine/hunyuanvideo15.py run(); reference analog: group offloading +
+    use_light_vae, src/memory_management/group_offloading.py +
+    engine/hunyuanvideo15/shared)."""
+
+    def _make_engine(self, tmp_path, light_vae: bool):
+        import copy
+
+        doc = copy.deepcopy(HYV_TINY)
+        if light_vae:
+            for c in doc["spec"]["components"]:
+                if c["type"] == "vae":
+                    c["config"]["light_vae_config"] = {
+                        "latent_channels": 4,
+                        "channels": [8, 8, 8, 8],
+                        "decoder_time_upscale": [False, True],
+                        "decoder_space_upscale": [True, True, False],
+                    }
+        path = tmp_path / f"hyv15-bigrun-{light_vae}.yml"
+        path.write_text(yaml.safe_dump(doc))
+        from apex_studio_tpu.engine import UniversalEngine
+
+        eng = UniversalEngine(path)
+        for spec in eng.component_specs.values():
+            if spec.get("type") == "text_encoder":
+                spec["tokenizer"] = make_tokenizer()
+        return eng
+
+    def test_vae_released_and_previews_ride_tae(self, tmp_path, monkeypatch):
+        # Latent grid is 4x4=16 at 16px/scale-4; threshold 8 forces the
+        # big-run staging path.
+        monkeypatch.setenv("APEX_VAE_TILE_THRESHOLD", "8")
+        eng = self._make_engine(tmp_path, light_vae=True)
+        previews = []
+        vae_during_denoise = []
+
+        def on_preview(frames, i):
+            previews.append((i, len(frames)))
+            vae_during_denoise.append(eng.vae)
+
+        frames = eng.run(
+            prompt="x", height=16, width=16, num_frames=3,
+            num_inference_steps=10, guidance_scale=1.0, seed=0,
+            render_on_step=True, render_on_step_callback=on_preview,
+            render_on_step_interval=3,
+        )
+        assert len(frames) == 3 and frames[0].shape == (16, 16, 3)
+        assert previews, "previews should have been rendered via the TAE"
+        assert all(v is None for v in vae_during_denoise), (
+            "full VAE must stay out of HBM while previews render")
+
+    def test_no_light_vae_disables_previews_not_the_run(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("APEX_VAE_TILE_THRESHOLD", "8")
+        eng = self._make_engine(tmp_path, light_vae=False)
+        previews = []
+        frames = eng.run(
+            prompt="x", height=16, width=16, num_frames=3,
+            num_inference_steps=10, guidance_scale=1.0, seed=0,
+            render_on_step=True,
+            render_on_step_callback=lambda f, i: previews.append(i),
+        )
+        assert len(frames) == 3
+        assert not previews, "without a light VAE, big-run previews are skipped"
+
+    def test_few_step_run_never_previews(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("APEX_VAE_TILE_THRESHOLD", "8")
+        eng = self._make_engine(tmp_path, light_vae=True)
+        previews = []
+        frames = eng.run(
+            prompt="x", height=16, width=16, num_frames=3,
+            num_inference_steps=2, guidance_scale=1.0, seed=0,
+            render_on_step=True,
+            render_on_step_callback=lambda f, i: previews.append(i),
+        )
+        assert len(frames) == 3 and not previews
